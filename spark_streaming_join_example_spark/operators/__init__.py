@@ -1,0 +1,15 @@
+from .joins import asof_join
+from .similarity import as_double_array, cosine, cosine_topk_pairs, dot
+from .dedup import distinct_tokens, jaccard, minhash_signatures, lsh_candidate_pairs
+
+__all__ = [
+    "asof_join",
+    "as_double_array",
+    "cosine",
+    "cosine_topk_pairs",
+    "dot",
+    "distinct_tokens",
+    "jaccard",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+]

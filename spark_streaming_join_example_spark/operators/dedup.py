@@ -1,0 +1,147 @@
+"""Deduplication operators (SURVEY.md §2.11 X1/X2).
+
+- exact: groupBy-hash with a deterministic representative (min id) —
+  the only order-free equivalent of streaming dropDuplicates;
+- exact Jaccard near-dup: all-pairs token-set similarity (the
+  oracle-checkable baseline);
+- MinHash + banded LSH near-dup: the scale path — signature via k
+  independent xxhash64 min-hashes, band-bucket equi-join for
+  candidates, exact Jaccard verify. All JVM-side DataFrame ops; no
+  Python in the hot path.
+
+Scale: all-pairs Jaccard is O(n²) — fine for an oracle at 10³-10⁴
+docs, never at 100 TB. The LSH path shuffles each doc `bands` times on
+(band, bucket) and joins equi-wise; candidate count ≈ true-positive
+pairs + controlled false-positive rate, so cost tracks output, not n².
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def distinct_tokens(text: Column | str, sep: str = " ") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(F.split(c, sep))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two deduplicated token arrays."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(
+        F.array_union(a, b)
+    ).cast("double")
+
+
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """One row per key-group: deterministic representative + group size."""
+    return df.groupBy(*keys).agg(
+        F.min(id_col).alias(f"first_{id_col}"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, tokens: Column, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over tokens of
+    xxhash64(i, token). One explode + one groupBy; deterministic
+    (xxhash64 is a fixed function of its inputs)."""
+    tok = docs.select(F.col(id_col), F.explode(tokens).alias("__tok"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("__tok"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = tok.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Banded-LSH candidate pairs: a pair is a candidate when any band
+    of the signature matches exactly. Returns (a_id, b_id), a < b."""
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.slice("sig", i * rows_per_band + 1, rows_per_band).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+    a = banded.select(F.col(id_col).alias("a_id"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("b_id"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: tokenize → MinHash → banded LSH →
+    exact-Jaccard verify ≥ threshold. Output (a_id, b_id, jac)."""
+    toks = docs.select(
+        F.col(id_col), distinct_tokens(text_col).alias("toks")
+    )
+    sig = minhash_signatures(toks, id_col, F.col("toks"), num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    a = toks.select(F.col(id_col).alias("a_id"), F.col("toks").alias("a_toks"))
+    b = toks.select(F.col(id_col).alias("b_id"), F.col("toks").alias("b_toks"))
+    verified = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("jac", F.round(jaccard(F.col("a_toks"), F.col("b_toks")), 6))
+        .filter(F.col("jac") >= threshold)
+        .select("a_id", "b_id", "jac")
+    )
+    return verified
+
+
+def simhash63(tokens: Column, n_bits: int = 63) -> Column:
+    """SimHash fingerprint (63 bits, fits a signed long) of a token
+    array.
+
+    Per bit b: sum over tokens of ±1 depending on bit b of
+    xxhash64(token); fingerprint bit b = 1 iff the sum is positive.
+    Pure JVM expressions; near-dup pairs are then `bit_count(a ^ b)
+    <= r`. Quadratic pairing — use the MinHash LSH path at scale and
+    SimHash for fingerprint storage/verification.
+    """
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            tokens,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(n_bits):
+        out = out + F.when(bit_sum(b) > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out

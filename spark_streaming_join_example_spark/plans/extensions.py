@@ -1,0 +1,437 @@
+"""LLM-data-pipeline extension queries (SURVEY.md §2.11 X1-X5):
+dedup (exact, Jaccard, MinHash-LSH, SimHash), vector similarity
+(exact top-k + LSH ANN), multimodal binary columns, text analysis
+(tokens, quality, language-ID, fingerprinting).
+
+Oracle-checkable where DuckDB can express the same computation; the
+approximate/seeded ones (MinHash, ANN, SimHash, HLL) are rows-only
+here and exactness-tested against small local oracles in
+tests/test_extensions.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators.dedup import (
+    distinct_tokens,
+    jaccard,
+    minhash_near_duplicates,
+    simhash63,
+)
+from ..operators.multimodal import attach_binary
+from ..operators.similarity import (
+    ann_topk_pairs,
+    as_double_array,
+    cosine_topk_pairs,
+)
+from ..operators.text import (
+    LANG_MARKERS,
+    predict_language,
+    regex_tokens,
+    rolling_fingerprint,
+    tokenize,
+)
+from ..sources.batch import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# X5 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_tokens",
+    tags=("X5", "FN-array"),
+    bench=True,
+    oracle="""
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+FROM (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+)
+GROUP BY lang
+""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language: explode + multi-distinct agg over
+    one row per token occurrence."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", "doc_id", F.explode(tokenize("text")).alias("tok"))
+    return toks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "q_text_quality",
+    tags=("X5",),
+    oracle="""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+       CAST(COUNT(*) FILTER (WHERE n_chars > 300) AS BIGINT) AS n_long_docs
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring aggregates (length/token-density per slice) —
+    integer sums so every engine agrees exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize("text"))
+    return (
+        d.withColumn("n_tok", n_tok)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            (
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_chars"),
+            (
+                F.sum("n_tok").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tokens"),
+            F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).alias("n_long_docs"),
+        )
+    )
+
+
+@register(
+    "q_doc_top_token",
+    tags=("X5", "W4"),
+    oracle="""
+SELECT doc_id, tok AS top_token, CAST(n AS BIGINT) AS top_cnt
+FROM (
+  SELECT doc_id, tok, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS rn
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS n
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 100
+    )
+    GROUP BY doc_id, tok
+  )
+)
+WHERE rn = 1
+""",
+)
+def q_doc_top_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent token per document (top-1-per-group with
+    deterministic tiebreak)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_token"), F.col("n").alias("top_cnt"))
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    tags=("X5",),
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+         (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS fingerprint,
+       CAST(length(text) AS INT) AS n_len
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (exact integer
+    arithmetic → engine-independent)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_fingerprint("text").alias("fingerprint"),
+        F.length("text").alias("n_len"),
+    )
+
+
+@register(
+    "q_token_regex",
+    tags=("X5", "FN-string"),
+    oracle="""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS n_rtokens,
+       CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS n_numbers
+FROM documents
+GROUP BY lang
+""",
+)
+def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-ish) token counting — extraction, not split, so
+    punctuation never produces empty tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.size(regex_tokens("text", "[a-z0-9]+"))).alias("n_rtokens"),
+        F.sum(F.size(regex_tokens("text", "[0-9]+"))).alias("n_numbers"),
+    )
+
+
+_LEX_VALUES = ", ".join(f"('{w}', '{lg}')" for w, lg in LANG_MARKERS)
+
+
+@register(
+    "q_langid",
+    tags=("X5",),
+    oracle=f"""
+WITH lex(marker, marker_lang) AS (VALUES {_LEX_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hits AS (
+  SELECT t.doc_id, l.marker_lang, COUNT(*) AS n_hits
+  FROM toks t JOIN lex l ON t.tok = l.marker
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, marker_lang
+  FROM (
+    SELECT doc_id, marker_lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n_hits DESC, marker_lang) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.lang, COALESCE(b.marker_lang, 'und') AS pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d LEFT JOIN best b USING (doc_id)
+GROUP BY 1, 2
+""",
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID confusion matrix (argmax of marker
+    hits per doc, deterministic tiebreaks)."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = predict_language(d, spark)
+    return (
+        d.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1/X2 — deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_exact_dedup_docs",
+    tags=("X1",),
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts,
+       CAST(COUNT(DISTINCT array_to_string(list_sort(list_distinct(
+            string_split(text, ' '))), ' ')) AS BIGINT) AS n_unique_token_sets
+FROM documents
+GROUP BY lang
+""",
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup census: unique raw texts vs unique normalized
+    token-sets per language (the bag-of-words collision count)."""
+    d = load_table(spark, sf_dir, "documents")
+    tokset = F.array_join(F.array_sort(distinct_tokens("text")), " ")
+    return (
+        d.withColumn("tokset", tokset)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_unique_texts"),
+            F.countDistinct("tokset").alias("n_unique_token_sets"),
+        )
+    )
+
+
+@register(
+    "q_jaccard_pairs",
+    tags=("X2",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6) AS jac
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.95
+""",
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (≥ 0.95) — the all-pairs
+    oracle baseline the LSH path approximates."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", distinct_tokens("text").alias("toks"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    jac = jaccard(F.col("a_toks"), F.col("b_toks"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(jac >= 0.95)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
+    )
+
+
+@register("q_minhash_neardup", tags=("X2",))
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded-LSH near-duplicate pairs, exact-Jaccard
+    verified ≥ 0.9 (rows-only: signatures are engine-seeded; recall vs
+    the exact baseline is asserted in tests/test_extensions.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, threshold=0.9)
+
+
+@register("q_simhash_fingerprints", tags=("X2",))
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only: xxhash64-seeded)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", simhash63(distinct_tokens("text")).alias("simhash")
+    )
+
+
+@register("q_approx_distinct_users", tags=("A3",))
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count (rows-only: sketch internals are
+    engine-specific; ε-accuracy asserted in tests)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — vector similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cosine_topk",
+    tags=("X3", "J11", "O2"),
+    bench=True,
+    oracle="""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, a_id, b_id
+LIMIT 10
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 most-cosine-similar embedding pairs (f64 math,
+    6dp rounding, id tiebreaks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_pairs(emb, k=10)
+
+
+@register("q_ann_topk", tags=("X3",))
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 cosine pairs (rows-only;
+    recall vs exact asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_pairs(emb, k=10)
+
+
+@register(
+    "q_embedding_centroid",
+    tags=("X3", "F3", "FN-array"),
+    oracle="""
+SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS centroid_val
+FROM (
+  SELECT label,
+         unnest(range(len(embedding))) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+)
+GROUP BY label, pos
+""",
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, dimension-wise (posexplode + avg)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(as_double_array("embedding")).alias("pos", "v")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("centroid_val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_vector_join",
+    tags=("X4", "J4"),
+    oracle="""
+SELECT lang, label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY lang, label
+""",
+)
+def q_vector_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ vector modality join (documents.doc_id = embeddings.vec_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "q_multimodal_binary",
+    tags=("X4",),
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS payload_sha,
+       'text/plain' AS mime
+FROM documents
+WHERE doc_id < 50
+""",
+)
+def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata (the multimodal column
+    pattern: bytes ride through, metadata is queryable)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    withbin = attach_binary(d)
+    return withbin.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("payload_sha"),
+        F.col("meta.mime").alias("mime"),
+    )

@@ -1,0 +1,811 @@
+"""Batch relational surface (SURVEY.md §2.2-2.8).
+
+Each query is declared with the DataFrame DSL (Catalyst owns pushdown,
+pruning, join selection) and carries a DuckDB-SQL oracle twin.  Column
+aliases match exactly between both formulations — the driver's value
+hash sorts columns by name.
+
+Scale notes are inline per query; the common ones:
+- dimension joins (region/nation/supplier/customer) are broadcast —
+  no shuffle of the fact side;
+- fact-fact joins rely on SMJ + AQE (skew split, partition coalesce);
+- double aggregates use functions.numeric exact sums → results are
+  partitioning-independent (same answer on 1 core or 1000 executors).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.numeric import (
+    MONEY,
+    RATE,
+    VALUE,
+    exact_avg,
+    exact_sum,
+    oracle_exact_avg,
+    oracle_exact_sum,
+)
+from ..sources.batch import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A1/P1/P2 — hash aggregate with filter (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+_PRICING_CUTOFF = "2000-12-01"
+
+
+@register(
+    "q_pricing_summary",
+    tags=("A1", "P1", "P2"),
+    bench=True,
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {oracle_exact_sum('l_quantity', MONEY)} AS sum_qty,
+       {oracle_exact_sum('l_extendedprice', MONEY)} AS sum_base_price,
+       {oracle_exact_sum('l_extendedprice * (1 - l_discount)', VALUE)} AS sum_disc_price,
+       {oracle_exact_avg('l_quantity', MONEY)} AS avg_qty,
+       {oracle_exact_avg('l_extendedprice', MONEY)} AS avg_price,
+       {oracle_exact_avg('l_discount', RATE)} AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_PRICING_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: filtered scan → partial+final hash agg.
+
+    Scale: predicate + the 5 needed columns push into the parquet scan;
+    map-side partial agg means the shuffle carries ≤ (groups × partitions)
+    rows regardless of input size.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_PRICING_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", MONEY).alias("sum_qty"),
+            exact_sum("l_extendedprice", MONEY).alias("sum_base_price"),
+            exact_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), VALUE
+            ).alias("sum_disc_price"),
+            exact_avg("l_quantity", MONEY).alias("avg_qty"),
+            exact_avg("l_extendedprice", MONEY).alias("avg_price"),
+            exact_avg("l_discount", RATE).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/J5 — multi-way equi-join (TPC-H Q3 shape); the flagship
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_revenue_join3",
+    tags=("J4", "J5", "A1"),
+    bench=True,
+    oracle=f"""
+SELECT c_mktsegment,
+       {oracle_exact_sum('l_extendedprice * (1 - l_discount)', VALUE)} AS revenue,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_shipdate  <  TIMESTAMP '1997-07-01'
+GROUP BY c_mktsegment
+""",
+)
+def q_revenue_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by market segment: customer ⋈ orders ⋈ lineitem.
+
+    Scale: customer is broadcast (≤ a few GB even at 100 TB TPC-H);
+    orders⋈lineitem is the big join — equi-keys shuffle-partition both
+    sides, AQE handles skew. Date filters push to both scans before the
+    join, shrinking shuffle input.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), VALUE
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — broadcast-hash star join through the dimension chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_broadcast_enrich",
+    tags=("J3", "J5", "A1"),
+    oracle=f"""
+SELECT r_name, n_name,
+       {oracle_exact_sum('l_extendedprice * (1 - l_discount)', VALUE)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema enrichment: fact ⋈ 3 broadcast dims, zero fact shuffles
+    before aggregation.
+
+    Scale: supplier/nation/region stay broadcast-able at any TPC-H SF
+    relative to lineitem; the only shuffle is the final 25-group agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), VALUE
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/P5 — projection, predicate, CASE WHEN
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_filter_project_case",
+    tags=("P1", "P2", "P5"),
+    oracle=f"""
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+            ELSE 'low' END AS priority_class,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {oracle_exact_sum('o_totalprice', MONEY)} AS total_spend
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+GROUP BY 1
+""",
+)
+def q_filter_project_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + computed CASE column + agg; predicates push to the scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000.0))
+        .withColumn(
+            "priority_class",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+            )
+            .when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
+            .otherwise("low"),
+        )
+        .groupBy("priority_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", MONEY).alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O2 — global top-k (TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top_orders",
+    tags=("O1", "O2"),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by price; unique-key tiebreak keeps it deterministic.
+
+    Scale: orderBy().limit() compiles to TakeOrderedAndProject — per-
+    partition top-k then a driver-side merge of k·partitions rows; no
+    global sort materializes.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W4 — ranking window + top-k per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_rank",
+    tags=("W1", "W4"),
+    bench=True,
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number.
+
+    Scale: rank-filter `rn <= k` triggers Catalyst's
+    InferWindowGroupLimit — per-partition group-limit before the window
+    sort, so state stays bounded per key.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — analytic window (lag)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_lag",
+    tags=("W2",),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS price_diff
+FROM orders
+""",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-over-order price delta (lag)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        (F.col("o_totalprice") - prev).alias("price_diff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — window frame (running sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_frame",
+    tags=("W3",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100.0 AS running_spend
+FROM orders
+""",
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend with an explicit ROWS frame (exact
+    integer accumulation → partitioning-independent)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scaled = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(scaled).over(w).cast("double") / F.lit(100.0)).alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — left-anti / left-semi
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_anti_join",
+    tags=("J9",),
+    oracle=f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_silent_customers,
+       {oracle_exact_sum('c_acctbal', MONEY)} AS total_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with zero events (left-anti) — also the corpus-dedup
+    primitive (drop rows already present in another set)."""
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+    return (
+        c.join(e, c.c_custkey == e.user_id, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_silent_customers"),
+            exact_sum("c_acctbal", MONEY).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_semi_join",
+    tags=("J9", "J3"),
+    oracle="""
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY n_name
+""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 urgent order (left-semi), counted per nation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — outer join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_outer_join",
+    tags=("J10",),
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join; count(col) vs count(*) distinguishes null-padded
+    rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — theta (non-equi) join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_theta_join",
+    tags=("J6",),
+    oracle="""
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_foreign_nations
+FROM region JOIN nation ON n_regionkey <> r_regionkey
+GROUP BY r_name
+""",
+)
+def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi join → BroadcastNestedLoopJoin; only sane when one
+    side is tiny (both dims here)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey != r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_foreign_nations"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J11 — cross join (bounded)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cross_join",
+    tags=("J11",),
+    oracle="""
+SELECT r_name, o_orderpriority
+FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+""",
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join (5 × 5); the dimension-scaffold pattern."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    p = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return r.crossJoin(p)
+
+
+# ---------------------------------------------------------------------------
+# A4 — rollup with grouping indicators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rollup",
+    tags=("A4",),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {oracle_exact_sum('l_quantity', MONEY)} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with GROUPING() disambiguation of the
+    NULL subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_quantity", MONEY).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pivot",
+    tags=("A9",),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts to status columns (explicit value list so the
+    output schema is static — required for any prod pipeline)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count()
+    return piv.na.fill(0, ["O", "F", "P"])
+
+
+# ---------------------------------------------------------------------------
+# U1/U2/U3 — set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_all",
+    tags=("U1",),
+    oracle=f"""
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       {oracle_exact_sum('o_totalprice', MONEY)} AS spend
+FROM (
+  SELECT 'urgent' AS label, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'bigticket' AS label, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+)
+GROUP BY label
+""",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two labeled branches (rows in both appear twice)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("label"), "o_totalprice"
+    )
+    big = o.filter(F.col("o_totalprice") > 400000.0).select(
+        F.lit("bigticket").alias("label"), "o_totalprice"
+    )
+    return (
+        urgent.unionByName(big)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("o_totalprice", MONEY).alias("spend"),
+        )
+    )
+
+
+@register(
+    "q_intersect_users",
+    tags=("U2",),
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who clicked AND purchased (INTERSECT = distinct semantics)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "q_except_users",
+    tags=("U3",),
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+GROUP BY user_id HAVING COUNT(*) > 15
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+GROUP BY user_id HAVING COUNT(*) > 15
+""",
+)
+def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy clickers who are not heavy purchasers (EXCEPT = distinct
+    set-difference semantics, i.e. DataFrame.subtract)."""
+    e = _t(spark, sf_dir, "events")
+
+    def heavy(ev_type: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == ev_type)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 15)
+            .select("user_id")
+        )
+
+    return heavy("click").subtract(heavy("purchase"))
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — scalar function library
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_string_funcs",
+    tags=("P1", "FN-string"),
+    oracle="""
+SELECT doc_id,
+       upper(substring(text, 1, 12)) AS head_up,
+       CAST(length(text) AS INT) AS n_len,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(strpos(text, 'spark') AS INT) AS spark_pos,
+       CAST(levenshtein(lang, 'en') AS INT) AS lang_dist,
+       lpad(lang, 5, '_') AS lang_pad,
+       concat_ws('/', lang, source) AS lang_src
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery: case, substring, length, split,
+    position, edit distance, padding, concat."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_up"),
+        F.length("text").alias("n_len"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.instr("text", "spark").alias("spark_pos"),
+        F.levenshtein("lang", F.lit("en")).alias("lang_dist"),
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.concat_ws("/", "lang", "source").alias("lang_src"),
+    )
+
+
+@register(
+    "q_datetime_scalar",
+    tags=("P4", "FN-datetime"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       CAST(isodow(o_orderdate) - 1 AS INT) AS dow,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+       CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts
+FROM orders
+WHERE o_orderkey < 200
+""",
+)
+def q_datetime_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function battery (weekday normalized to Monday=0 on
+    both engines — Spark weekday ≡ DuckDB isodow-1)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.weekday("o_orderdate").alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    tags=("FN-math",),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       sqrt(l_quantity) AS sqrt_qty,
+       round(ln(l_extendedprice), 6) AS log_price,
+       round(pow(l_quantity, 1.5), 6) AS qty_pow,
+       CAST(floor(l_discount * 100.0) AS BIGINT) AS disc_floor,
+       CAST(ceil(l_tax * 100.0) AS BIGINT) AS tax_ceil,
+       abs(l_discount - l_tax) AS rate_gap,
+       greatest(l_discount, l_tax) AS max_rate
+FROM lineitem
+WHERE l_orderkey < 100
+""",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery; transcendentals rounded to 6dp (libm vs
+    java.lang.Math may differ in the last ulp)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+        F.round(F.pow("l_quantity", F.lit(1.5)), 6).alias("qty_pow"),
+        F.floor(F.col("l_discount") * 100.0).alias("disc_floor"),
+        F.ceil(F.col("l_tax") * 100.0).alias("tax_ceil"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("rate_gap"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — JSON payload parsing (the canonical Kafka-payload step)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_extract",
+    tags=("P3",),
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over the events JSON payload — the parse step every
+    Kafka pipeline runs after reading value:binary."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4/P5 — casts + conditional bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_conditional_buckets",
+    tags=("P4", "P5"),
+    oracle="""
+SELECT CASE WHEN value < 1.0 THEN 'tiny'
+            WHEN value < 10.0 THEN 'small'
+            WHEN value < 100.0 THEN 'mid'
+            ELSE 'large' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1
+""",
+)
+def q_conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + floor-cast (floor first: Spark's double→int
+    cast truncates while DuckDB's rounds — floor makes them agree)."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 1.0, "tiny")
+        .when(F.col("value") < 10.0, "small")
+        .when(F.col("value") < 100.0, "mid")
+        .otherwise("large")
+    )
+    return (
+        e.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor("value").cast("long")).alias("sum_floor"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""SparkSession factory + mandatory runtime confs.
+
+The ``events`` fixture stores its event-time column as parquet
+``timestamp[ns]`` which Spark 4.x rejects by default
+(PARQUET_TYPE_ILLEGAL).  ``spark.sql.legacy.parquet.nanosAsLong`` is a
+runtime-settable SQL conf (verified in this environment), so
+``ensure_runtime_confs`` can repair *any* session — including one the
+test driver created without our configs — before a read happens.
+
+Scale notes (100 TB design, SURVEY.md §7 step 6):
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting.
+  ``events.user_id`` is zipf-ish; at cluster scale AQE splits the hot
+  keys without manual salting.
+- ``spark.sql.shuffle.partitions`` defaults to 2× local cores here; on
+  a 1000-executor cluster you would set it (or let AQE's
+  ``initialPartitionNum``) to ~2-3× total cores. It is frozen into a
+  streaming checkpoint at first run — pick before going to prod.
+- Broadcast threshold raised to 64 MiB: every TPC-H-style dimension
+  (region/nation/supplier/customer at these SFs) broadcast-joins, which
+  removes the shuffle on the fact side entirely.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: confs that are runtime-settable and REQUIRED for correctness.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.ts is INT64 TIMESTAMP(NANOS) parquet — illegal in Spark
+    # without this; read as LongType then converted (sources/batch.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # the DuckDB oracle returns naive UTC timestamps; pin the session
+    # so collected datetimes agree bit-for-bit.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+#: build-time confs (need a fresh session to change).
+BUILD_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply required runtime confs to an existing session.
+
+    Called by every loader so the engine works on sessions it did not
+    create (e.g. the verification driver's).
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not recognized/settable on this build — reads will surface it
+    return spark
+
+
+def get_spark(
+    app_name: str = "spark-graft",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+) -> SparkSession:
+    """Create (or reuse) the engine's SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default all cores);
+    ``SPARK_GRAFT_SHUFFLE`` the shuffle partition count (default 32 —
+    sized so sf0.1 partitions stay ~10-50 MB; at 100 TB you'd scale this
+    to ~2-3× total executor cores and let AQE coalesce).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_runtime_confs(spark)

@@ -1,0 +1,4 @@
+from .replay import chunk_events, read_event_stream, run_to_memory
+from . import jobs
+
+__all__ = ["chunk_events", "read_event_stream", "run_to_memory", "jobs"]

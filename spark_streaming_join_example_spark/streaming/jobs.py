@@ -1,0 +1,113 @@
+"""Streaming query builders — the reference's core surface
+(SURVEY.md §2.3 J1/J2, §2.4 A5-A8, §2.9 T1/T2).
+
+Each builder takes streaming (and static) DataFrames and returns the
+transformed *streaming* DataFrame; callers pick the sink/trigger
+(tests use the memory sink via replay.run_to_memory; production would
+use Kafka/parquet sinks with checkpointing — sinks.py).
+
+State-at-scale notes:
+- every stateful op here is watermark-bounded: join state is evicted
+  once the watermark passes the range bound; windowed agg state once
+  it passes window end; dedup state via dropDuplicatesWithinWatermark;
+- state keys partition by `spark.sql.shuffle.partitions`, which is
+  frozen into the checkpoint at first run — size it for the target
+  cluster BEFORE launch (T5 footgun);
+- for 100 TB streams use the RocksDB state store provider
+  (`spark.sql.streaming.stateStore.providerClass`) so state spills
+  beyond heap.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def enrich_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """J1 stream-static join: enrich events against the customer
+    dimension. Non-stateful — the static side is (re)broadcast per
+    micro-batch; inner join needs no watermark."""
+    return events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey
+    ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """J2 stream-stream inner join: purchases within ``horizon`` after
+    a click by the same user.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions — that pair is exactly what lets Spark
+    evict symmetric-hash join state (rows older than watermark +
+    horizon can never match again).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    return c.join(p, cond).select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id"), "c_ts", "p_ts", "p_value"
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, watermark: str = "10 minutes", size: str = "1 hour"
+) -> DataFrame:
+    """A5/A8 windowed streaming aggregation. In append mode a window
+    emits only once the watermark passes its end (finalized windows);
+    rows later than the watermark are dropped (T3)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sessionize(
+    events: DataFrame, watermark: str = "10 minutes", gap: str = "5 minutes"
+) -> DataFrame:
+    """A7 session windows (dynamic gap) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, within_watermark: str | None = None
+) -> DataFrame:
+    """T2 streaming dedup. With ``within_watermark`` set, uses
+    dropDuplicatesWithinWatermark → state is bounded (the 100 TB
+    answer); otherwise plain dropDuplicates keeps unbounded key state."""
+    keys = keys or ["user_id", "event_type"]
+    if within_watermark is not None:
+        return events.withWatermark("ts", within_watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)

@@ -1,0 +1,87 @@
+"""Sanity tests over the query registry at sf0.001 (the full
+differential check against DuckDB runs via tools/verify_local.py and
+the driver harness; here we assert structural invariants cheaply)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from spark_streaming_join_example_spark.plans.registry import (
+    REGISTRY,
+    oracle_sql_dict,
+    queries_dict,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+#: queries differentially checked in pytest (fast subset; the full set
+#: runs through tools/verify_local.py)
+DIFF_SUBSET = [
+    "q_pricing_summary",
+    "q_revenue_join3",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_session_window",
+    "q_cosine_topk",
+    "q_doc_fingerprint",
+    "q_asof_join",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_registry_contract():
+    qd = queries_dict()
+    od = oracle_sql_dict()
+    assert len(qd) >= 45
+    assert set(od) <= set(qd)
+    # every query documents itself and carries SURVEY §2 tags
+    for name, spec in REGISTRY.items():
+        assert spec.doc, f"{name} has no docstring"
+        assert spec.tags, f"{name} has no SURVEY tags"
+
+
+@pytest.mark.parametrize("name", DIFF_SUBSET)
+def test_differential_subset(spark, sf_dir, oracle_con, name):
+    from .conftest import collect_sorted
+
+    sdf = queries_dict()[name](spark, sf_dir)
+    srows = collect_sorted(sdf)
+    cur = oracle_con.execute(REGISTRY[name].oracle)
+    dcols = [d[0] for d in cur.description]
+    order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    drows = sorted(
+        [tuple(r[i] for i in order) for r in cur.fetchall()], key=repr
+    )
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    # normalize datetimes for comparison
+    def norm(rows):
+        out = []
+        for row in rows:
+            out.append(
+                tuple(
+                    v.isoformat() if hasattr(v, "isoformat") else v for v in row
+                )
+            )
+        return sorted(out, key=repr)
+
+    assert norm(srows) == norm(drows)
+
+
+def test_all_queries_execute_at_smoke_scale(spark, sf_dir):
+    for name, fn in queries_dict().items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name

@@ -1,0 +1,83 @@
+"""Exactness/recall tests for the approximate (rows-only) operators,
+against exact baselines computed on the same fixtures."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_streaming_join_example_spark import load_table
+from spark_streaming_join_example_spark.operators.dedup import (
+    distinct_tokens,
+    jaccard,
+    minhash_near_duplicates,
+    simhash63,
+)
+from spark_streaming_join_example_spark.operators.similarity import (
+    ann_topk_pairs,
+    cosine_topk_pairs,
+)
+
+
+def test_minhash_recall_against_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", distinct_tokens("text").alias("toks"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    jac = jaccard(F.col("a_toks"), F.col("b_toks"))
+    exact = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(jac >= 0.95)
+        .select("a_id", "b_id")
+        .collect()
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in minhash_near_duplicates(docs, threshold=0.95).collect()
+    }
+    # verification step guarantees precision == 1.0
+    assert got <= exact
+    # banded LSH at 0.95 similarity: recall should be high
+    recall = len(got) / max(1, len(exact))
+    assert recall >= 0.8, f"recall {recall:.2f} ({len(got)}/{len(exact)})"
+
+
+def test_ann_recall_against_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.a_id, r.b_id) for r in cosine_topk_pairs(emb, k=10).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id) for r in ann_topk_pairs(emb, k=10).collect()
+    }
+    overlap = len(exact & approx) / 10
+    assert overlap >= 0.5, f"ANN top-10 overlap {overlap:.1%}"
+
+
+def test_simhash_near_duplicates_have_close_fingerprints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", distinct_tokens("text").alias("toks")).limit(200)
+    sh = t.select("doc_id", F.col("toks").alias("toks"), simhash63(F.col("toks")).alias("sh"))
+    a = sh.select(
+        F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"), F.col("sh").alias("a_sh")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"), F.col("sh").alias("b_sh")
+    )
+    pairs = a.join(b, F.col("a_id") < F.col("b_id")).withColumn(
+        "jac", jaccard(F.col("a_toks"), F.col("b_toks"))
+    ).withColumn("ham", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))))
+    stats = pairs.groupBy((F.col("jac") >= 0.95).alias("is_dup")).agg(
+        F.avg("ham").alias("avg_ham")
+    )
+    res = {r.is_dup: r.avg_ham for r in stats.collect()}
+    if True in res and False in res:
+        assert res[True] < res[False]
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    exact = e.agg(F.countDistinct("user_id").alias("n")).collect()[0].n
+    approx = e.agg(F.approx_count_distinct("user_id").alias("n")).collect()[0].n
+    assert abs(approx - exact) / exact < 0.1

@@ -1,0 +1,45 @@
+"""Multimodal column plumbing: binary payloads, metadata, and the
+Arrow-batched (stubbed) decode stage."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from spark_streaming_join_example_spark import load_table
+from spark_streaming_join_example_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    attach_binary,
+    decode_images,
+)
+
+
+def test_attach_binary_metadata(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    out = attach_binary(docs).select("doc_id", "text", "payload", "meta").collect()
+    for r in out:
+        raw = r.text.encode("utf-8")
+        assert bytes(r.payload) == raw
+        assert r.meta.n_bytes == len(raw)
+        assert r.meta.sha256 == hashlib.sha256(raw).hexdigest()
+
+
+def test_decode_images_fake_schema_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    withbin = attach_binary(docs)
+    out1 = decode_images(withbin).collect()
+    out2 = decode_images(withbin).collect()
+    assert [f.name for f in DECODED_SCHEMA.fields] == list(out1[0].asDict())
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+    for r in out1:
+        assert r.n_bytes > 0 and 16 <= r.width < 256 and 16 <= r.height < 256
+        assert r.channels in (1, 2, 3) and r.format == "fake/png"
+
+
+def test_decode_images_real_path_is_marked(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    withbin = attach_binary(docs)
+    with pytest.raises(Exception) as ei:
+        decode_images(withbin, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)

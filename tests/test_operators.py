@@ -1,0 +1,127 @@
+"""Unit tests for custom operators on tiny literal DataFrames."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_streaming_join_example_spark.operators.joins import asof_join
+from spark_streaming_join_example_spark.operators.dedup import (
+    distinct_tokens,
+    exact_dedup,
+    jaccard,
+)
+from spark_streaming_join_example_spark.operators.text import rolling_fingerprint
+
+from .conftest import collect_sorted
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01T10:00:00")),
+            (2, "k1", _ts("2024-01-01T11:00:00")),
+            (3, "k2", _ts("2024-01-01T10:30:00")),
+            (4, "k3", _ts("2024-01-01T09:00:00")),  # no right match
+        ],
+        ["lid", "lkey", "lts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "k1", _ts("2024-01-01T09:55:00"), 1.0),
+            (11, "k1", _ts("2024-01-01T10:00:00"), 2.0),  # ties lts of lid=1
+            (12, "k1", _ts("2024-01-01T10:59:00"), 3.0),
+            (13, "k2", _ts("2024-01-01T10:00:00"), 4.0),
+        ],
+        ["rid", "rkey", "rts", "rv"],
+    )
+    return left, right
+
+
+def test_asof_join_left(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join(
+        left, right, left_on="lkey", right_on="rkey", left_ts="lts", right_ts="rts"
+    )
+    rows = {r.lid: (r.rid, r.rv) for r in out.collect()}
+    assert rows[1] == (11, 2.0)  # <= semantics: equal ts matches
+    assert rows[2] == (12, 3.0)  # latest before
+    assert rows[3] == (13, 4.0)
+    assert rows[4] == (None, None)  # left row kept, null-padded
+
+
+def test_asof_join_inner_and_tolerance(spark, asof_frames):
+    left, right = asof_frames
+    inner = asof_join(
+        left,
+        right,
+        left_on="lkey",
+        right_on="rkey",
+        left_ts="lts",
+        right_ts="rts",
+        how="inner",
+    )
+    assert {r.lid for r in inner.collect()} == {1, 2, 3}
+    tol = asof_join(
+        left,
+        right,
+        left_on="lkey",
+        right_on="rkey",
+        left_ts="lts",
+        right_ts="rts",
+        tolerance=F.expr("INTERVAL 10 MINUTES"),
+    )
+    rows = {r.lid: r.rid for r in tol.collect()}
+    assert rows[1] == 11
+    assert rows[2] == 12  # 1 min before → within tolerance
+    assert rows[3] is None  # 30 min before → outside tolerance
+
+
+def test_asof_join_rejects_overlapping_columns(spark, asof_frames):
+    left, right = asof_frames
+    with pytest.raises(ValueError, match="overlapping"):
+        asof_join(
+            left.withColumnRenamed("lid", "rid"),
+            right,
+            left_on="lkey",
+            right_on="rkey",
+            left_ts="lts",
+            right_ts="rts",
+        )
+
+
+def test_exact_dedup_representative(spark):
+    df = spark.createDataFrame(
+        [(5, "a"), (3, "a"), (9, "b"), (1, "a")], ["id", "k"]
+    )
+    out = {r.k: (r.first_id, r.n_dups) for r in exact_dedup(df, ["k"], "id").collect()}
+    assert out == {"a": (1, 3), "b": (9, 1)}
+
+
+def test_jaccard_expr(spark):
+    df = spark.createDataFrame([("a b c d", "c d e f")], ["x", "y"])
+    val = df.select(
+        jaccard(distinct_tokens("x"), distinct_tokens("y")).alias("j")
+    ).collect()[0].j
+    assert val == pytest.approx(2 / 6)
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    texts = ["spark join", "a", "hello world hello"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r.fp for r in df.select(rolling_fingerprint("text").alias("fp")).collect()]
+
+    def py_fp(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h
+
+    assert got == [py_fp(t) for t in texts]

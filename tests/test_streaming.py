@@ -1,0 +1,166 @@
+"""Streaming correctness via prefix-integrity equivalence
+(SURVEY.md §5.3): each streaming job, drained over the chunked replay
+of the events fixture, must equal its batch twin on the same data.
+Plus targeted late-data and exactly-once restart tests.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_streaming_join_example_spark import load_table
+from spark_streaming_join_example_spark.streaming import (
+    chunk_events,
+    jobs,
+    read_event_stream,
+    run_to_memory,
+)
+from spark_streaming_join_example_spark.sources.sinks import to_parquet
+
+from .conftest import collect_sorted
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("replay")
+    chunk_events(spark, sf_dir, str(d), n_chunks=6)
+    return str(d)
+
+
+def _batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_stream_static_join_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    customer = load_table(spark, sf_dir, "customer")
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        jobs.enrich_stream(stream, customer), str(tmp_path / "ckpt"), "append"
+    )
+    batch = jobs.enrich_stream(_batch_events(spark, sf_dir), customer)
+    assert collect_sorted(out) == collect_sorted(batch)
+
+
+def test_stream_stream_join_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    stream = read_event_stream(spark, replay_dir)
+    s_clicks = stream.filter(F.col("event_type") == "click")
+    s_buys = stream.filter(F.col("event_type") == "purchase")
+    out = run_to_memory(
+        jobs.stream_stream_join(s_clicks, s_buys), str(tmp_path / "ckpt"), "append"
+    )
+    be = _batch_events(spark, sf_dir)
+    batch = jobs.stream_stream_join(
+        be.filter(F.col("event_type") == "click"),
+        be.filter(F.col("event_type") == "purchase"),
+    )
+    srows = collect_sorted(out)
+    brows = collect_sorted(batch)
+    assert len(srows) > 0
+    assert srows == brows
+
+
+def test_tumbling_agg_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        jobs.tumbling_counts(stream), str(tmp_path / "ckpt"), "append"
+    )
+    # append mode emits only watermark-finalized windows; with
+    # availableNow the final watermark is max(ts)-10min, so the last
+    # window(s) are withheld. The emitted prefix must match the batch
+    # result restricted to finalized windows.
+    be = _batch_events(spark, sf_dir)
+    full_batch = (
+        be.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    max_ts = be.agg(F.max("ts")).collect()[0][0]
+    out_rows = collect_sorted(out)
+    assert len(out_rows) > 0
+    finalized = full_batch.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+    assert out_rows == collect_sorted(finalized)
+
+
+def test_session_window_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        jobs.sessionize(stream), str(tmp_path / "ckpt"), "append"
+    )
+    be = _batch_events(spark, sf_dir)
+    full = (
+        be.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    max_ts = be.agg(F.max("ts")).collect()[0][0]
+    finalized = full.filter(
+        F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+    out_rows = collect_sorted(out)
+    assert len(out_rows) > 0
+    assert out_rows == collect_sorted(finalized)
+
+
+def test_dedup_stream_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        jobs.dedup_stream(stream).select("user_id", "event_type"),
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    batch_keys = _batch_events(spark, sf_dir).select("user_id", "event_type").distinct()
+    assert collect_sorted(out) == collect_sorted(batch_keys)
+
+
+def test_late_rows_dropped(spark, sf_dir, tmp_path):
+    """T3: a replay where old events arrive after the watermark has
+    advanced past them must drop them from the (append) aggregation."""
+    late_dir = tmp_path / "late_replay"
+    # move the FIRST chronological chunk to arrive LAST
+    chunk_events(spark, sf_dir, str(late_dir), n_chunks=6, reorder={0: 5})
+    stream = read_event_stream(spark, str(late_dir), max_files_per_trigger=1)
+    agg = jobs.tumbling_counts(stream, watermark="10 minutes")
+    out = run_to_memory(agg, str(tmp_path / "ckpt"), "append")
+    be = _batch_events(spark, sf_dir)
+    full = (
+        be.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    # the streaming result must differ from the full batch result:
+    # the first chunk's windows closed before its rows arrived.
+    out_total = out.agg(F.sum("n")).collect()[0][0] or 0
+    full_total = full.agg(F.sum("n")).collect()[0][0]
+    assert out_total < full_total
+
+
+def test_restart_exactly_once(spark, sf_dir, tmp_path):
+    """S7: re-running a drained checkpointed query emits nothing new."""
+    replay = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(replay), n_chunks=4)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = read_event_stream(spark, str(replay), max_files_per_trigger=None)
+        q = to_parquet(stream.select("event_id", "user_id"), out_dir, ckpt)
+        q.awaitTermination()
+
+    run()
+    n1 = len(glob.glob(os.path.join(out_dir, "*.parquet")))
+    count1 = spark.read.parquet(out_dir).count()
+    run()  # restart on the same checkpoint — no new input
+    count2 = spark.read.parquet(out_dir).count()
+    assert count1 == count2 == _batch_events(spark, sf_dir).count()

@@ -40,21 +40,87 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def cosine_topk_pairs(emb: DataFrame, k: int = 10, round_to: int = 6) -> DataFrame:
-    """Exact top-k most-similar vector pairs (all-pairs baseline).
+def cosine_topk_pairs(
+    emb: DataFrame, k: int = 10, round_to: int = 6
+) -> DataFrame:
+    """Exact top-k most-similar vector pairs — block matrix-multiply.
+
+    The right-hand side (ids + f64 matrix) is broadcast to executors;
+    each Arrow batch of left rows computes a BLAS `A_n @ B_nᵀ` block,
+    keeps its block-local top-3k pairs (a_id < b_id), and only those
+    survive to the global TakeOrderedAndProject. Work is O(n²·d) flops
+    but vectorized, and the shuffled data is O(k·batches), not O(n²).
+
+    At 100 TB the broadcast side becomes the IVF/LSH bucket list
+    (ann_topk_pairs) — this function is the per-bucket kernel.
 
     Deterministic: ties broken by (a_id, b_id); displayed similarity
-    rounded so the last-ulp difference between engines' libm can't
-    flip the hash.
+    rounded so the last-ulp difference between engines' float math
+    can't flip the hash.
     """
-    a = emb.select(
-        F.col("vec_id").alias("a_id"), as_double_array("embedding").alias("a_vec")
+    import numpy as np
+
+    spark = emb.sparkSession
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    keep = max(3 * k, 64)
+
+    def block_topk(batches):
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ b_mat.T
+            mask = a_ids[:, None] < b_ids[None, :]
+            flat = np.where(mask.ravel(), sims.ravel(), -np.inf)
+            n_take = min(keep, flat.size)
+            idx = np.argpartition(-flat, n_take - 1)[:n_take]
+            idx = idx[np.isfinite(flat[idx])]
+            ai, bi = np.unravel_index(idx, sims.shape)
+            yield pd.DataFrame(
+                {
+                    "a_id": a_ids[ai],
+                    "b_id": b_ids[bi],
+                    "cos_sim": sims[ai, bi],
+                }
+            )
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        block_topk, "a_id long, b_id long, cos_sim double"
     )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"), as_double_array("embedding").alias("b_vec")
+    return (
+        cand.select("a_id", "b_id", F.round("cos_sim", round_to).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "a_id", "b_id")
+        .limit(k)
     )
-    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
-    cos = cosine(F.col("a_vec"), F.col("b_vec"))
+
+
+def cosine_topk_pairs_hof(emb: DataFrame, k: int = 10, round_to: int = 6) -> DataFrame:
+    """Pure-JVM all-pairs variant (zip_with/aggregate fold): no Python
+    workers, sequential accumulation order. Slower than the BLAS block
+    kernel at n ≳ 10³ — kept as the UDF-free reference formulation.
+    """
+    v = emb.select(
+        F.col("vec_id"), as_double_array("embedding").alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    a = v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
     return (
         pairs.select("a_id", "b_id", F.round(cos, round_to).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "a_id", "b_id")

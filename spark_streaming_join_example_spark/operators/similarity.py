@@ -217,3 +217,49 @@ def ann_topk_pairs(
         .orderBy(F.col("cos_sim").desc(), "a_id", "b_id")
         .limit(k)
     )
+
+
+def cosine_pairs_above(
+    emb: DataFrame, threshold: float, round_to: int = 6
+) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold — embedding-based
+    near-duplicate detection (the vector twin of Jaccard near-dup).
+
+    Same block matrix-multiply kernel as cosine_topk_pairs, but the
+    block filter is the threshold, so emitted rows ≈ true near-dup
+    pairs (output-sized, not n²-sized).
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block_filter(batches):
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ b_mat.T
+            keep = (a_ids[:, None] < b_ids[None, :]) & (sims >= threshold)
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "a_id": a_ids[ai],
+                    "b_id": b_ids[bi],
+                    "cos_sim": sims[ai, bi],
+                }
+            )
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        block_filter, "a_id long, b_id long, cos_sim double"
+    )
+    return cand.select(
+        "a_id", "b_id", F.round("cos_sim", round_to).alias("cos_sim")
+    )

@@ -435,3 +435,24 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.sha256").alias("payload_sha"),
         F.col("meta.mime").alias("mime"),
     )
+
+
+@register(
+    "q_embedding_neardup",
+    tags=("X2", "X3"),
+    oracle="""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥ 0.4) via the block
+    matmul kernel — the vector-space member of the dedup family."""
+    from ..operators.similarity import cosine_pairs_above
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_above(emb, threshold=0.4)

@@ -809,3 +809,204 @@ def q_conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A4 — cube + grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cube",
+    tags=("A4",),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {oracle_exact_sum('l_extendedprice', MONEY)} AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass (Catalyst
+    expands to a single Expand + aggregate, not k scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_extendedprice", MONEY).alias("sum_price"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    tags=("A4",),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two rollup axes + grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# W2 — full analytic-function battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_analytic",
+    tags=("W2", "W3"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS last_price,
+       nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS second_price,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead / first_value / last_value / nth_value / ntile over a
+    deterministic per-customer ordering (full-frame variants use the
+    explicit unbounded ROWS frame — the default frame stops at
+    CURRENT ROW in both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — RANGE frame (value-based moving window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_range_frame",
+    tags=("W3",),
+    oracle="""
+SELECT o_custkey, o_orderkey, CAST(dd AS INT) AS dd,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY dd
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_orders_30d
+FROM (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS dd
+  FROM orders
+)
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per customer, how many orders landed
+    in the trailing 30 days (day-number ordering so RANGE is numeric
+    and engine-portable)."""
+    o = _t(spark, sf_dir, "orders")
+    dd = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("dd")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.withColumn("dd", dd).select(
+        "o_custkey",
+        "o_orderkey",
+        "dd",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DecimalType surface — exact decimal aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_decimal_agg",
+    tags=("A1", "P4"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dec_sum,
+       CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dec_min,
+       CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dec_max
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType round-trip: cast 2dp doubles to DECIMAL(18,2),
+    aggregate exactly, surface as double. (TPC-H canonical money is
+    decimal; the fixtures store doubles — this is the bridge.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(dec).cast("double").alias("dec_sum"),
+        F.min(dec).cast("double").alias("dec_min"),
+        F.max(dec).cast("double").alias("dec_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 map functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_map_funcs",
+    tags=("FN-map",),
+    oracle="""
+SELECT doc_id,
+       SUM(CASE WHEN tok = 'spark' THEN 1 END) AS n_spark,
+       CAST(COUNT(DISTINCT tok) AS INT) AS n_keys
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 100
+)
+GROUP BY doc_id
+""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-doc token→count map built with
+    map_from_entries, probed with element_at (NULL when absent) and
+    sized with map_keys."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    maps = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("tok"), F.col("cnt")))
+        ).alias("m")
+    )
+    return maps.select(
+        "doc_id",
+        F.element_at(F.col("m"), "spark").alias("n_spark"),
+        F.size(F.map_keys(F.col("m"))).alias("n_keys"),
+    )

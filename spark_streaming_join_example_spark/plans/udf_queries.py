@@ -1,0 +1,224 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10 F1-F6), each with a
+DuckDB oracle so the Python-boundary paths are differentially checked
+like everything else.
+
+Engine policy: UDFs are the slow path (opaque to Catalyst — no
+pushdown through them). These queries exist to prove the surface
+works and that results stay deterministic across the Arrow boundary;
+hot paths elsewhere stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from ..sources.batch import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# F1 — scalar (row-at-a-time) Python UDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_udf_scalar",
+    tags=("F1",),
+    oracle="""
+SELECT CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_rank,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1
+""",
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF ('1-URGENT' → 1). Deliberately the
+    slowest UDF flavor — exists to cover the surface; real code uses
+    the built-in (see oracle) or a pandas UDF."""
+
+    @F.udf("int")
+    def prio_rank(p: str) -> int:
+        return int(p.split("-")[0])
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(prio_rank("o_orderpriority").alias("prio_rank")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — vectorized (Arrow) pandas UDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pandas_udf",
+    tags=("F2",),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS disc_price
+FROM lineitem
+WHERE l_orderkey < 100
+""",
+)
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series→series pandas UDF (Arrow batches; numpy does IEEE double
+    mul/sub per element → bit-identical to the SQL expression)."""
+
+    @pandas_udf("double")
+    def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — grouped-aggregate pandas UDF (UDAF)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_grouped_agg_udf",
+    tags=("F3",),
+    oracle="""
+SELECT lang,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang
+""",
+)
+def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (whole group's column → one scalar).
+    int64 inputs keep numpy's pairwise sum exact → matches SQL."""
+
+    @pandas_udf("double")
+    def mean_chars(chars: pd.Series) -> float:
+        return float(chars.to_numpy().sum()) / len(chars)
+
+    @pandas_udf("long")
+    def n_rows(chars: pd.Series) -> int:
+        # grouped-agg pandas UDFs can't mix with JVM aggregates in one
+        # agg() — count is a pandas UDF too
+        return len(chars)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        mean_chars("n_chars").alias("mean_chars"),
+        n_rows("n_chars").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — grouped-map applyInPandas
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_apply_in_pandas",
+    tags=("F4",),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 2
+""",
+)
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group pandas transform (top-2 orders per customer) — the
+    grouped-map escape hatch; same result as the W1 window formulation."""
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(2)
+        out = out.assign(rn=range(1, len(out) + 1))
+        return out[["o_custkey", "o_orderkey", "o_totalprice", "rn"]]
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return o.groupBy("o_custkey").applyInPandas(
+        top2, "o_custkey long, o_orderkey long, o_totalprice double, rn int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — mapInPandas (partition-wise Arrow batches)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_map_in_pandas",
+    tags=("F5",),
+    oracle="""
+SELECT lang, CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang
+""",
+)
+def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas recomputing per-doc lengths in Python, aggregated
+    JVM-side afterwards (the decode-then-aggregate multimodal shape)."""
+
+    def measure(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"lang": pdf["lang"], "n": pdf["text"].str.len()}
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    measured = d.mapInPandas(measure, "lang string, n long")
+    return measured.groupBy("lang").agg(
+        F.sum("n").alias("total_chars"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6 — table-valued UDTF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_udtf_tokens",
+    tags=("F6",),
+    oracle="""
+SELECT doc_id, CAST(pos AS INT) AS pos, tok
+FROM (
+  SELECT doc_id,
+         unnest(range(len(string_split(text, ' ')))) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+  WHERE doc_id < 20
+)
+""",
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: text → (pos, token) rows via LATERAL join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class TokenizeUDTF:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield i, t
+
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.tok "
+        "FROM __udtf_docs, LATERAL tokenize_udtf(text) t"
+    )

@@ -1,0 +1,107 @@
+"""Arbitrary stateful streaming operator (SURVEY.md §2.9 T4):
+sessionization with applyInPandasWithState — the escape hatch for
+semantics session_window can't express (per-key custom merge logic,
+timers, TTL).
+
+State model per user_id: (session_start_us, last_event_us, n_events).
+Micro-batch handling:
+- merge the batch's (time-sorted) events into the open session,
+  emitting every session that closes (gap ≥ `gap`);
+- park the still-open session in state and arm an event-time timer at
+  last_event + gap: when the watermark passes it, the timeout branch
+  emits the session and clears state.
+
+Scale: state is one tiny tuple per active key (not per event), keyed
+state shards with the shuffle partitioning, and the watermark bounds
+both memory and emission latency. RocksDB state store recommended
+beyond ~10⁷ active keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+STATE_SCHEMA = "start_us long, last_us long, n long"
+
+_US = 1_000_000
+
+
+def sessionize_with_state(
+    events: DataFrame, gap_minutes: int = 5, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Gap-based sessions per user via explicit keyed state + event-time
+    timeout. Output rows are CLOSED sessions only (same contract as
+    session_window in append mode)."""
+    gap_us = gap_minutes * 60 * _US
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []  # (start_us, last_us, n)
+
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                closed.append((start_us, last_us, n))
+            state.remove()
+        else:
+            ts_us: list[int] = []
+            for pdf in pdfs:
+                ts_us.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+                )
+            ts_us.sort()
+            if state.exists:
+                cur = list(state.get)
+            else:
+                cur = None
+            for t in ts_us:
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t - cur[1] >= gap_us:
+                    closed.append(tuple(cur))
+                    cur = [t, t, 1]
+                else:
+                    cur[1] = t
+                    cur[2] += 1
+            if cur is not None:
+                state.update(tuple(cur))
+                # event-time timer: fire when watermark passes last+gap
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(l + gap_us, unit="us") for _, l, _ in closed
+                    ],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -164,3 +164,88 @@ def test_restart_exactly_once(spark, sf_dir, tmp_path):
     run()  # restart on the same checkpoint — no new input
     count2 = spark.read.parquet(out_dir).count()
     assert count1 == count2 == _batch_events(spark, sf_dir).count()
+
+
+def test_stateful_sessionize_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    """T4: custom applyInPandasWithState sessionization must agree with
+    the batch session computation on sessions the watermark closed."""
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        sessionize_with_state,
+    )
+
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        sessionize_with_state(stream, gap_minutes=5, watermark="10 minutes"),
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    be = _batch_events(spark, sf_dir)
+    full = (
+        be.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    out_rows = collect_sorted(out)
+    assert len(out_rows) > 0
+    # every emitted session must exist verbatim in the batch result...
+    full_rows = set(map(repr, collect_sorted(full)))
+    for r in out_rows:
+        assert repr(r) in full_rows
+    # ...and all batch sessions closed well before the final watermark
+    # must have been emitted.
+    max_ts = be.agg(F.max("ts")).collect()[0][0]
+    closed = full.filter(
+        F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 20 MINUTES")
+    )
+    emitted = set(map(repr, out_rows))
+    for r in collect_sorted(closed):
+        assert repr(r) in emitted
+
+
+def test_outer_stream_stream_join_emits_nulls(spark, sf_dir, tmp_path):
+    """J2 left-outer: clicks with no purchase in the horizon must be
+    emitted null-padded once the watermark passes."""
+    replay = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(replay), n_chunks=6)
+    stream = read_event_stream(spark, str(replay))
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark(
+        "ts", "30 minutes"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    buys = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "30 minutes"
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    out = run_to_memory(
+        clicks.join(buys, cond, "left_outer"), str(tmp_path / "ckpt"), "append"
+    )
+    matched = out.filter(F.col("p_ts").isNotNull()).count()
+    unmatched = out.filter(F.col("p_ts").isNull()).count()
+    assert matched > 0 and unmatched > 0
+    # inner-join rows must agree with the batch inner join
+    be = _batch_events(spark, sf_dir)
+    bc = be.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    bp = be.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch_inner = bc.join(bp, cond).count()
+    assert matched == batch_inner

@@ -456,3 +456,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_above(emb, threshold=0.4)
+
+
+@register("q_ivf_topk", tags=("X3",))
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-10 cosine pairs (seeded k-means coarse
+    quantizer → per-cell equi-join → exact re-rank). Rows-only; recall
+    vs the exact kernel asserted in tests."""
+    from ..operators.similarity import ivf_topk_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_pairs(emb, k=10, n_cells=16, n_probe=2)

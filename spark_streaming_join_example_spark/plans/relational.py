@@ -1010,3 +1010,103 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("m"), "spark").alias("n_spark"),
         F.size(F.map_keys(F.col("m"))).alias("n_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O3 — sortWithinPartitions (physical-layout op; logical result unchanged)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sort_within_partitions",
+    tags=("O3",),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_totalprice > 400000
+""",
+)
+def q_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartition(key) + sortWithinPartitions — the write-side layout
+    pattern (clustered parquet files for downstream merge joins /
+    row-group skipping). Logical row set is unchanged, so the
+    order-insensitive oracle hash still checks it exactly."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(4, "o_custkey")
+        .sortWithinPartitions("o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — exact percentiles (order statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_percentiles",
+    tags=("A1",),
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Both engines use the
+    linear-interpolation definition (lower + frac·(upper−lower)); 4dp
+    rounding absorbs the last-ulp difference.
+
+    Scale: exact percentile needs a per-group sort — fine when groups
+    are few and fat (sort is distributed per group); at truly huge
+    cardinality switch to approx_percentile (t-digest), cf. A3."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(f"p{int(p*100)}")
+            for p in (0.25, 0.5, 0.75, 0.99)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 at 100 TB — explicit two-phase salted aggregation (skew armor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_salted_agg",
+    tags=("A1", "T5"),
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: groupBy(key, salt) shards any hot
+    key across `n_salt` reducers, then a second (tiny) groupBy(key)
+    merges the shards. Same answer as the direct groupBy — the oracle
+    proves it — but no single reducer ever owns a whole hot key.
+
+    Spark's map-side partial agg already defuses count/sum skew, so
+    this exists as the explicit pattern for the cases partial agg
+    can't help (collect_list / exact distinct per hot key)."""
+    ev = _t(spark, sf_dir, "events")
+    n_salt = 8
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(n_salt)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("_sv"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n"),
+        (F.sum("_sv").cast("double") / F.lit(1e6)).alias("sum_value"),
+    )

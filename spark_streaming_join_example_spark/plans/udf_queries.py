@@ -222,3 +222,47 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.pos, t.tok "
         "FROM __udtf_docs, LATERAL tokenize_udtf(text) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# F5b — mapInArrow (zero-copy RecordBatch path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_map_in_arrow",
+    tags=("F5",),
+    oracle="""
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total
+FROM lineitem WHERE l_orderkey < 1000
+GROUP BY l_orderkey
+""",
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: raw pyarrow RecordBatches in, no pandas conversion —
+    the cheapest Python boundary (columnar zero-copy both ways). The
+    Python stage only rescales prices to exact cents; grouping stays
+    JVM-side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batches):
+        for batch in batches:
+            price = batch.column("l_extendedprice")
+            cents = pc.round(pc.multiply(price, pa.scalar(100.0)))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), pc.cast(cents, pa.int64())],
+                ["l_orderkey", "cents"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    cents = li.select("l_orderkey", "l_extendedprice").mapInArrow(
+        to_cents, "l_orderkey long, cents long"
+    )
+    return cents.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum("cents").cast("double") / F.lit(100.0)).alias("total"),
+    )

@@ -105,3 +105,63 @@ def sessionize_with_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def running_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user cumulative event counter via transformWithStateInPandas
+    (Spark 4.x StatefulProcessor API — typed state handles, timers,
+    initial-state support; supersedes applyInPandasWithState).
+
+    Emits (user_id, n_events) with the cumulative count after each
+    micro-batch that touched the key — the streaming-upsert shape
+    (outputMode=update) a feature-store pipeline uses.
+
+    Scale: one ValueState[long] per key, sharded by the groupBy
+    partitioning; RocksDB provider keeps the working set off-heap
+    (transformWithStateInPandas REQUIRES
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider — set it before ``start()``).
+
+    Environment note: the TWS state-server protocol needs
+    ``google.protobuf`` in the Python env. This container lacks it, so
+    the operator raises a clear error here and is covered by a skipped
+    test; ``sessionize_with_state`` (applyInPandasWithState) is the
+    exercised T4 path.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(its Python<->JVM state server speaks protobuf); not "
+            "installed in this environment"
+        ) from exc
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState(
+                "count", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            total = prev + n
+            self._count.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=CountProcessor(),
+            outputStructType="user_id long, n_events long",
+            outputMode="update",
+            timeMode="none",
+        )
+    )

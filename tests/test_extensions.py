@@ -81,3 +81,20 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     exact = e.agg(F.countDistinct("user_id").alias("n")).collect()[0].n
     approx = e.agg(F.approx_count_distinct("user_id").alias("n")).collect()[0].n
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_ivf_recall_against_exact(spark, sf_dir):
+    from spark_streaming_join_example_spark.operators.similarity import (
+        cosine_topk_pairs,
+        ivf_topk_pairs,
+    )
+    from spark_streaming_join_example_spark import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.a_id, r.b_id) for r in cosine_topk_pairs(emb, k=10).collect()}
+    got = {
+        (r.a_id, r.b_id)
+        for r in ivf_topk_pairs(emb, k=10, n_cells=16, n_probe=2).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall:.2f} ({got & exact})"

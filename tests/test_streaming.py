@@ -249,3 +249,88 @@ def test_outer_stream_stream_join_emits_nulls(spark, sf_dir, tmp_path):
     )
     batch_inner = bc.join(bp, cond).count()
     assert matched == batch_inner
+
+
+def test_tws_running_counts(spark, sf_dir, replay_dir, tmp_path):
+    """T4 (transformWithStateInPandas): the final cumulative count per
+    user must equal the batch per-user count, regardless of chunking."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="TWS state server needs protobuf (absent in this env)",
+    )
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        running_counts_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        running_counts_tws(stream), str(tmp_path / "ckpt"), "update"
+    )
+    final = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert collect_sorted(final) == collect_sorted(batch)
+
+
+def test_update_mode_tumbling(spark, sf_dir, replay_dir, tmp_path):
+    """A8 (update output mode): the latest emission per window must
+    equal the batch aggregate — update mode re-emits windows as rows
+    arrive; the last value wins."""
+    stream = read_event_stream(spark, replay_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    out = run_to_memory(agg, str(tmp_path / "ckpt"), "update")
+    # later emissions for the same (ws, event_type) supersede earlier
+    # ones; memory sink appends, so take the max (counts only grow).
+    latest = out.groupBy("ws", "event_type").agg(F.max("n").alias("n"))
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    assert collect_sorted(latest) == collect_sorted(batch)
+
+
+def test_rate_source_smoke(spark, tmp_path):
+    """S4: the rate source produces rows through the full
+    readStream → transform → memory-sink path."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .withColumn("bucket", F.pmod("value", F.lit(10)))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("rate_smoke").count()
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0
+    finally:
+        q.stop()

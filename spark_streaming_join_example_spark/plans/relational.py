@@ -1110,3 +1110,42 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n"),
         (F.sum("_sv").cast("double") / F.lit(1e6)).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 array higher-order functions (transform/filter/exists/aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_array_hof",
+    tags=("FN-array",),
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> x * x), 'sum'), 4) AS sum_sq,
+       len(list_filter(embedding, x -> x > 0.9)) > 0 AS has_big
+FROM embeddings WHERE vec_id < 500
+""",
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array HOFs staying entirely JVM-side: filter+size, a
+    transform→aggregate fold (sum of squares), and exists — the
+    lambda-expression surface Catalyst can still prune/pushdown
+    around (unlike a Python UDF doing the same)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(emb_d, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("sum_sq"),
+        F.exists("embedding", lambda x: x > 0.9).alias("has_big"),
+    )

@@ -1,0 +1,115 @@
+"""Physical-plan audits (SURVEY.md §4): correctness tests prove the
+answers; these prove the PLANS are the ones that survive a 100 TB
+scale-up — filters and projections reach the parquet scan, small dims
+broadcast, top-k never materializes a global sort, aggregates combine
+map-side, and the hot path stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from spark_streaming_join_example_spark.plans.registry import queries_dict
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def qd():
+    return queries_dict()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir, qd):
+    p = plan_of(qd["q_pricing_summary"](spark, sf_dir))
+    # predicate reaches the parquet scan (row-group/page skipping)
+    assert "PushedFilters: [" in p and "l_shipdate" in p.split("PushedFilters")[1].split("]")[0]
+    # column pruning: the scan must not read unused wide columns
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+    # map-side partial + final aggregate (shuffle carries groups, not rows)
+    assert p.count("HashAggregate") >= 2
+    # the whole scan→filter→partial-agg pipeline fuses into generated
+    # code (AQE only reveals codegen stages in the executed final plan)
+    df = qd["q_pricing_summary"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark operators fused into WholeStageCodegen stage n
+    assert "*(" in final and "*(" in final.split("HashAggregate")[0] + "HashAggregate"
+
+
+def test_dim_joins_broadcast(spark, sf_dir, qd):
+    # every dimension join in the enrichment query broadcasts — the
+    # fact side is never shuffled for a small-dim join
+    p = plan_of(qd["q_broadcast_enrich"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    p3 = plan_of(qd["q_revenue_join3"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p3
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir, qd):
+    p = plan_of(qd["q_top_orders"](spark, sf_dir))
+    # per-partition top-k + merge; a global Sort would shuffle everything
+    assert "TakeOrderedAndProject" in p
+
+
+def test_rank_filter_gets_group_limit(spark, sf_dir, qd):
+    # rank() <= k is rewritten to WindowGroupLimit: each partition
+    # keeps k rows BEFORE the window shuffle/sort
+    p = plan_of(qd["q_window_rank"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_semi_join_stays_semi(spark, sf_dir, qd):
+    # left-semi never materializes right-side columns
+    p = plan_of(qd["q_semi_join"](spark, sf_dir))
+    assert "LeftSemi" in p
+
+
+def test_streaming_join_plan_is_symmetric_hash(spark, sf_dir, tmp_path):
+    """The stream-stream join must plan as StreamingSymmetricHashJoin
+    with watermark-driven state cleanup (not a batch join)."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.streaming import (
+        chunk_events,
+        jobs,
+        read_event_stream,
+    )
+
+    d = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(d), n_chunks=2)
+    stream = read_event_stream(spark, str(d))
+    clicks = stream.filter(F.col("event_type") == "click")
+    buys = stream.filter(F.col("event_type") == "purchase")
+    joined = jobs.stream_stream_join(clicks, buys)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("plan_probe")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain()  # physical plan of the last executed micro-batch
+        assert "StreamingSymmetricHashJoin" in buf.getvalue()
+    finally:
+        q.stop()
+
+
+def test_exact_sum_is_integer_sum(spark, sf_dir, qd):
+    # partitioning-independence comes from summing longs, not doubles:
+    # the aggregate buffer must be bigint, with the double divide after
+    p = plan_of(qd["q_pricing_summary"](spark, sf_dir), mode="extended")
+    assert "sum(" in p and "bigint" in p

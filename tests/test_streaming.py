@@ -334,3 +334,83 @@ def test_rate_source_smoke(spark, tmp_path):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_sliding_window_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    """A6/A8: sliding-window streaming agg ≡ batch over the replay."""
+    stream = read_event_stream(spark, replay_dir)
+    def sliding(df):
+        return (
+            df.groupBy(
+                F.window("ts", "30 minutes", "15 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+    out = run_to_memory(
+        sliding(stream.withWatermark("ts", "10 minutes")),
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    batch = sliding(_batch_events(spark, sf_dir))
+    # append emits only watermark-finalized windows: every emitted row
+    # must match batch, and all but the tail must be present.
+    out_rows = set(map(repr, collect_sorted(out)))
+    batch_rows = set(map(repr, collect_sorted(batch)))
+    assert out_rows <= batch_rows
+    assert len(out_rows) >= 0.8 * len(batch_rows)
+
+
+def test_streaming_semi_join(spark, sf_dir, replay_dir, tmp_path):
+    """J2 left-semi stream-stream: clicks that had a purchase within
+    the horizon — no right-side columns, one row per click."""
+    stream = read_event_stream(spark, replay_dir)
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark(
+        "ts", "1 hour"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    buys = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    ).select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    out = run_to_memory(
+        clicks.join(buys, cond, "left_semi"), str(tmp_path / "ckpt"), "append"
+    )
+    be = _batch_events(spark, sf_dir)
+    bc = be.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    bp = be.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    assert collect_sorted(out) == collect_sorted(bc.join(bp, cond, "left_semi"))
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    """S8: foreachBatch drains every micro-batch exactly once into an
+    arbitrary Python sink."""
+    from spark_streaming_join_example_spark.sources.sinks import to_foreach_batch
+
+    replay = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(replay), n_chunks=4)
+    stream = read_event_stream(spark, str(replay))
+    out_dir = str(tmp_path / "out")
+
+    def write_batch(bdf, batch_id):
+        bdf.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    q = to_foreach_batch(stream, write_batch, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == _batch_events(spark, sf_dir).count()
+    assert got.select("batch_id").distinct().count() >= 2

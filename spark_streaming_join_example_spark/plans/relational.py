@@ -1149,3 +1149,118 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_sq"),
         F.exists("embedding", lambda x: x > 0.9).alias("has_big"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §3.2 — SQL entry point (same Catalyst pipeline, ANTLR front door)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sql_entry",
+    tags=("A1", "J5"),
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY c_mktsegment
+""",
+)
+def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) entry point (SURVEY §3.2): identical Catalyst
+    pipeline as the DataFrame DSL from analysis onward — this query IS
+    the proof (its oracle twin is near-verbatim the same SQL)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(DISTINCT o_orderkey) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide → long)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_unpivot",
+    tags=("P1",),
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure,
+       round(val, 4) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS val
+  FROM lineitem WHERE l_orderkey < 200
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_orderkey < 200
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+  FROM lineitem WHERE l_orderkey < 200
+)
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide measure columns → (measure, val) rows — the
+    inverse of pivot (A9). Narrow-then-shuffle beats shuffling wide."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        ],
+        "measure",
+        "val",
+    ).withColumn("val", F.round("val", 4))
+
+
+# ---------------------------------------------------------------------------
+# U2/U3 — multiset variants
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_intersect_all",
+    tags=("U2",),
+    oracle="""
+SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'view')
+INTERSECT ALL
+SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'click')
+""",
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersectAll: bag semantics (min of the two multiplicities)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    return views.intersectAll(clicks)
+
+
+@register(
+    "q_except_all",
+    tags=("U3",),
+    oracle="""
+SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'view')
+EXCEPT ALL
+SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'purchase')
+""",
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptAll: bag difference (multiplicities subtract)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.exceptAll(buys)

@@ -1,0 +1,134 @@
+"""Property-based differential tests (SURVEY.md §5.2): hypothesis
+generates small relations; Spark's result must equal a naive Python
+model for joins (all how-modes), dedup, and window running sums —
+independent of partitioning (we force several partitions so the
+property covers the distributed path, not just a single task).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+
+ROWS = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-100, 100)),
+    min_size=0,
+    max_size=25,
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows, cols=("k", "v")):
+    return spark.createDataFrame(
+        [tuple(r) for r in rows] or [], schema=f"{cols[0]} int, {cols[1]} int"
+    ).repartition(3)
+
+
+@given(a=ROWS, b=ROWS)
+@settings(**SETTINGS)
+def test_inner_join_matches_model(spark, a, b):
+    got = Counter(
+        (r.k, r.v, r.w)
+        for r in _df(spark, a)
+        .join(_df(spark, b, ("k", "w")), "k", "inner")
+        .collect()
+    )
+    want = Counter(
+        (ka, va, vb) for ka, va in a for kb, vb in b if ka == kb
+    )
+    assert got == want
+
+
+@given(a=ROWS, b=ROWS)
+@settings(**SETTINGS)
+def test_left_anti_join_matches_model(spark, a, b):
+    got = Counter(
+        (r.k, r.v)
+        for r in _df(spark, a)
+        .join(_df(spark, b, ("k", "w")), "k", "left_anti")
+        .collect()
+    )
+    bkeys = {kb for kb, _ in b}
+    want = Counter((ka, va) for ka, va in a if ka not in bkeys)
+    assert got == want
+
+
+@given(a=ROWS, b=ROWS)
+@settings(**SETTINGS)
+def test_left_outer_join_matches_model(spark, a, b):
+    got = Counter(
+        (r.k, r.v, r.w)
+        for r in _df(spark, a)
+        .join(_df(spark, b, ("k", "w")), "k", "left")
+        .collect()
+    )
+    want: Counter = Counter()
+    for ka, va in a:
+        matches = [vb for kb, vb in b if kb == ka]
+        if matches:
+            for vb in matches:
+                want[(ka, va, vb)] += 1
+        else:
+            want[(ka, va, None)] += 1
+    assert got == want
+
+
+@given(a=ROWS)
+@settings(**SETTINGS)
+def test_drop_duplicates_matches_model(spark, a):
+    got = sorted(
+        (r.k, r.v) for r in _df(spark, a).dropDuplicates(["k", "v"]).collect()
+    )
+    assert got == sorted(set(a))
+
+
+@given(a=ROWS)
+@settings(**SETTINGS)
+def test_groupby_sum_matches_model(spark, a):
+    got = {
+        r.k: (r.s, r.n)
+        for r in _df(spark, a)
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want: dict = {}
+    for k, v in a:
+        s, n = want.get(k, (0, 0))
+        want[k] = (s + v, n + 1)
+    assert got == want
+
+
+@given(a=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-10, 10)), max_size=20, unique_by=lambda t: (t[0], t[1])))
+@settings(**SETTINGS)
+def test_running_sum_matches_model(spark, a):
+    """Window rowsBetween(unboundedPreceding, currentRow) running sum
+    over a unique (k, seq) ordering."""
+    df = spark.createDataFrame(
+        [tuple(r) for r in a] or [], schema="k int, seq int, v int"
+    ).repartition(3)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r.k, r.seq): r.rs
+        for r in df.select("k", "seq", F.sum("v").over(w).alias("rs")).collect()
+    }
+    want = {}
+    for k in {t[0] for t in a}:
+        acc = 0
+        for _, seq, v in sorted(t for t in a if t[0] == k):
+            acc += v
+            want[(k, seq)] = acc
+    assert got == want

@@ -414,3 +414,41 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == _batch_events(spark, sf_dir).count()
     assert got.select("batch_id").distinct().count() >= 2
+
+
+def test_agg_state_survives_restart(spark, sf_dir, tmp_path):
+    """S7/T1: a windowed agg stopped mid-stream and restarted on the
+    same checkpoint must pick up its window state and end with exactly
+    the rows a single uninterrupted run produces (memory sinks cannot
+    recover a checkpoint; the parquet sink is the durable path)."""
+    import shutil
+
+    full_replay = tmp_path / "full"
+    chunk_events(spark, sf_dir, str(full_replay), n_chunks=6)
+    chunks = sorted(glob.glob(os.path.join(str(full_replay), "*.parquet")))
+
+    part_replay = tmp_path / "partial"
+    part_replay.mkdir()
+    for c in chunks[:3]:
+        shutil.copy(c, part_replay)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain(replay, out, ck):
+        stream = read_event_stream(spark, str(replay))
+        q = to_parquet(jobs.tumbling_counts(stream), out, ck)
+        q.awaitTermination(180)
+
+    drain(part_replay, out_dir, ckpt)  # phase 1: first 3 chunks
+    n1 = spark.read.parquet(out_dir).count()
+    for c in chunks[3:]:
+        shutil.copy(c, part_replay)
+    drain(part_replay, out_dir, ckpt)  # phase 2: restart, rest arrives
+
+    ref_out = str(tmp_path / "ref_out")
+    drain(full_replay, ref_out, str(tmp_path / "ckpt_ref"))
+
+    got = spark.read.parquet(out_dir)
+    ref = spark.read.parquet(ref_out)
+    assert collect_sorted(got) == collect_sorted(ref)
+    assert n1 > 0 and got.count() > n1

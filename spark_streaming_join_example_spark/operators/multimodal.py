@@ -103,3 +103,107 @@ def decode_images(
     return df.select(id_col, payload_col).mapInPandas(
         decode_batches, DECODED_SCHEMA
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    decoded_payloads: DataFrame,
+    target: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Resize/thumbnail stage: binary in → (dims, binary thumb) out.
+
+    The Spark shape is what matters at scale: a second mapInPandas
+    stage pipelined after decode, Arrow both ways, output bytes
+    bounded by `target` so the shuffle after this stage carries
+    thumbnails, never originals. Fake kernel = deterministic
+    truncation standing in for PIL's `Image.resize` (fake=False marks
+    the slot)."""
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real resize requires PIL — not available here; "
+                    "pass fake=True"
+                )
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, _, _ = _fake_decode(data)
+                scale = target / max(w, h, 1)
+                out_w, out_h = max(1, int(w * scale)), max(1, int(h * scale))
+                rows.append((doc_id, out_w, out_h, data[: out_w * out_h]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return decoded_payloads.select(id_col, payload_col).mapInPandas(
+        resize_batches, RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    videos: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Frame-sampling stage: one binary video → N (frame_idx, ts,
+    frame-bytes) rows — the 1:N explode shape of video pipelines.
+
+    Output cardinality is bounded (`max_frames`) so the stage's fan-out
+    is predictable at 100 TB; frames inherit the input partitioning, so
+    a following per-frame featurizer needs no shuffle. Fake kernel:
+    deterministic byte-slices as stand-in frames (fake=False marks
+    where pyav/ffmpeg slots in)."""
+
+    def frame_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires pyav/ffmpeg — not "
+                    "available here; pass fake=True"
+                )
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                # fake "duration": 1 ms per byte
+                n_frames = min(max_frames, max(1, len(data) // max(1, every_ms)))
+                for i in range(n_frames):
+                    ts = i * every_ms
+                    rows.append((doc_id, i, ts, data[ts : ts + 16]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    return videos.select(id_col, payload_col).mapInPandas(
+        frame_batches, FRAMES_SCHEMA
+    )

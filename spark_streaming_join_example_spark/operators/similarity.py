@@ -363,3 +363,62 @@ def ivf_topk_pairs(
         .orderBy(F.col("cos_sim").desc(), "a_id", "b_id")
         .limit(k)
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Query-vs-corpus k-nearest-neighbor join: for every query vector,
+    its top-k corpus neighbors by cosine → (q_id, n_id, cos_sim, rank).
+
+    The search shape of a retrieval pipeline (distinct from the
+    all-pairs kernels): corpus (ids + unit-norm f64 matrix) broadcasts,
+    queries stream through in Arrow batches, each batch does one BLAS
+    block multiply and an O(n·k) argpartition — no shuffle at all until
+    the (|Q|·k)-row result.
+
+    At 100 TB the corpus side outgrows a broadcast; the plan becomes
+    IVF: assign queries to probe cells (ivf_topk_pairs' quantizer),
+    equi-join with cell-bucketed corpus, then this same kernel per
+    cell. Deterministic: ties break by neighbor id.
+    """
+    import numpy as np
+
+    spark = queries.sparkSession
+    rows = corpus.select(id_col, vec_col).collect()
+    c_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    c_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def block_knn(batches):
+        import pandas as pd
+
+        n_ids, n_mat = bc.value
+        kk = min(k, len(n_ids))
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+            sims = q_mat @ n_mat.T
+            # stable top-k: order by (-sim, neighbor_id)
+            order = np.lexsort((n_ids[None, :].repeat(len(q_ids), 0), -sims), axis=1)[:, :kk]
+            rows_out = {
+                "q_id": np.repeat(q_ids, kk),
+                "n_id": n_ids[order].ravel(),
+                "cos_sim": np.take_along_axis(sims, order, axis=1).ravel(),
+                "rank": np.tile(np.arange(1, kk + 1), len(q_ids)),
+            }
+            yield pd.DataFrame(rows_out)
+
+    out = queries.select(id_col, vec_col).mapInPandas(
+        block_knn, "q_id long, n_id long, cos_sim double, rank int"
+    )
+    return out.select(
+        "q_id", "n_id", F.round("cos_sim", round_to).alias("cos_sim"), "rank"
+    )

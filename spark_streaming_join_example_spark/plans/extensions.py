@@ -467,3 +467,104 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk_pairs(emb, k=10, n_cells=16, n_probe=2)
+
+
+@register(
+    "q_knn_search",
+    tags=("X3",),
+    oracle="""
+SELECT q_id, n_id, cos_sim, CAST(rank AS INT) AS rank
+FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id >= 100
+  WHERE q.vec_id < 20
+) WHERE rank <= 5
+""",
+)
+def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN retrieval: 20 query vectors against the rest of the corpus,
+    top-5 neighbors each — broadcast-corpus BLAS kernel, exact, so the
+    DuckDB window-over-crossjoin oracle checks it value-for-value."""
+    from ..operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    return knn_join(queries, corpus, k=5)
+
+
+@register(
+    "q_ngram_jaccard",
+    tags=("X2", "X5"),
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(2, length(text) - 2)),
+           i -> substring(text, CAST(i AS INT), 4))) AS grams
+  FROM documents WHERE doc_id < 150
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE), 6) AS jac
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.6
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram shingle Jaccard near-dup pairs (≥ 0.6) —
+    tokenizer-free dedup (robust to whitespace/punctuation edits,
+    the classic web-scale near-dup representation). JVM-side shingling
+    via sequence→substr HOFs; same join shape as q_jaccard_pairs.
+
+    Scale: the all-pairs comparison here is the bounded oracle
+    baseline; the production path feeds these shingle sets into the
+    MinHash-LSH banding of operators/dedup.py unchanged."""
+    from ..operators.dedup import jaccard
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 3)),
+            lambda i: F.substr("text", i, F.lit(4)),
+        )
+    )
+    t = d.select("doc_id", grams.alias("grams"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("b_toks"))
+    jac = jaccard(F.col("a_toks"), F.col("b_toks"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(jac >= 0.6)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
+    )
+
+
+@register(
+    "q_frame_sample",
+    tags=("X4",),
+    oracle="""
+SELECT doc_id,
+       CAST(least(8, greatest(1, length(text) // 1000)) AS BIGINT) AS n_frames
+FROM documents WHERE doc_id < 100
+""",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1:N stage: binary payload → sampled frames →
+    per-doc frame counts (aggregating JVM-side after the Python
+    stage). The fake sampler is deterministic (1 ms/byte), so the
+    fan-out itself is oracle-checkable even though frame bytes are
+    opaque."""
+    from ..operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    frames = sample_frames(attach_binary(d), every_ms=1000, max_frames=8)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))

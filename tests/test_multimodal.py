@@ -43,3 +43,41 @@ def test_decode_images_real_path_is_marked(spark, sf_dir):
     with pytest.raises(Exception) as ei:
         decode_images(withbin, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
+
+
+def test_resize_images_bounds_output(spark, sf_dir):
+    from spark_streaming_join_example_spark.operators.multimodal import (
+        RESIZED_SCHEMA,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = resize_images(attach_binary(docs), target=64).collect()
+    assert [f.name for f in RESIZED_SCHEMA.fields] == list(out[0].asDict())
+    for r in out:
+        assert 1 <= r.width <= 64 and 1 <= r.height <= 64
+        assert len(bytes(r.thumb)) <= 64 * 64
+
+
+def test_sample_frames_fanout_bounded_and_deterministic(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.operators.multimodal import (
+        FRAMES_SCHEMA,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    frames = sample_frames(attach_binary(docs), every_ms=100, max_frames=4)
+    out1 = frames.collect()
+    out2 = frames.collect()
+    assert [f.name for f in FRAMES_SCHEMA.fields] == list(out1[0].asDict())
+    assert sorted(map(repr, out1)) == sorted(map(repr, out2))
+    per_doc = (
+        sample_frames(attach_binary(docs), every_ms=100, max_frames=4)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(1 <= r.n <= 4 for r in per_doc)
+    assert len(per_doc) == 20

@@ -1264,3 +1264,74 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view").select("user_id")
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return views.exceptAll(buys)
+
+
+# ---------------------------------------------------------------------------
+# A1 — dispersion from exact integer moments (engine-portable stddev)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_variance",
+    tags=("A1",),
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round((CAST(SUM(n_chars * n_chars) AS DOUBLE)
+              - CAST(SUM(n_chars) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) - 1), 6) AS var_chars,
+       round(sqrt((CAST(SUM(n_chars * n_chars) AS DOUBLE)
+              - CAST(SUM(n_chars) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) - 1)), 6) AS std_chars
+FROM documents GROUP BY lang
+""",
+)
+def q_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev built from exact integer moments
+    (Σx, Σx², both bigint-exact for int inputs) and finished with the
+    same double formula on both engines — engine-portable where the
+    built-in stddev (Welford vs naive accumulation) is not, and
+    partitioning-independent like every sum here."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("_s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("_s2"),
+    )
+    nn = F.col("n").cast("double")
+    var = (F.col("_s2").cast("double") - F.col("_s").cast("double") * F.col("_s").cast("double") / nn) / (nn - 1)
+    return g.select(
+        "lang",
+        "n",
+        F.round(var, 6).alias("var_chars"),
+        F.round(F.sqrt(var), 6).alias("std_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — collect_set (deterministic via sort_array)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_collect_set",
+    tags=("A1", "FN-array"),
+    oracle="""
+SELECT lang,
+       list_sort(list(DISTINCT source)) AS sources,
+       CAST(len(list(DISTINCT source)) AS INT) AS n_sources
+FROM documents GROUP BY lang
+""",
+)
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set made deterministic: set semantics kill duplicate
+    sensitivity, sort_array kills accumulation-order sensitivity —
+    the only safe way to hash-compare an aggregated array across
+    engines (or across partitionings)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sort_array(F.collect_set("source")).alias("sources"),
+        F.size(F.collect_set("source")).alias("n_sources"),
+    )

@@ -1,0 +1,70 @@
+"""Source-layer tests: the Kafka payload decode step (offline, on a
+synthetic Kafka-shaped frame) and the JSON file streaming source."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from spark_streaming_join_example_spark import load_table
+from spark_streaming_join_example_spark.sources.kafka import parse_json_payload
+from spark_streaming_join_example_spark.streaming import run_to_memory
+
+from .conftest import collect_sorted
+
+
+def _kafka_frame(spark, payloads):
+    """Rows shaped exactly like the Kafka source's output."""
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(b"k%d" % i, p.encode(), ts) for i, p in enumerate(payloads)]
+    return spark.createDataFrame(
+        rows, "key binary, value binary, timestamp timestamp"
+    )
+
+
+def test_parse_json_payload_happy_path(spark):
+    kdf = _kafka_frame(
+        spark,
+        ['{"user_id": 7, "event_type": "click", "value": 1.5}',
+         '{"user_id": 8, "event_type": "view", "value": 0.25}'],
+    )
+    out = parse_json_payload(
+        kdf, "user_id LONG, event_type STRING, value DOUBLE, _corrupt STRING"
+    )
+    rows = {r.user_id: (r.event_type, r.value, r._corrupt) for r in out.collect()}
+    assert rows == {7: ("click", 1.5, None), 8: ("view", 0.25, None)}
+
+
+def test_parse_json_payload_corrupt_records_survive(spark):
+    kdf = _kafka_frame(
+        spark,
+        ['{"user_id": 1, "event_type": "click", "value": 2.0}',
+         'not json at all{{{',
+         '{"user_id": "BAD_TYPE_FOR_LONG!", "event_type": 3}'],
+    )
+    out = parse_json_payload(
+        kdf, "user_id LONG, event_type STRING, value DOUBLE, _corrupt STRING"
+    )
+    rows = out.collect()
+    assert len(rows) == 3  # one bad record never kills the query
+    good = [r for r in rows if r._corrupt is None and r.user_id is not None]
+    bad = [r for r in rows if r._corrupt is not None]
+    assert len(good) == 1 and good[0].user_id == 1
+    assert len(bad) >= 1 and "not json" in bad[0]._corrupt
+
+
+def test_json_file_streaming_source(spark, sf_dir, tmp_path):
+    """S2 (json flavor): chunked JSON replay ≡ the batch frame."""
+    be = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    jdir = str(tmp_path / "json_replay")
+    be.repartition(4).write.mode("overwrite").json(jdir)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 2)
+        .json(jdir)
+    )
+    out = run_to_memory(stream, str(tmp_path / "ckpt"), "append")
+    assert collect_sorted(out) == collect_sorted(be)

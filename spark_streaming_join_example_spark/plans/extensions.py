@@ -269,7 +269,7 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-  FROM documents
+  FROM documents WHERE doc_id < 2000
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -281,8 +281,10 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 )
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs (≥ 0.95) — the all-pairs
-    oracle baseline the LSH path approximates."""
-    d = load_table(spark, sf_dir, "documents")
+    oracle baseline the LSH path approximates. Explicitly bounded
+    (doc_id < 2000): the quadratic is the point of the LSH path; an
+    unbounded all-pairs join is never the production plan."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     t = d.select("doc_id", distinct_tokens("text").alias("toks"))
     a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
     b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))

@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Scale stress probe: replicate the sf0.1 fact tables K× (key-shifted
+so join cardinalities scale honestly), then time the headline plans at
+1× and K× to show they scale ~linearly (partial aggs, broadcast dims,
+TakeOrdered top-k — nothing quadratic, nothing driver-bound).
+
+Writes nothing outside /tmp. Usage:
+    python tools/stress_scale.py [K] [sf_dir]
+Prints one JSON line with per-query (base_s, scaled_s, ratio).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from spark_streaming_join_example_spark import get_spark
+from spark_streaming_join_example_spark.sources.batch import load_table
+
+
+def replicate(df, key_cols, k: int, shift: int):
+    """Union K key-shifted copies (distinct keys per copy → honest
+    group/join cardinality growth)."""
+    out = None
+    for i in range(k):
+        c = df
+        for col in key_cols:
+            c = c.withColumn(col, F.col(col) + F.lit(i * shift))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    work = "/tmp/spark_graft_stress"
+    shutil.rmtree(work, ignore_errors=True)
+
+    spark = get_spark("stress")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    shift = 10_000_000
+
+    replicate(li, ["l_orderkey"], k, shift).write.parquet(f"{work}/lineitem")
+    replicate(o, ["o_orderkey", "o_custkey"], k, shift).write.parquet(f"{work}/orders")
+    replicate(c, ["c_custkey"], k, shift).write.parquet(f"{work}/customer")
+
+    big_li = spark.read.parquet(f"{work}/lineitem")
+    big_o = spark.read.parquet(f"{work}/orders")
+    big_c = spark.read.parquet(f"{work}/customer")
+
+    def pricing(lineitem):
+        return (
+            lineitem.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def revenue(cust, orders, lineitem):
+        return (
+            cust.join(orders, cust.c_custkey == orders.o_custkey)
+            .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            .groupBy("c_mktsegment")
+            .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev"))
+        )
+
+    def topk(orders):
+        return orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10)
+
+    cases = {
+        "pricing": (lambda: pricing(li), lambda: pricing(big_li)),
+        "revenue_join3": (
+            lambda: revenue(c, o, li),
+            lambda: revenue(big_c, big_o, big_li),
+        ),
+        "topk": (lambda: topk(o), lambda: topk(big_o)),
+    }
+
+    results = {}
+    for name, (base_fn, big_fn) in cases.items():
+        b = base_fn(); b.collect()
+        t0 = time.perf_counter(); b.collect(); base_s = time.perf_counter() - t0
+        g = big_fn(); g.collect()
+        t0 = time.perf_counter(); g.collect(); big_s = time.perf_counter() - t0
+        results[name] = {
+            "base_s": round(base_s, 3),
+            f"x{k}_s": round(big_s, 3),
+            "ratio": round(big_s / max(base_s, 1e-9), 2),
+        }
+
+    rows = {"base_lineitem": li.count(), "scaled_lineitem": big_li.count()}
+    print(json.dumps({"k": k, "rows": rows, "queries": results}))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

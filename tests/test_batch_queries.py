@@ -85,3 +85,34 @@ def test_all_queries_execute_at_smoke_scale(spark, sf_dir):
     for name, fn in queries_dict().items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_approx_aggregates_within_epsilon(spark, sf_dir):
+    """A3: HLL++ distinct and t-digest percentile land within their
+    documented error bounds of the exact answers."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    got = {
+        r.event_type: r.apx
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("apx"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(2, 0.08 * n), (k, got[k], n)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    apx = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("m")
+    ).collect()[0].m
+    ex = li.agg(F.percentile("l_extendedprice", F.lit(0.5)).alias("m")).collect()[0].m
+    assert abs(apx - ex) / ex < 0.01

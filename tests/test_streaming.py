@@ -452,3 +452,24 @@ def test_agg_state_survives_restart(spark, sf_dir, tmp_path):
     ref = spark.read.parquet(ref_out)
     assert collect_sorted(got) == collect_sorted(ref)
     assert n1 > 0 and got.count() > n1
+
+
+def test_stream_static_left_outer(spark, sf_dir, replay_dir, tmp_path):
+    """J1 left-outer from the stream side: events whose user has no
+    customer row survive null-padded; result ≡ batch left join."""
+    customer = load_table(spark, sf_dir, "customer")
+    # keep only a slice of customers so some events miss
+    dim = customer.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = read_event_stream(spark, replay_dir)
+
+    def enrich(ev):
+        return ev.join(
+            dim, ev.user_id == dim.c_custkey, "left_outer"
+        ).select("event_id", "user_id", "c_mktsegment")
+
+    out = run_to_memory(enrich(stream), str(tmp_path / "ckpt"), "append")
+    batch = enrich(_batch_events(spark, sf_dir))
+    assert out.filter(F.col("c_mktsegment").isNull()).count() > 0
+    assert collect_sorted(out) == collect_sorted(batch)

@@ -570,3 +570,100 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     frames = sample_frames(attach_binary(d), every_ms=1000, max_frames=8)
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@register(
+    "q_dedup_keep_best",
+    tags=("X1", "W4"),
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY text
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a survivor policy: one representative per
+    duplicate text group, the 'best' one (longest, then lowest id) —
+    the realistic corpus-dedup shape (you never keep an arbitrary
+    member at 100 TB; the policy must be deterministic so reruns and
+    different partitionings pick the same survivors).
+
+    Scale: one shuffle on the dup key (here raw text; production uses
+    a 128-bit content hash so the shuffle key is 16 bytes, cf.
+    q_doc_fingerprint) + WindowGroupLimit keeps only candidate
+    survivors per partition before the final sort."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "q_corpus_pipeline",
+    tags=("X1", "X3", "X5"),
+    oracle="""
+WITH survivors AS (
+  SELECT doc_id, lang, n_chars
+  FROM (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY text
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+    WHERE n_chars >= 80 AND len(string_split(text, ' ')) >= 12
+  ) WHERE rn = 1
+)
+SELECT s.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.n_chars) AS BIGINT) AS sum_chars,
+       round(avg(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))), 6)
+           AS avg_self_sim,
+       CAST(COUNT(e.vec_id) AS BIGINT) AS n_with_embedding
+FROM survivors s LEFT JOIN embeddings e ON s.doc_id = e.vec_id
+GROUP BY s.lang
+""",
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline slice: quality gate (length +
+    token-count thresholds) → exact dedup keeping the best survivor →
+    enrich with the embedding table (left join: not every doc is
+    embedded) → per-language corpus stats. The composition every
+    LLM-data pipeline runs, expressed as one Catalyst plan: the gate
+    pushes into the scan, dedup is one shuffle + group-limit, the
+    embedding join shuffles on the id, and aggregation is partial+final.
+    (avg_self_sim ≡ 1.0 by construction — it proves the vector column
+    survived the relational pipeline intact.)"""
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.filter(
+        (F.col("n_chars") >= 80) & (F.size(F.split("text", " ")) >= 12)
+    )
+    w = Window.partitionBy("text").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    survivors = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import as_double_array, cosine
+
+    joined = survivors.join(
+        emb, survivors.doc_id == emb.vec_id, "left_outer"
+    )
+    self_sim = cosine(as_double_array("embedding"), as_double_array("embedding"))
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.avg(self_sim), 6).alias("avg_self_sim"),
+        F.count("vec_id").alias("n_with_embedding"),
+    )

@@ -1335,3 +1335,50 @@ def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("source")).alias("sources"),
         F.size(F.collect_set("source")).alias("n_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J4/A1 — TPC-H Q14-like promo revenue share (exercises `part`)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_promo_revenue",
+    tags=("J4", "A1", "P5"),
+    oracle=f"""
+SELECT CAST(date_part('year', l_shipdate) AS INT) AS ship_year,
+       round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                  * 1000000.0) AS BIGINT) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * 1000000.0) AS BIGINT)) AS DOUBLE), 6)
+           AS promo_share_pct,
+       {oracle_exact_sum('l_extendedprice * (1 - l_discount)', VALUE)} AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share per ship-year (TPC-H Q14 shape): fact⋈part
+    join + conditional aggregation. `part` broadcasts at fixture SFs;
+    at TPC-H SF100k it's a shuffled hash join on l_partkey where AQE
+    splits the popular-part skew. Ratio built from two exact integer
+    sums → one double divide, engine-portable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 1e6
+    ).cast("long")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    return (
+        j.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            (F.sum(rev).cast("double") / F.lit(1e6)).alias("total_revenue"),
+        )
+    )

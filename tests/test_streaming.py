@@ -473,3 +473,44 @@ def test_stream_static_left_outer(spark, sf_dir, replay_dir, tmp_path):
     batch = enrich(_batch_events(spark, sf_dir))
     assert out.filter(F.col("c_mktsegment").isNull()).count() > 0
     assert collect_sorted(out) == collect_sorted(batch)
+
+
+def test_chained_stateful_join_then_window_agg(spark, sf_dir, replay_dir, tmp_path):
+    """Multiple stateful operators in one streaming query (Spark 3.4+):
+    stream-stream join feeding a tumbling-window aggregation. Emitted
+    (finalized) windows must match the batch twin exactly."""
+    def pipeline(clicks, buys):
+        cond = (
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        joined = clicks.join(buys, cond)
+        return (
+            joined.groupBy(F.window("p_ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_conversions"))
+            .select(F.col("w.start").alias("ws"), "n_conversions")
+        )
+
+    def sides(df, wm):
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        if wm:
+            c = c.withWatermark("c_ts", "30 minutes")
+            p = p.withWatermark("p_ts", "30 minutes")
+        return c, p
+
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        pipeline(*sides(stream, wm=True)), str(tmp_path / "ckpt"), "append"
+    )
+    batch = pipeline(*sides(_batch_events(spark, sf_dir), wm=False))
+    out_rows = set(map(repr, collect_sorted(out)))
+    batch_rows = set(map(repr, collect_sorted(batch)))
+    assert len(out_rows) > 0
+    assert out_rows <= batch_rows          # emitted windows are exact
+    assert len(out_rows) >= 0.8 * len(batch_rows)  # only the tail withheld

@@ -91,8 +91,15 @@ def cosine_topk_pairs(
                 }
             )
 
-    cand = emb.select("vec_id", "embedding").mapInPandas(
-        block_topk, "a_id long, b_id long, cos_sim double"
+    # spread the left side so the BLAS blocks run in parallel: ~500
+    # rows per Python worker measured fastest (fewer → task overhead
+    # dominates, more → workers idle). len(rows) is already known from
+    # building the broadcast, so sizing costs nothing.
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 500))
+    cand = (
+        emb.select("vec_id", "embedding")
+        .repartition(n_parts)
+        .mapInPandas(block_topk, "a_id long, b_id long, cos_sim double")
     )
     return (
         cand.select("a_id", "b_id", F.round("cos_sim", round_to).alias("cos_sim"))

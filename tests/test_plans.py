@@ -113,3 +113,47 @@ def test_exact_sum_is_integer_sum(spark, sf_dir, qd):
     # the aggregate buffer must be bigint, with the double divide after
     p = plan_of(qd["q_pricing_summary"](spark, sf_dir), mode="extended")
     assert "sum(" in p and "bigint" in p
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables on the join key at write time removes
+    the join shuffle entirely — the amortize-once pattern SCALE.md
+    prescribes for repeated fact-fact joins."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the issue
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).option("path", str(tmp_path / "o_b")).saveAsTable("o_bucketed")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).option("path", str(tmp_path / "li_b")).saveAsTable("li_bucketed")
+
+        ob = spark.table("o_bucketed")
+        lib = spark.table("li_bucketed")
+        joined = ob.join(lib, ob.o_orderkey == lib.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself must consume bucketed scans directly — no
+        # Exchange between the scans and the SortMergeJoin
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # sanity: same answer as the unbucketed join
+        plain = o.join(li, o.o_orderkey == li.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")

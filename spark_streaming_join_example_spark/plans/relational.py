@@ -1382,3 +1382,56 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev).cast("double") / F.lit(1e6)).alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# P3 — from_json into MapType + regexp_extract_all
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_map",
+    tags=("P3", "FN-map"),
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INT) AS k_val,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE event_id < 5000
+GROUP BY 1
+""",
+)
+def q_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a MAP<STRING,INT> schema (schema-free payload
+    keys — the Kafka-payload shape when producers add fields), probed
+    with element_at."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.select(F.element_at(m, "k").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_regexp_extract_all",
+    tags=("FN-string", "X5"),
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 's[a-z]+', 0)) AS INT) AS n_s,
+       array_to_string(list_sort(list_distinct(
+           regexp_extract_all(text, 's[a-z]+', 0))), ',') AS s_words
+FROM documents WHERE doc_id < 200
+""",
+)
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all → array ops: every s-word occurrence per
+    doc, counted and listed deterministically (sorted, distinct).
+    Group index pinned to 0 explicitly: Spark defaults to capture
+    group 1, DuckDB to the whole match — a classic cross-engine trap."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.regexp_extract_all("text", F.lit("s[a-z]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_s"),
+        F.array_join(F.array_sort(F.array_distinct(words)), ",").alias("s_words"),
+    )

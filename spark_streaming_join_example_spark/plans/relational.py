@@ -1435,3 +1435,39 @@ def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words).alias("n_s"),
         F.array_join(F.array_sort(F.array_distinct(words)), ",").alias("s_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P3 — VariantType (Spark 4 semi-structured type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_variant_extract",
+    tags=("P3",),
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY 1
+""",
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType (Spark 4): parse_json → open-schema binary variant,
+    typed extraction with variant_get. The semi-structured path for
+    payloads whose schema you DON'T pin up front (vs from_json, which
+    needs one) — variant keeps shredded binary, so extraction is
+    columnar, not string re-parsing, at every downstream use."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

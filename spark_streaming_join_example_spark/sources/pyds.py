@@ -1,0 +1,70 @@
+"""Custom Python data source (Spark 4 DataSource API, SURVEY §2.1
+family): a deterministic seeded event generator, registered as format
+``"eventgen"``.
+
+Why it exists: the engine's source surface shouldn't end at
+parquet/Kafka — Spark 4's Python DataSource API is the sanctioned way
+to wrap arbitrary external systems (REST pagers, object-store
+manifests, proprietary formats) as first-class scan nodes. This
+generator is the self-contained demonstration: partition-parallel
+(each Spark task draws its own partition's rows independently from a
+per-partition seed — no driver-side materialization), schema-typed,
+and deterministic (same seed → same rows at any parallelism, the same
+property the fixture tables rely on).
+
+Scale: ``numPartitions`` shards the generation; each partition is an
+independent task, so throughput scales linearly with executors —
+the same contract a manifest-sharded object-store reader would have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+class _EventGenReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("numrows", 1000))
+        self.n_parts = int(options.get("numpartitions", 4))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition):
+        import random
+
+        pid = partition.value
+        per = self.n_rows // self.n_parts
+        start = pid * per
+        # last partition absorbs the remainder
+        end = self.n_rows if pid == self.n_parts - 1 else start + per
+        rng = random.Random((self.seed << 16) ^ pid)
+        types = ["view", "click", "purchase"]
+        for i in range(start, end):
+            yield (
+                i,
+                rng.randrange(0, 1000),
+                types[rng.randrange(0, 3)],
+                round(rng.random() * 100, 6),
+            )
+
+
+class EventGenDataSource(DataSource):
+    """spark.read.format("eventgen").option("numRows", n).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eventgen"
+
+    def schema(self) -> str:
+        return "event_id long, user_id long, event_type string, value double"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _EventGenReader(self.options)
+
+
+def register_eventgen(spark) -> None:
+    """Idempotently register the source with a session."""
+    spark.dataSource.register(EventGenDataSource)

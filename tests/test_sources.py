@@ -68,3 +68,51 @@ def test_json_file_streaming_source(spark, sf_dir, tmp_path):
     )
     out = run_to_memory(stream, str(tmp_path / "ckpt"), "append")
     assert collect_sorted(out) == collect_sorted(be)
+
+
+def test_python_datasource_eventgen(spark):
+    """Spark 4 Python DataSource API: partition-parallel deterministic
+    generator — same rows at any partition count."""
+    from spark_streaming_join_example_spark.sources.pyds import register_eventgen
+
+    register_eventgen(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("eventgen")
+            .option("numRows", 1000)
+            .option("numPartitions", parts)
+            .option("seed", 7)
+            .load()
+        )
+
+    df4 = load(4)
+    assert df4.count() == 1000
+    assert df4.rdd.getNumPartitions() == 4
+    ids = [r.event_id for r in df4.select("event_id").collect()]
+    assert sorted(ids) == list(range(1000))  # full coverage, no dupes
+    # determinism across reads (same seed+parts)
+    assert collect_sorted(load(4)) == collect_sorted(load(4))
+    types = {r.event_type for r in df4.select("event_type").distinct().collect()}
+    assert types <= {"view", "click", "purchase"}
+
+
+def test_observe_metrics(spark, sf_dir):
+    """observe(): accumulator-style data-quality metrics collected
+    during a normal action — no second scan."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("quality")
+    out = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.1, 1).otherwise(0)).alias("n_big_disc"),
+        F.max("l_shipdate").alias("max_ship"),
+    ).filter(F.col("l_quantity") > 25)
+    kept = out.count()
+    m = obs.get
+    assert m["n_rows"] == li.count()       # metrics saw ALL rows pre-filter
+    assert 0 < kept < m["n_rows"]
+    assert m["n_big_disc"] >= 0 and m["max_ship"] is not None

@@ -98,3 +98,47 @@ def test_ivf_recall_against_exact(spark, sf_dir):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.7, f"IVF recall {recall:.2f} ({got & exact})"
+
+
+def test_ml_minhash_agrees_with_handrolled(spark, sf_dir):
+    """The MLlib MinHashLSH path and our DataFrame LSH must agree on
+    high-similarity near-duplicates (both compared to exact Jaccard)."""
+    from spark_streaming_join_example_spark import load_table
+    from spark_streaming_join_example_spark.operators.ml_lsh import ml_minhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.a_id, r.b_id)
+        for r in ml_minhash_pairs(d, jaccard_threshold=0.95).collect()
+    }
+    # exact ≥0.95 pairs (same computation as q_jaccard_pairs)
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.operators.dedup import (
+        distinct_tokens,
+        jaccard,
+    )
+
+    t = d.select("doc_id", distinct_tokens("text").alias("toks"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    exact = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(jaccard(F.col("a_toks"), F.col("b_toks")) >= 0.95)
+        .select("a_id", "b_id")
+        .collect()
+    }
+    assert exact, "fixture should contain exact near-dups"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"MLlib MinHash recall {recall:.2f}"
+
+
+def test_ml_brp_finds_close_vectors(spark, sf_dir):
+    from spark_streaming_join_example_spark import load_table
+    from spark_streaming_join_example_spark.operators.ml_lsh import ml_brp_neighbors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = ml_brp_neighbors(emb, radius=6.0).collect()
+    assert len(pairs) > 0
+    assert all(0 <= r.l2_dist <= 6.0 for r in pairs)

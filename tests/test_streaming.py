@@ -514,3 +514,86 @@ def test_chained_stateful_join_then_window_agg(spark, sf_dir, replay_dir, tmp_pa
     assert len(out_rows) > 0
     assert out_rows <= batch_rows          # emitted windows are exact
     assert len(out_rows) >= 0.8 * len(batch_rows)  # only the tail withheld
+
+
+def test_full_outer_stream_stream_join(spark, sf_dir, replay_dir, tmp_path):
+    """J2 full-outer: both unmatched sides emit null-padded after the
+    watermark; matched rows equal the batch inner join."""
+    stream = read_event_stream(spark, replay_dir)
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark(
+        "ts", "30 minutes"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    buys = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "30 minutes"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    out = run_to_memory(
+        clicks.join(buys, cond, "full_outer"), str(tmp_path / "ckpt"), "append"
+    )
+    assert out.filter(F.col("p_ts").isNull()).count() > 0  # click-only rows
+    assert out.filter(F.col("c_ts").isNull()).count() > 0  # purchase-only rows
+    be = _batch_events(spark, sf_dir)
+    bc = be.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    bp = be.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    matched = out.filter(F.col("p_ts").isNotNull() & F.col("c_ts").isNotNull())
+    assert matched.count() == bc.join(bp, cond).count()
+
+
+def test_foreach_row_sink(spark, sf_dir, tmp_path):
+    """S5-family: the per-row foreach sink (each row visits a Python
+    callback; partition-local, at-least-once)."""
+    replay = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(replay), n_chunks=3)
+    stream = read_event_stream(spark, str(replay)).select("event_id")
+    out_dir = tmp_path / "rows"
+    out_dir.mkdir()
+
+    class Collector:
+        def open(self, partition_id, epoch_id):
+            self.pid = partition_id
+            self.rows = []
+            return True
+
+        def process(self, row):
+            self.rows.append(row.event_id)
+
+        def close(self, error):
+            import os
+            import uuid
+
+            if self.rows:
+                p = out_dir / f"{self.pid}_{uuid.uuid4().hex}.txt"
+                p.write_text("\n".join(map(str, self.rows)))
+
+    q = (
+        stream.writeStream.foreach(Collector())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seen = set()
+    for f in out_dir.iterdir():
+        seen.update(int(x) for x in f.read_text().splitlines())
+    batch_ids = {r.event_id for r in _batch_events(spark, sf_dir).select("event_id").collect()}
+    assert seen == batch_ids

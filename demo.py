@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""The canonical streaming-join demo, end to end — what the reference
+repo demonstrates, on this engine:
+
+  1. replay the events fixture as a file stream (stand-in for Kafka;
+     swap in sources/kafka.py builders on a real cluster),
+  2. stream-static enrichment join against the customer dimension,
+  3. stream-stream click->purchase join (watermarks + time-range),
+  4. tumbling-window conversion counts,
+  5. drain to an in-memory sink and print the results.
+
+Usage: python demo.py [sf_dir]   (default /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+import pyspark.sql.functions as F
+
+from spark_streaming_join_example_spark import get_spark, load_table
+from spark_streaming_join_example_spark.streaming import (
+    chunk_events,
+    jobs,
+    read_event_stream,
+    run_to_memory,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("spark-graft-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="demo_")
+
+    print(f"== replaying {sf_dir}/events.parquet as a stream (6 chunks) ==")
+    chunk_events(spark, sf_dir, f"{work}/replay", n_chunks=6)
+
+    print("\n== 1. stream-static enrichment (events x customer) ==")
+    stream = read_event_stream(spark, f"{work}/replay")
+    customer = load_table(spark, sf_dir, "customer")
+    enriched = run_to_memory(
+        jobs.enrich_stream(stream, customer), f"{work}/ckpt1", "append"
+    )
+    enriched.groupBy("c_mktsegment").count().orderBy("c_mktsegment").show()
+
+    print("== 2. stream-stream join: purchases within 30min of a click ==")
+    stream2 = read_event_stream(spark, f"{work}/replay")
+    clicks = stream2.filter(F.col("event_type") == "click")
+    buys = stream2.filter(F.col("event_type") == "purchase")
+    conversions = run_to_memory(
+        jobs.stream_stream_join(clicks, buys), f"{work}/ckpt2", "append"
+    )
+    print(f"   {conversions.count()} click->purchase conversions")
+    conversions.orderBy("c_ts").show(5, truncate=False)
+
+    print("== 3. tumbling 1h conversion counts (append mode) ==")
+    stream3 = read_event_stream(spark, f"{work}/replay")
+    counts = run_to_memory(
+        jobs.tumbling_counts(stream3), f"{work}/ckpt3", "append"
+    )
+    counts.orderBy("window_start", "event_type").show(8)
+
+    print("done — every result above is watermark-correct and")
+    print("equivalent to the batch query over the same prefix")
+    print("(proven in tests/test_streaming.py).")
+
+
+if __name__ == "__main__":
+    main()

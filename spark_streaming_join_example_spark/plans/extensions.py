@@ -667,3 +667,15 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(self_sim), 6).alias("avg_self_sim"),
         F.count("vec_id").alias("n_with_embedding"),
     )
+
+
+@register("q_ml_minhash_neardup", tags=("X2",))
+def q_ml_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH near-dup pairs (rows-only: estimator-seeded
+    hashes; agreement with exact Jaccard asserted in
+    tests/test_extensions.py). The off-the-shelf alternate to
+    q_minhash_neardup's hand-rolled banding."""
+    from ..operators.ml_lsh import ml_minhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ml_minhash_pairs(d, jaccard_threshold=0.9)

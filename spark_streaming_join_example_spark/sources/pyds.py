@@ -19,7 +19,12 @@ the same contract a manifest-sharded object-store reader would have.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -64,7 +69,48 @@ class EventGenDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return _EventGenReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return _EventGenStreamReader(self.options)
+
 
 def register_eventgen(spark) -> None:
     """Idempotently register the source with a session."""
     spark.dataSource.register(EventGenDataSource)
+
+
+class _EventGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: each micro-batch emits the next
+    ``rowsPerBatch`` events (deterministic, replayable by offset —
+    exactly the contract a Kafka-like cursor source satisfies; offsets
+    here are plain row counters persisted in the checkpoint WAL)."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rowsperbatch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _gen(self, i: int):
+        import random
+
+        rng = random.Random((self.seed << 20) ^ i)
+        types = ["view", "click", "purchase"]
+        return (
+            i,
+            rng.randrange(0, 1000),
+            types[rng.randrange(0, 3)],
+            round(rng.random() * 100, 6),
+        )
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = lo + self.rows_per_batch
+        return (iter([self._gen(i) for i in range(lo, hi)]), {"pos": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path after restart: offsets fully determine the rows
+        return iter([self._gen(i) for i in range(start["pos"], end["pos"])])
+
+    def commit(self, end: dict) -> None:
+        pass

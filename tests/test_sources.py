@@ -116,3 +116,77 @@ def test_observe_metrics(spark, sf_dir):
     assert m["n_rows"] == li.count()       # metrics saw ALL rows pre-filter
     assert 0 < kept < m["n_rows"]
     assert m["n_big_disc"] >= 0 and m["max_ship"] is not None
+
+
+def test_python_datasource_streaming(spark, tmp_path):
+    """Spark 4 streaming Python DataSource: micro-batches advance by
+    offset; rows are deterministic per offset (replayable)."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.sources.pyds import register_eventgen
+
+    register_eventgen(spark)
+    stream = (
+        spark.readStream.format("eventgen")
+        .option("rowsPerBatch", 50)
+        .option("seed", 7)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("pyds_stream").count()
+            if n >= 150:
+                break
+            time.sleep(1)
+        assert n >= 150
+        got = spark.table("pyds_stream")
+        # offsets are row ids: contiguous from 0, no dupes
+        ids = [r.event_id for r in got.select("event_id").collect()]
+        assert sorted(ids) == list(range(len(ids)))
+        assert got.filter(F.col("value") < 0).count() == 0
+    finally:
+        q.stop()
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
+    """The RocksDB state store provider (SCALE.md's large-state
+    recommendation) actually runs in this environment: a streaming
+    dedup keyed on event_id with RocksDB-backed state."""
+    from spark_streaming_join_example_spark.streaming import (
+        chunk_events,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        replay = tmp_path / "replay"
+        chunk_events(spark, sf_dir, str(replay), n_chunks=4)
+        stream = read_event_stream(spark, str(replay))
+        out = run_to_memory(
+            stream.dropDuplicates(["event_id"]).select("event_id"),
+            str(tmp_path / "ckpt"),
+            "append",
+        )
+        batch_n = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+        assert out.count() == batch_n
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -132,3 +132,34 @@ def test_running_sum_matches_model(spark, a):
             acc += v
             want[(k, seq)] = acc
     assert got == want
+
+
+NULLABLE_ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)), st.integers(-50, 50)
+    ),
+    max_size=20,
+)
+
+
+@given(a=NULLABLE_ROWS, b=NULLABLE_ROWS)
+@settings(**SETTINGS)
+def test_null_keys_never_join(spark, a, b):
+    """SQL semantics: NULL = NULL is not true — null-keyed rows drop
+    from inner joins and survive outer joins unmatched."""
+    da = _df(spark, a)
+    db = _df(spark, b, ("k", "w"))
+    inner = Counter(
+        (r.k, r.v, r.w) for r in da.join(db, "k", "inner").collect()
+    )
+    want = Counter(
+        (ka, va, vb)
+        for ka, va in a
+        for kb, vb in b
+        if ka is not None and ka == kb
+    )
+    assert inner == want
+    left = da.join(db, "k", "left").collect()
+    null_left = [r for r in left if r.k is None]
+    assert len(null_left) == sum(1 for ka, _ in a if ka is None)
+    assert all(r.w is None for r in null_left)

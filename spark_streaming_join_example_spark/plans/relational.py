@@ -1471,3 +1471,28 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "q_string_agg",
+    tags=("A1", "FN-string"),
+    oracle="""
+SELECT o_orderstatus,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
+           AS priorities,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: distinct → sort → join.
+    (Raw LISTAGG/string_agg is accumulation-order-dependent — in a
+    distributed engine that means partitioning-dependent — so the
+    engine's contract is the sorted-distinct form.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|").alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -45,9 +45,12 @@ def main() -> None:
     for name in names:
         df = qd[name](spark, sf_dir)
         df.collect()  # cold run: warms code paths + file listing + JIT
-        t0 = time.perf_counter()
-        df.collect()
-        times[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(3):  # min-of-3: scheduler noise, not the engine
+            t0 = time.perf_counter()
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
 
     out = {
         "metric": "warm_total_headline_queries",

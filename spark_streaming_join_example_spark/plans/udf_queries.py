@@ -266,3 +266,74 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         (F.sum("cents").cast("double") / F.lit(100.0)).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F4b — grouped-map applyInArrow
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_apply_in_arrow",
+    tags=("F4",),
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_chars) - MIN(n_chars) AS BIGINT) AS char_range
+FROM documents GROUP BY lang
+""",
+)
+def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over raw Arrow tables (applyInArrow): per-group
+    stats computed columnar-side with pyarrow.compute — the zero-pandas
+    twin of q_apply_in_pandas."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def group_stats(table: pa.Table) -> pa.Table:
+        chars = table.column("n_chars")
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "char_range": [
+                    pc.max(chars).as_py() - pc.min(chars).as_py()
+                ],
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return d.groupBy("lang").applyInArrow(
+        group_stats, "lang string, n_docs long, char_range long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1b — SQL-registered UDF (spark.udf.register → usable from spark.sql)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sql_udf",
+    tags=("F1",),
+    oracle="""
+SELECT CASE WHEN n_chars < 150 THEN 'short'
+            WHEN n_chars < 300 THEN 'medium'
+            ELSE 'long' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1
+""",
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registered into the SQL function catalog and invoked from a
+    spark.sql string — the surface for SQL-first users."""
+
+    def bucket(n: int) -> str:
+        return "short" if n < 150 else ("medium" if n < 300 else "long")
+
+    spark.udf.register("doc_bucket", bucket, "string")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udf")
+    return spark.sql(
+        "SELECT doc_bucket(n_chars) AS bucket, COUNT(*) AS n "
+        "FROM __docs_udf GROUP BY 1"
+    )

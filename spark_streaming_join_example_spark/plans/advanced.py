@@ -1,0 +1,312 @@
+"""Advanced relational surface: sketches, distribution windows,
+scalar subqueries, array set-ops, sampling (SURVEY.md §2.4/§2.5/§2.8).
+
+Scale rationale per query is inline; the common thread is that every
+one of these is the *mergeable* / partition-independent formulation of
+its operator — bitmaps and HLL sketches are associative monoids, so
+map-side partials combine in any order on any number of executors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.numeric import (
+    MONEY,
+    exact_avg,
+    exact_sum,
+    oracle_exact_avg,
+    oracle_exact_sum,
+)
+from ..sources.batch import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 — EXACT distinct count via roaring-style bitmaps.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bitmap_distinct",
+    tags=("A2", "A3"),
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+""",
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type via bitmap aggregation
+    (bitmap_bit_position / bitmap_construct_agg / bitmap_count).
+
+    Scale: COUNT(DISTINCT) expands to a two-phase shuffle of the raw
+    distinct values; the bitmap formulation shuffles one fixed-size
+    bitmap per (group, 32k-id bucket) instead — the 100 TB distinct
+    path for dense integer keys.  Bitmaps OR together associatively,
+    so partial aggregation is order- and partitioning-independent."""
+    e = _t(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — HLL datasketches: mergeable approximate distinct.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hll_sketch",
+    tags=("A3",),
+    oracle=None,  # estimate differs from any other engine's HLL impl;
+    # exactness bound asserted in tests/test_batch_queries.py
+)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL rollup: per-(event_type, day) sketches, then
+    hll_union_agg merges the day sketches into a per-type estimate.
+
+    Scale: this is the pre-aggregated-rollup pattern — daily sketches
+    are tiny (4KB) and persistable; any time-range distinct query is
+    then a union of sketches, never a rescan of raw 100 TB data."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — distribution window functions (percent_rank / cume_dist).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_distribution",
+    tags=("W1",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(percent_rank() OVER w, 8) AS pr,
+       round(cume_dist() OVER w, 8) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+""",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist of each order within its customer.
+
+    Ties on o_totalprice are safe: both functions depend only on the
+    value ordering, not on row order within ties.  (rank-1)/(n-1) is
+    an exact integer-ratio IEEE divide — identical in both engines;
+    round(…,8) guards representation anyway.  Scale: partitioned by
+    the high-cardinality customer key — no giant single partition."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 8).alias("pr"),
+        F.round(F.cume_dist().over(w), 8).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rel — scalar subquery (uncorrelated): filter against a global aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scalar_subquery",
+    tags=("J3", "A1"),
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_big,
+       {oracle_exact_sum('o_totalprice', MONEY)} AS sum_big
+FROM orders
+WHERE o_totalprice > (SELECT {oracle_exact_avg('o_totalprice', MONEY)} FROM orders)
+GROUP BY o_orderstatus
+""",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price, per status.
+
+    The scalar subquery is expressed as a broadcast join against a
+    1-row aggregate — exactly Catalyst's own rewrite of an
+    uncorrelated scalar subquery.  The threshold uses the exact
+    scaled-bigint mean so both engines compare against the identical
+    double (no borderline-row flips).  Scale: the 1-row threshold
+    broadcasts; the fact scan streams once."""
+    o = _t(spark, sf_dir, "orders")
+    thr = o.agg(exact_avg("o_totalprice", MONEY).alias("thr"))
+    return (
+        o.join(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            exact_sum("o_totalprice", MONEY).alias("sum_big"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# FN-array — set algebra over token arrays.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a")
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@register(
+    "q_array_setops",
+    tags=("FN-array", "X5"),
+    oracle=f"""
+SELECT doc_id,
+       list_sort(list_distinct(list_intersect(string_split(text, ' '), {_STOP_SQL})))
+           AS stop_hits,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+       CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                x -> NOT list_contains({_STOP_SQL}, x))) AS INT) AS n_nonstop
+FROM documents
+""",
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_intersect / array_except / array_distinct over tokens.
+
+    Spark's set ops dedup and preserve first-array order; DuckDB's
+    differ in order, so both sides sort the materialized array.
+    Scale: pure per-row JVM expressions — no shuffle, codegen'd."""
+    d = _t(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.array_intersect(toks, stop))).alias(
+            "stop_hits"
+        ),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.array_except(toks, stop)).alias("n_nonstop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FN-math/A1 — histogram via width_bucket.
+# ---------------------------------------------------------------------------
+
+_HIST_MAX = 600_000.0
+_HIST_BUCKETS = 12
+_HIST_W = _HIST_MAX / _HIST_BUCKETS  # 50k per bucket
+
+
+@register(
+    "q_histogram",
+    tags=("FN-math", "A1"),
+    oracle=f"""
+SELECT CAST(CASE WHEN o_totalprice >= {_HIST_MAX} THEN {_HIST_BUCKETS + 1}
+            ELSE FLOOR(o_totalprice / {_HIST_W}) + 1 END AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {oracle_exact_sum('o_totalprice', MONEY)} AS total
+FROM orders
+GROUP BY 1
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram via width_bucket.
+
+    Boundary safety: bucket edges are exact-integer multiples of 50000
+    and prices are 2-decimal, so width_bucket's (v-min)*n/(max-min)
+    and the oracle's FLOOR(v/w)+1 always land in the same bucket.
+    Scale: single map-side-combinable agg over 13 groups."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(
+                "o_totalprice",
+                F.lit(0.0),
+                F.lit(_HIST_MAX),
+                F.lit(_HIST_BUCKETS),
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("o_totalprice", MONEY).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — seeded Bernoulli sampling (TABLESAMPLE).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tablesample",
+    tags=("P2",),
+    oracle=None,  # per-partition PRNG — engine-specific row pick;
+    # determinism within Spark asserted in tests/test_batch_queries.py
+)
+def q_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% seeded Bernoulli sample of orders, aggregated per status.
+
+    df.sample(fraction, seed) draws per-partition with a seeded XORShift
+    stream — deterministic for a fixed input layout, which is what a
+    reproducible training-data subsample needs.  Scale: sampling is a
+    narrow (no-shuffle) op; the agg reduces 10% of the scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.sample(fraction=0.1, seed=42)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            exact_sum("o_totalprice", MONEY).alias("sum_sampled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5/FN-math — ANSI-safe try_* arithmetic (NULL instead of error).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_try_arithmetic",
+    tags=("P5", "FN-math"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_extendedprice / l_discount IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ratio
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide: price/discount is NULL (not an error, not Inf) when
+    discount = 0.  DuckDB's double division yields NULL on /0 natively,
+    so the oracle counts the same rows.  Scale: pure codegen map."""
+    li = _t(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(ratio.isNull(), 1).otherwise(0)).alias("n_null_ratio"),
+    )

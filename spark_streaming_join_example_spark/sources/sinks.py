@@ -49,3 +49,27 @@ def to_foreach_batch(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def to_foreach_rows(
+    sdf: DataFrame,
+    process_row: Callable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Per-row foreach sink (push each result row to an external
+    system, e.g. a feature store or alert bus).
+
+    ``process_row(row)`` runs ON THE EXECUTORS, once per output row per
+    partition attempt — it must be idempotent (at-least-once per row;
+    exactly-once needs a keyed upsert on the receiving side).  Prefer
+    ``to_foreach_batch`` at scale: per-row Python calls serialize every
+    row through the Python worker, while foreachBatch keeps the batch
+    as a JVM DataFrame."""
+    w = (
+        sdf.writeStream.foreach(process_row)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -116,3 +116,64 @@ def test_approx_aggregates_within_epsilon(spark, sf_dir):
     ).collect()[0].m
     ex = li.agg(F.percentile("l_extendedprice", F.lit(0.5)).alias("m")).collect()[0].m
     assert abs(apx - ex) / ex < 0.01
+
+
+def test_hll_sketch_within_epsilon_of_exact(spark, sf_dir):
+    """A3: the two-level hll_union_agg rollup estimate lands within the
+    sketch's error bound of exact distinct, proving the merge is
+    lossless-enough (the 100 TB pre-aggregated rollup path)."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark import load_table
+    from spark_streaming_join_example_spark.plans.registry import queries_dict
+
+    got = {
+        r.event_type: r.approx_users
+        for r in queries_dict()["q_hll_sketch"](spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(2, 0.05 * n), (k, got[k], n)
+
+
+def test_tablesample_deterministic_and_in_range(spark, sf_dir):
+    """P2: seeded sample is reproducible run-to-run on a fixed layout
+    and draws ~10% (Bernoulli bounds)."""
+    from spark_streaming_join_example_spark import load_table
+    from spark_streaming_join_example_spark.plans.registry import queries_dict
+
+    fn = queries_dict()["q_tablesample"]
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b
+    total = load_table(spark, sf_dir, "orders").count()
+    sampled = sum(r[1] for r in a)
+    assert 0.05 * total < sampled < 0.15 * total
+
+
+def test_bitmap_distinct_matches_exact(spark, sf_dir):
+    """A2: bitmap_count rollup == countDistinct exactly."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark import load_table
+    from spark_streaming_join_example_spark.plans.registry import queries_dict
+
+    got = {
+        r.event_type: r.n_users
+        for r in queries_dict()["q_bitmap_distinct"](spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact

@@ -597,3 +597,40 @@ def test_foreach_row_sink(spark, sf_dir, tmp_path):
         seen.update(int(x) for x in f.read_text().splitlines())
     batch_ids = {r.event_id for r in _batch_events(spark, sf_dir).select("event_id").collect()}
     assert seen == batch_ids
+
+
+def test_foreach_row_sink(spark, sf_dir, tmp_path):
+    """S5: per-row foreach writer pushes every output row to an
+    external sink callable (executor-side, at-least-once)."""
+    import os
+
+    from spark_streaming_join_example_spark.sources.sinks import to_foreach_rows
+
+    replay = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(replay), n_chunks=3)
+    stream = read_event_stream(spark, str(replay))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "n")
+    )
+    out_dir = tmp_path / "rows"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def process_row(row):
+        # idempotent per (event_type, n): fixed file name per key
+        p = out_dir / f"{row.event_type}_{row.n}"
+        with open(p, "w") as f:
+            f.write(f"{row.event_type},{row.n}\n")
+
+    q = to_foreach_rows(agg, process_row, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    # append-mode day windows closed by the final watermark appear
+    got_types = {p.name.split("_")[0] for p in out_dir.iterdir()}
+    batch_types = {
+        r.event_type
+        for r in _batch_events(spark, sf_dir).select("event_type").distinct().collect()
+    }
+    assert got_types <= batch_types
+    assert len(got_types) >= 3

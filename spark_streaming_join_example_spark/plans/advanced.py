@@ -310,3 +310,66 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(ratio.isNull(), 1).otherwise(0)).alias("n_null_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rel — correlated subquery (per-outer-row aggregate predicate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_correlated_subquery",
+    tags=("J9", "A1"),
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_single_item
+FROM orders o
+WHERE (SELECT COUNT(*) FROM lineitem l
+       WHERE l.l_orderkey = o.o_orderkey) = 1
+GROUP BY o_orderstatus
+""",
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with exactly one lineitem, per status — a correlated
+    scalar subquery through the SQL front door (SURVEY §3.2).
+
+    Catalyst decorrelates this into an aggregate + join (visible in
+    the optimized plan as Project+Join over the grouped lineitem
+    counts) — i.e. the engine plans it like the hand-written groupBy,
+    not one probe per outer row.  Scale: one shuffle of lineitem keyed
+    by l_orderkey, then an equi-join; no nested-loop anywhere."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_adv_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_adv_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_single_item
+        FROM v_adv_orders o
+        WHERE (SELECT COUNT(*) FROM v_adv_lineitem l
+               WHERE l.l_orderkey = o.o_orderkey) = 1
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — Euclidean LSH neighbors via pyspark.ml BucketedRandomProjectionLSH.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_brp_neighbors",
+    tags=("X3",),
+    oracle=None,  # bucket-collision approximate recall — engine-specific;
+    # recall floor asserted in tests/test_extensions.py
+)
+def q_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean near-neighbor pairs via BucketedRandomProjectionLSH
+    (seeded, deterministic buckets).  The ml-pipeline twin of the
+    hand-rolled hyperplane LSH in operators/similarity.py.
+
+    Scale: candidate generation is a self-join on bucket id — work is
+    O(sum of bucket sizes squared), not O(n^2); bucketLength tunes the
+    recall/cost trade."""
+    from ..operators.ml_lsh import ml_brp_neighbors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ml_brp_neighbors(emb, radius=6.0)

@@ -373,3 +373,121 @@ def q_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ml_brp_neighbors(emb, radius=6.0)
+
+
+# ---------------------------------------------------------------------------
+# X1/FN-string — cryptographic content fingerprints (dedup identity keys).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_checksums",
+    tags=("X1", "FN-string"),
+    oracle="""
+SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+FROM documents
+""",
+)
+def q_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 / sha2-256 content hashes per document — the exact-dedup
+    identity key at corpus scale (hash once, dedup/join on the 32-byte
+    digest instead of shuffling full document bodies)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/FN-math — bitwise aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bit_aggs",
+    tags=("A1", "FN-math"),
+    oracle="""
+SELECT event_type,
+       bit_and(user_id) AS band,
+       bit_or(user_id) AS bor,
+       bit_xor(user_id) AS bxor
+FROM events
+GROUP BY event_type
+""",
+)
+def q_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and / bit_or / bit_xor aggregates (commutative+associative →
+    partial-agg friendly; xor-folding is also a cheap set-equality
+    probe across partitions)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("user_id").alias("bxor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FN-array — explode_outer NULL-row semantics on possibly-empty arrays.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_explode_outer",
+    tags=("FN-array",),
+    oracle="""
+SELECT doc_id,
+       unnest(CASE WHEN len(longtoks) = 0
+              THEN [CAST(NULL AS VARCHAR)] ELSE longtoks END) AS tok
+FROM (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> len(t) > 9) AS longtoks
+  FROM documents
+)
+""",
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer keeps a NULL row for documents whose filtered
+    token array is empty (plain explode would silently drop them —
+    a row-count-changing footgun in corpus pipelines)."""
+    d = _t(spark, sf_dir, "documents")
+    longtoks = F.filter(F.split("text", " "), lambda t: F.length(t) > 9)
+    return d.select("doc_id", F.explode_outer(longtoks).alias("tok"))
+
+
+# ---------------------------------------------------------------------------
+# P3 — CSV scalar parse (from_csv round-trip).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_from_csv",
+    tags=("P3",),
+    oracle="""
+SELECT o_orderstatus AS s,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_csv → from_csv round-trip (the delimited-text twin of the
+    from_json Kafka-payload step), then aggregate the PARSED struct —
+    proves the parse is lossless for key/status/price."""
+    o = _t(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",", F.col("o_orderkey"), F.col("o_orderstatus"), F.col("o_totalprice")
+    )
+    parsed = o.select(
+        F.from_csv(line, "k BIGINT, s STRING, p DOUBLE").alias("r")
+    ).select("r.*")
+    return parsed.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("p") * 100.0).cast("long")).cast("double") / 100.0
+        ).alias("total"),
+    )

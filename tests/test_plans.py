@@ -182,3 +182,27 @@ def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     # and the pruned read returns exactly the matching rows
     expect = li.filter(F.col("ship_year") == 1995).count()
     assert q.count() == expect and expect > 0
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir, qd):
+    """The correlated COUNT subquery must rewrite to aggregate+join —
+    one shuffle of lineitem, no per-outer-row re-execution."""
+    p = plan_of(qd["q_correlated_subquery"](spark, sf_dir))
+    assert "HashAggregate" in p and "Join" in p
+    # a non-decorrelated plan would keep a Subquery/InSubquery node
+    assert "Subquery" not in p
+
+
+def test_bitmap_distinct_partials_combine(spark, sf_dir, qd):
+    """Both bitmap agg levels do map-side partials: the shuffle carries
+    one bitmap per (group, bucket), never raw user_ids."""
+    p = plan_of(qd["q_bitmap_distinct"](spark, sf_dir))
+    assert p.count("Aggregate") >= 2
+    assert "bitmap_construct_agg" in p
+
+
+def test_scalar_subquery_threshold_broadcasts(spark, sf_dir, qd):
+    """The 1-row global-average threshold joins via broadcast — the
+    fact scan never shuffles for the comparison."""
+    p = plan_of(qd["q_scalar_subquery"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

@@ -491,3 +491,91 @@ def q_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("p") * 100.0).cast("long")).cast("double") / 100.0
         ).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rel — recursive CTE (Spark 4): calendar spine + gap-filled daily counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_recursive_cte",
+    tags=("A1", "J10"),
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events
+), spine(d) AS (
+  SELECT DATE '2024-01-01'
+  UNION ALL
+  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine WHERE d < DATE '2024-01-30'
+)
+SELECT s.d AS day, CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM ev GROUP BY 1
+) e ON s.d = e.d
+""",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4) date spine, left-joined to per-day
+    event counts — the canonical time-series gap-fill (days with zero
+    events appear as 0, not as missing rows).
+
+    Scale: the spine is O(days) rows from the driver-side recursion;
+    the fact side is one partial-agg'd groupBy — the recursion never
+    touches the 100 TB table."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("v_adv_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT DATE '2024-01-01'
+          UNION ALL
+          SELECT date_add(d, 1) FROM spine WHERE d < DATE '2024-01-30'
+        )
+        SELECT s.d AS day, COALESCE(e.n, CAST(0 AS BIGINT)) AS n_events
+        FROM spine s LEFT JOIN (
+          SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+          FROM v_adv_events GROUP BY 1
+        ) e ON s.d = e.d
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rel — LATERAL join (correlated table subquery with ORDER BY ... LIMIT).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lateral_topk",
+    tags=("W4", "J5"),
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey AS best_order, t.o_totalprice AS best_price
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+) t
+""",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most expensive order per customer through the LATERAL SQL
+    surface (correlated ORDER BY/LIMIT subquery; inner-lateral drops
+    order-less customers — same result as the window top-1).
+
+    Scale note: Catalyst rewrites this lateral into a join + per-key
+    limit, but the window-rank formulation (q_window_rank) is the
+    preferred idiom at 100 TB — this query exists to cover the SQL
+    surface and prove result-equivalence."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_adv_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_adv_orders2")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey AS best_order,
+               t.o_totalprice AS best_price
+        FROM v_adv_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_adv_orders2 o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) t
+        """
+    )

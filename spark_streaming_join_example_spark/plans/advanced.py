@@ -579,3 +579,180 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# A1 — bivariate moments: correlation / covariance.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_corr_cov",
+    tags=("A1", "FN-math"),
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+       round(covar_pop(l_discount, l_tax), 8) AS disc_tax_cov
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample/population covariance per group.
+
+    Both engines use single-pass co-moment accumulation whose partial
+    merge order differs — agreement to well past the rounded digits
+    (relative float error ~1e-15 vs 1e-6 display).  Scale: constant
+    state per group, partial-agg friendly."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_cov"
+        ),
+        F.round(F.covar_pop("l_discount", "l_tax"), 8).alias("disc_tax_cov"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: label balance, stratified sample, seeded split.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_label_balance",
+    tags=("A1", "X3"),
+    oracle="""
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE)
+           / (SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings) AS frac
+FROM embeddings
+GROUP BY label
+""",
+)
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-distribution report over the embedding corpus — the first
+    question of any training-data audit.  frac = bigint/bigint in one
+    IEEE divide, exact in both engines.  Scale: partial-agg'd count +
+    one broadcast scalar."""
+    emb = _t(spark, sf_dir, "embeddings")
+    total = emb.agg(F.count(F.lit(1)).cast("double").alias("tot"))
+    return (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            "label", "n", (F.col("n").cast("double") / F.col("tot")).alias("frac")
+        )
+    )
+
+
+@register(
+    "q_stratified_sample",
+    tags=("P2", "X3"),
+    oracle=None,  # seeded per-partition PRNG pick — Spark-deterministic
+    # only; per-class bounds asserted in tests/test_batch_queries.py
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class sampling fractions via sampleBy (class rebalancing:
+    downsample the majority labels, keep the tail).  Scale: narrow
+    no-shuffle op; fractions map is driver-side tiny."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fractions = {0: 0.2, 1: 0.2, 2: 1.0, 3: 1.0, 4: 0.5}
+    return (
+        emb.sampleBy("label", fractions=fractions, seed=7)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@register(
+    "q_train_test_split",
+    tags=("P2", "X3"),
+    oracle=None,  # rand(seed) stream is engine-specific;
+    # disjointness/coverage asserted in tests/test_batch_queries.py
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 80/20 train-test assignment (rand(seed) < 0.8), reported
+    as per-label split counts.  The assignment column — not randomSplit
+    — is the reproducible idiom: the split travels WITH the row into
+    downstream joins instead of forking two scans."""
+    emb = _t(spark, sf_dir, "embeddings")
+    tagged = emb.withColumn(
+        "split",
+        F.when(F.rand(seed=123) < 0.8, F.lit("train")).otherwise(F.lit("test")),
+    )
+    return tagged.groupBy("label", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# FN-string — URL decomposition + key/value string parsing.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_parse_url",
+    tags=("FN-string", "P3"),
+    oracle="""
+SELECT doc_id,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+FROM (
+  SELECT doc_id,
+         'https://corpus.example/' || source || '/' || CAST(doc_id AS VARCHAR)
+             || '?lang=' || lang AS url
+  FROM documents
+)
+""",
+)
+def q_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url HOST/PATH/QUERY-param extraction over synthesized
+    provenance URLs (the lineage-tracking idiom for web-crawl corpora).
+    Oracle mirrors with regexes.  Scale: per-row JVM expressions."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://corpus.example/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "q_str_to_map",
+    tags=("FN-map", "P3"),
+    oracle="""
+SELECT doc_id,
+       CAST(m['lang'][1] AS VARCHAR) AS m_lang,
+       CAST(m['src'][1] AS VARCHAR) AS m_src
+FROM (
+  SELECT doc_id,
+         MAP(['lang', 'src'], [lang, source]) AS m
+  FROM documents
+)
+""",
+)
+def q_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map: 'k=v,k=v' metadata strings → MapType → field access
+    (the tag-soup parse step for crawl metadata)."""
+    d = _t(spark, sf_dir, "documents")
+    tag = F.concat(
+        F.lit("lang="), F.col("lang"), F.lit(",src="), F.col("source")
+    )
+    m = F.str_to_map(tag, F.lit(","), F.lit("="))
+    return d.select(
+        "doc_id",
+        m.getItem("lang").alias("m_lang"),
+        m.getItem("src").alias("m_src"),
+    )

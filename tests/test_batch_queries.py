@@ -177,3 +177,41 @@ def test_bitmap_distinct_matches_exact(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    """P2: sampleBy keeps ~fraction of each class (Bernoulli bounds)
+    and is reproducible."""
+    from spark_streaming_join_example_spark import load_table
+    from spark_streaming_join_example_spark.plans.registry import queries_dict
+
+    fn = queries_dict()["q_stratified_sample"]
+    got = {r.label: r.n_kept for r in fn(spark, sf_dir).collect()}
+    again = {r.label: r.n_kept for r in fn(spark, sf_dir).collect()}
+    assert got == again
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_class = {r.label: r.n for r in emb.groupBy("label").count().withColumnRenamed("count", "n").collect()}
+    fractions = {0: 0.2, 1: 0.2, 2: 1.0, 3: 1.0, 4: 0.5}
+    for label, frac in fractions.items():
+        expect = per_class[label] * frac
+        kept = got.get(label, 0)
+        if frac == 1.0:
+            assert kept == per_class[label], label
+        else:
+            assert abs(kept - expect) < 4 * (expect**0.5) + 5, (label, kept, expect)
+
+
+def test_train_test_split_disjoint_and_complete(spark, sf_dir):
+    """P2: the seeded split partitions every row exactly once, ~80/20,
+    reproducibly."""
+    from spark_streaming_join_example_spark import load_table
+    from spark_streaming_join_example_spark.plans.registry import queries_dict
+
+    fn = queries_dict()["q_train_test_split"]
+    rows = fn(spark, sf_dir).collect()
+    again = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    total = sum(r.n for r in rows)
+    assert total == load_table(spark, sf_dir, "embeddings").count()
+    train = sum(r.n for r in rows if r.split == "train")
+    assert 0.72 < train / total < 0.88

@@ -190,3 +190,47 @@ def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_multi_format_round_trip(spark, sf_dir, tmp_path):
+    """S1-adjacent: the engine's tables survive a write→read round
+    trip in every batch file format Spark ships (parquet, orc, json,
+    csv) with explicit schemas — no inference jobs, no value drift."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    want = sorted(map(tuple, nation.collect()))
+    schema = nation.schema
+
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / fmt)
+        w = nation.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", True)
+        w.format(fmt).save(path)
+        r = spark.read.schema(schema)
+        if fmt == "csv":
+            r = r.option("header", True)
+        got = sorted(map(tuple, r.format(fmt).load(path).collect()))
+        assert got == want, fmt
+
+
+def test_parquet_writer_options_partitioned_sorted(spark, sf_dir, tmp_path):
+    """Writer surface: partitionBy + sortWithinPartitions + compression
+    produce a layout whose scan still returns identical data."""
+    from spark_streaming_join_example_spark import load_table
+
+    orders = load_table(spark, sf_dir, "orders").limit(1000)
+    path = str(tmp_path / "orders_part")
+    (
+        orders.sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+    got = spark.read.parquet(path)
+    assert got.count() == 1000
+    assert set(got.columns) == set(orders.columns)

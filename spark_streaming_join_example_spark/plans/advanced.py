@@ -756,3 +756,103 @@ def q_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("lang").alias("m_lang"),
         m.getItem("src").alias("m_src"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P3 — XML scalar parse (from_xml + xpath round-trip).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_from_xml",
+    tags=("P3",),
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to-XML → from_xml round-trip (the XML twin of the from_json
+    Kafka step, new in Spark 4), then aggregate the PARSED struct —
+    lossless for lang/n_chars proves the parse.  Scale: per-row JVM
+    expression; no Python."""
+    d = _t(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<doc><lang>"),
+        F.col("lang"),
+        F.lit("</lang><chars>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</chars></doc>"),
+    )
+    parsed = d.select(
+        F.from_xml(xml, "lang STRING, chars BIGINT").alias("r")
+    ).select("r.*")
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("chars").alias("total_chars"),
+    )
+
+
+@register(
+    "q_xpath",
+    tags=("P3", "FN-string"),
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM documents
+GROUP BY source
+""",
+)
+def q_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xpath_string field extraction from synthesized XML provenance
+    records — aggregate over the EXTRACTED fields equals the oracle's
+    aggregate over the originals."""
+    d = _t(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<m><src>"),
+        F.col("source"),
+        F.lit("</src><lang>"),
+        F.col("lang"),
+        F.lit("</lang></m>"),
+    )
+    ex = d.select(
+        F.xpath_string(xml, F.lit("/m/src")).alias("source"),
+        F.xpath_string(xml, F.lit("/m/lang")).alias("xlang"),
+    )
+    return ex.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("xlang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — GROUPING() disambiguation for rollup NULLs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_grouping_id",
+    tags=("A4",),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags distinguish a real NULL group key from a
+    rollup subtotal row — without them subtotal rows are
+    indistinguishable from NULL-keyed data groups."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+    )

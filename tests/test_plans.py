@@ -206,3 +206,18 @@ def test_scalar_subquery_threshold_broadcasts(spark, sf_dir, qd):
     fact scan never shuffles for the comparison."""
     p = plan_of(qd["q_scalar_subquery"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_cached_dimension_scans_memory_not_parquet(spark, sf_dir):
+    """persist(): a cached dim serves later queries from
+    InMemoryTableScan — the reused-dimension pattern that saves one
+    parquet scan per query in a 100-query pipeline."""
+    from spark_streaming_join_example_spark import load_table
+
+    dim = load_table(spark, sf_dir, "nation").cache()
+    try:
+        dim.count()  # materialize
+        p = plan_of(dim.groupBy("n_regionkey").count())
+        assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+    finally:
+        dim.unpersist()

@@ -634,3 +634,34 @@ def test_foreach_row_sink(spark, sf_dir, tmp_path):
     }
     assert got_types <= batch_types
     assert len(got_types) >= 3
+
+
+def test_watermark_bounds_agg_state(spark, sf_dir, replay_dir, tmp_path):
+    """T1/A8 scale proof: the watermark EVICTS closed windows from the
+    state store — final-batch state is a small frontier, not the full
+    history (the property that keeps 100 TB/day streams at O(open
+    windows) state)."""
+    stream = read_event_stream(spark, str(replay_dir))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_bound_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progresses, "no stateful progress recorded"
+    removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses)
+    last_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    emitted = spark.table("state_bound_probe").count()
+    # eviction happened, and the final state frontier is far smaller
+    # than the emitted history
+    assert removed > 0
+    assert last_state < emitted

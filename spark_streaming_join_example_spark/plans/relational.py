@@ -984,7 +984,7 @@ def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("FN-map",),
     oracle="""
 SELECT doc_id,
-       SUM(CASE WHEN tok = 'spark' THEN 1 END) AS n_spark,
+       CAST(SUM(CASE WHEN tok = 'spark' THEN 1 END) AS BIGINT) AS n_spark,
        CAST(COUNT(DISTINCT tok) AS INT) AS n_keys
 FROM (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -856,3 +856,59 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("int").alias("g_prio"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X1/X2 — duplicate-cluster resolution: connected components over
+# near-dup pair edges.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dup_clusters",
+    tags=("X1", "X2"),
+    oracle="""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < 2000
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+), reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS node, LEAST(s, MIN(d)) AS component
+FROM reach GROUP BY s
+""",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: token-Jaccard >= 0.5 pairs (bounded
+    all-pairs, cf. q_jaccard_pairs) -> connected components via
+    min-label propagation (operators/graph.py).  The output is the
+    keep-one-per-cluster key a dedup pipeline groups on.
+
+    Oracle: DuckDB recursive-CTE transitive closure over the same
+    edges — an independent algorithm arriving at the same components.
+    Scale: pair generation is LSH-bucketed in production (X2); the
+    component loop is O(|E|) per round x diameter rounds."""
+    from ..operators.dedup import distinct_tokens, jaccard
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    t = d.select("doc_id", distinct_tokens("text").alias("toks"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    edges = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(jaccard(F.col("a_toks"), F.col("b_toks")) >= 0.5)
+        .select("a_id", "b_id")
+    )
+    return connected_components(edges).select("node", "component")

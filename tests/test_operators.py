@@ -125,3 +125,20 @@ def test_rolling_fingerprint_matches_python(spark):
         return h
 
     assert got == [py_fp(t) for t in texts]
+
+
+def test_connected_components_chain_clique_pair(spark):
+    """Min-label propagation resolves a 4-chain (diameter > 1 round),
+    a triangle, and an isolated pair into the right components."""
+    from spark_streaming_join_example_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["a_id", "b_id"],
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

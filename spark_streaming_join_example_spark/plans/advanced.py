@@ -912,3 +912,67 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
     )
     return connected_components(edges).select("node", "component")
+
+
+# ---------------------------------------------------------------------------
+# A1 — boolean / conditional aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bool_aggs",
+    tags=("A1", "P5"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_totalprice > 500000) AS any_huge
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or — predicate aggregates (all
+    partial-agg friendly single-bit state)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 500000).alias("any_huge"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — argmax/argmin with a deterministic compound ordering key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_minmax_by",
+    tags=("A1", "W4"),
+    oracle="""
+SELECT o_orderstatus,
+       arg_max(o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                   + o_orderkey) AS priciest_order,
+       arg_min(o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                   + o_orderkey) AS cheapest_order
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) per group.  Price ties are broken
+    by folding the unique order key into an exact integer compound
+    (cents*1e7 + key stays < 2^63) — both engines pick the same row,
+    where a bare max_by(key, price) tie is engine-arbitrary."""
+    o = _t(spark, sf_dir, "orders")
+    compound = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10_000_000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", compound).alias("priciest_order"),
+        F.min_by("o_orderkey", compound).alias("cheapest_order"),
+    )

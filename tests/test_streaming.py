@@ -665,3 +665,50 @@ def test_watermark_bounds_agg_state(spark, sf_dir, replay_dir, tmp_path):
     # than the emitted history
     assert removed > 0
     assert last_state < emitted
+
+
+def test_session_window_dynamic_gap(spark, sf_dir, replay_dir, tmp_path):
+    """A7: session_window with a per-row gap COLUMN (shorter sessions
+    for clicks than purchases) — streaming result equals the batch
+    computation on watermark-closed sessions."""
+    gap = F.when(F.col("event_type") == "click", F.lit("2 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+
+    def sessionize_dyn(df):
+        return (
+            df.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.session_window("ts", gap).alias("w"), "user_id", "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                "event_type",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n",
+            )
+        )
+
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(sessionize_dyn(stream), str(tmp_path / "ckpt"), "append")
+    be = _batch_events(spark, sf_dir)
+    full = (
+        be.groupBy(F.session_window("ts", gap).alias("w"), "user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+    max_ts = be.agg(F.max("ts")).collect()[0][0]
+    finalized = full.filter(
+        F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+    out_rows = collect_sorted(out)
+    assert len(out_rows) > 0
+    assert out_rows == collect_sorted(finalized)

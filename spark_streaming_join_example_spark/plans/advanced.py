@@ -976,3 +976,65 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", compound).alias("priciest_order"),
         F.min_by("o_orderkey", compound).alias("cheapest_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X5 — TF-IDF: most-distinctive token per document.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tfidf_top_term",
+    tags=("X5", "A1", "W4"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+             AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                 DESC, tf.tok) AS rn
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok AS top_term, tfidf FROM scored WHERE rn = 1
+""",
+)
+def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-distinctive token per document by TF-IDF — the classic
+    corpus-analysis scoring (keyword extraction / quality filtering).
+
+    Determinism: idf = ln(exact-int ratio) rounded past libm ulp
+    drift; top-1 ties broken lexicographically.  Scale: two
+    partial-agg'd groupBys + a broadcast of the token-df table slice
+    that matters; the window is per-doc (high cardinality)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("tok").alias("top_term"),
+            F.round("tfidf_raw", 6).alias("tfidf"),
+        )
+    )

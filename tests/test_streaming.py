@@ -712,3 +712,33 @@ def test_session_window_dynamic_gap(spark, sf_dir, replay_dir, tmp_path):
     out_rows = collect_sorted(out)
     assert len(out_rows) > 0
     assert out_rows == collect_sorted(finalized)
+
+
+def test_streaming_sql_front_door(spark, sf_dir, replay_dir, tmp_path):
+    """§3.2 for streams: a streaming DataFrame registered as a temp
+    view is queryable with spark.sql — same watermarked windowed agg,
+    same Catalyst incremental plan, same result as the DSL twin."""
+    stream = read_event_stream(spark, replay_dir)
+    stream.withWatermark("ts", "10 minutes").createOrReplaceTempView("sql_events")
+    agg = spark.sql(
+        """
+        SELECT window(ts, '1 day').start AS day, event_type, COUNT(*) AS n
+        FROM sql_events
+        GROUP BY window(ts, '1 day'), event_type
+        """
+    )
+    out = run_to_memory(agg, str(tmp_path / "ckpt"), "append")
+    be = _batch_events(spark, sf_dir)
+    max_ts = be.agg(F.max("ts")).collect()[0][0]
+    full = (
+        be.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("day"), "event_type", "n")
+        .filter(
+            F.col("day") + F.expr("INTERVAL 1 DAY")
+            <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+        )
+    )
+    out_rows = collect_sorted(out)
+    assert len(out_rows) > 0
+    assert out_rows == collect_sorted(full)

@@ -1038,3 +1038,70 @@ def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("tfidf_raw", 6).alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A1 — linear-regression aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_regression_aggs",
+    tags=("A1", "FN-math"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regr_slope/intercept/r2/count — one-pass OLS of price on
+    quantity per group (co-moment state, partial-agg friendly; rounding
+    absorbs partial-merge float drift)."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n_pairs"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FN-datetime — calendar arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_date_arith",
+    tags=("FN-datetime",),
+    oracle="""
+SELECT o_orderkey,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS qtr,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS days_since_95
+FROM orders
+""",
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic battery: last_day / add_months /
+    quarter-trunc / day differences (the partition-key derivations a
+    date-partitioned 100 TB layout is built on)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus3m"),
+        F.to_date(F.date_trunc("quarter", d)).alias("qtr"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+    )

@@ -46,25 +46,25 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # Convergence probe: labels only ever DECREASE, so the total label
+    # sum is strictly monotone until the fixpoint — an unchanged sum
+    # means converged.  One cheap agg per round instead of a
+    # join+count.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_labels = (
             sym.join(labels, sym["d"] == labels["node"])
             .select(F.col("s").alias("node"), "component")
         )
-        new_labels = (
+        labels = (
             labels.select("node", "component")
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels

@@ -1105,3 +1105,45 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FN-map — map higher-order functions, checked against independent
+# arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_map_hofs",
+    tags=("FN-map",),
+    oracle="""
+SELECT doc_id,
+       CAST(n_chars * 2 AS BIGINT) AS chars_x2,
+       CAST((CASE WHEN n_chars * 2 >= 400 THEN 1 ELSE 0 END)
+            + (CASE WHEN len(string_split(text, ' ')) * 2 >= 400
+               THEN 1 ELSE 0 END) AS INT) AS n_big,
+       CAST(n_chars AS BIGINT) AS zip_diff
+FROM documents
+""",
+)
+def q_map_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_values / map_filter / map_zip_with over a per-doc
+    stats map — the oracle computes the same quantities with plain
+    arithmetic, so the HOF semantics are what's under test.
+    Scale: per-row JVM expressions."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("chars"),
+        F.col("n_chars"),
+        F.lit("tokens"),
+        F.size(F.split("text", " ")).cast("long"),
+    )
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    big_only = F.map_filter(doubled, lambda _, v: v >= 400)
+    zipped = F.map_zip_with(m, doubled, lambda _, a, b: b - a)
+    return d.select(
+        "doc_id",
+        F.element_at(doubled, "chars").alias("chars_x2"),
+        F.size(big_only).alias("n_big"),
+        F.element_at(zipped, "chars").alias("zip_diff"),
+    )

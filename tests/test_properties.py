@@ -163,3 +163,45 @@ def test_null_keys_never_join(spark, a, b):
     null_left = [r for r in left if r.k is None]
     assert len(null_left) == sum(1 for ka, _ in a if ka is None)
     assert all(r.w is None for r in null_left)
+
+
+EDGE_LISTS = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=EDGE_LISTS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """Label propagation on a random graph equals a driver-side
+    union-find — independent of partitioning."""
+    from spark_streaming_join_example_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, schema="a_id long, b_id long").repartition(3)
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want

@@ -1147,3 +1147,41 @@ def q_map_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(big_only).alias("n_big"),
         F.element_at(zipped, "chars").alias("zip_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FN-string — edit distance + padding/translate battery.
+# ---------------------------------------------------------------------------
+
+_PANGRAM = "the quick brown fox jumps over the lazy dog"
+
+
+@register(
+    "q_string_battery2",
+    tags=("FN-string",),
+    oracle=f"""
+SELECT doc_id,
+       CAST(levenshtein(substr(text, 1, 24), '{_PANGRAM}') AS INT) AS edit_dist,
+       reverse(lang) AS lang_rev,
+       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+       repeat(lang, 2) AS lang2,
+       translate(source, 'aeiou', 'AEIOU') AS src_caps_vowels
+FROM documents
+""",
+)
+def q_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """levenshtein / reverse / lpad / repeat / translate — the
+    edit-distance member is the fuzzy-match primitive for short keys
+    (exact O(len^2) per pair; at corpus scale use it only as the
+    refine step after an n-gram blocking join, cf. X2)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 24), F.lit(_PANGRAM)).alias(
+            "edit_dist"
+        ),
+        F.reverse("lang").alias("lang_rev"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_key"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.translate("source", "aeiou", "AEIOU").alias("src_caps_vowels"),
+    )

@@ -742,3 +742,31 @@ def test_streaming_sql_front_door(spark, sf_dir, replay_dir, tmp_path):
     out_rows = collect_sorted(out)
     assert len(out_rows) > 0
     assert out_rows == collect_sorted(full)
+
+
+def test_foreach_batch_multi_sink_fanout(spark, sf_dir, tmp_path):
+    """S8: one stream, two sinks per micro-batch (parquet + a
+    driver-side index), atomically keyed by batch_id — the
+    similarity-index-refresh / dual-write idiom."""
+    replay = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(replay), n_chunks=3)
+    stream = read_event_stream(spark, str(replay))
+    out_dir = str(tmp_path / "fan_parquet")
+    seen_batches: dict[int, int] = {}
+
+    def fan_out(bdf, batch_id):
+        bdf.persist()
+        try:
+            bdf.write.mode("append").parquet(out_dir)
+            seen_batches[batch_id] = bdf.count()
+        finally:
+            bdf.unpersist()
+
+    q = stream.writeStream.foreachBatch(fan_out).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    total = _batch_events(spark, sf_dir).count()
+    assert sum(seen_batches.values()) == total
+    assert spark.read.parquet(out_dir).count() == total
+    assert len(seen_batches) >= 2

@@ -16,7 +16,7 @@ Two paths, per the scale mandate:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def as_double_array(col: Column | str) -> Column:
@@ -40,66 +40,109 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _block_pair_groups(emb: DataFrame, n_blocks: int) -> DataFrame:
+    """Replicate rows into triangular block-pair groups for exact
+    distributed all-pairs: row with block b joins every group
+    (min(b, j), max(b, j)) for j in 0..P-1, so any pair of rows meets
+    in exactly one (gi, gj) group, gi <= gj.
+
+    Shuffle volume is O(n·P) rows (NOT O(n²)); per-group compute is
+    O((n/P)²·d) BLAS flops. No driver materialization anywhere — this
+    replaces the round-1 collect()+broadcast kernel whose driver-side
+    full-table materialization was the one non-distributed step in the
+    engine. At 100 TB raise P so n/P fits an executor's Arrow batch.
+    """
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.least(blk, F.lit(j)).alias("gi"),
+                F.greatest(blk, F.lit(j)).alias("gj"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    return (
+        emb.select("vec_id", "embedding")
+        .withColumn("blk", blk)
+        .withColumn("g", F.explode(pairs))
+        .select("vec_id", "embedding", "blk", "g.gi", "g.gj")
+    )
+
+
+def _group_sims(pdf):
+    """Unit-norm BLAS sims for one block-pair group: side A = rows in
+    block gi, side B = rows in block gj (identical when gi == gj).
+
+    Returns (a_ids, b_ids, sims, mask). Within-block groups (gi == gj)
+    mask to the strict upper triangle (a_id < b_id kills self-pairs
+    and mirror duplicates); cross-block groups keep EVERY A×B cell —
+    the two blocks are disjoint, so each unordered pair appears in
+    exactly one cell regardless of which side holds the smaller id
+    (emitters reorient to (min_id, max_id) afterwards)."""
+    import numpy as np
+
+    gi = int(pdf["gi"].iloc[0])
+    gj = int(pdf["gj"].iloc[0])
+    blk = pdf["blk"].to_numpy()
+    a_sel = blk == gi
+    b_sel = blk == gj
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    a_ids, a_mat = ids[a_sel], mat[a_sel]
+    b_ids, b_mat = ids[b_sel], mat[b_sel]
+    sims = a_mat @ b_mat.T
+    if gi == gj:
+        mask = a_ids[:, None] < b_ids[None, :]
+    else:
+        mask = np.ones_like(sims, dtype=bool)
+    return a_ids, b_ids, sims, mask
+
+
 def cosine_topk_pairs(
-    emb: DataFrame, k: int = 10, round_to: int = 6
+    emb: DataFrame, k: int = 10, round_to: int = 6, n_blocks: int = 8
 ) -> DataFrame:
-    """Exact top-k most-similar vector pairs — block matrix-multiply.
+    """Exact top-k most-similar vector pairs — distributed block
+    matrix-multiply, no driver-side materialization.
 
-    The right-hand side (ids + f64 matrix) is broadcast to executors;
-    each Arrow batch of left rows computes a BLAS `A_n @ B_nᵀ` block,
-    keeps its block-local top-3k pairs (a_id < b_id), and only those
-    survive to the global TakeOrderedAndProject. Work is O(n²·d) flops
-    but vectorized, and the shuffled data is O(k·batches), not O(n²).
-
-    At 100 TB the broadcast side becomes the IVF/LSH bucket list
-    (ann_topk_pairs) — this function is the per-bucket kernel.
+    Rows replicate into P(P+1)/2 triangular block-pair groups
+    (_block_pair_groups); each group runs one BLAS `A @ Bᵀ` block and
+    keeps its group-local top-3k (a_id < b_id) pairs; only those reach
+    the global TakeOrderedAndProject. Work is O(n²·d) flops (it is an
+    exact all-pairs) but fully distributed: shuffle O(n·P + k·groups),
+    driver sees k rows. For sub-quadratic compute at extreme n, switch
+    to ann_topk_pairs / ivf_topk_pairs, which reuse this shape per
+    bucket.
 
     Deterministic: ties broken by (a_id, b_id); displayed similarity
     rounded so the last-ulp difference between engines' float math
     can't flip the hash.
     """
-    import numpy as np
-
-    spark = emb.sparkSession
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
     keep = max(3 * k, 64)
 
-    def block_topk(batches):
+    def group_topk(pdf):
+        import numpy as np
         import pandas as pd
 
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = a_mat @ b_mat.T
-            mask = a_ids[:, None] < b_ids[None, :]
-            flat = np.where(mask.ravel(), sims.ravel(), -np.inf)
-            n_take = min(keep, flat.size)
-            idx = np.argpartition(-flat, n_take - 1)[:n_take]
-            idx = idx[np.isfinite(flat[idx])]
-            ai, bi = np.unravel_index(idx, sims.shape)
-            yield pd.DataFrame(
-                {
-                    "a_id": a_ids[ai],
-                    "b_id": b_ids[bi],
-                    "cos_sim": sims[ai, bi],
-                }
+        a_ids, b_ids, sims, mask = _group_sims(pdf)
+        flat = np.where(mask.ravel(), sims.ravel(), -np.inf)
+        n_take = min(keep, flat.size)
+        if n_take == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
             )
+        idx = np.argpartition(-flat, n_take - 1)[:n_take]
+        idx = idx[np.isfinite(flat[idx])]
+        ai, bi = np.unravel_index(idx, sims.shape)
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": sims[ai, bi]})
 
-    # spread the left side so the BLAS blocks run in parallel: ~500
-    # rows per Python worker measured fastest (fewer → task overhead
-    # dominates, more → workers idle). len(rows) is already known from
-    # building the broadcast, so sizing costs nothing.
-    n_parts = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 500))
     cand = (
-        emb.select("vec_id", "embedding")
-        .repartition(n_parts)
-        .mapInPandas(block_topk, "a_id long, b_id long, cos_sim double")
+        _block_pair_groups(emb, n_blocks)
+        .groupBy("gi", "gj")
+        .applyInPandas(group_topk, "a_id long, b_id long, cos_sim double")
     )
     return (
         cand.select("a_id", "b_id", F.round("cos_sim", round_to).alias("cos_sim"))
@@ -232,40 +275,26 @@ def cosine_pairs_above(
     """All vector pairs with cosine ≥ threshold — embedding-based
     near-duplicate detection (the vector twin of Jaccard near-dup).
 
-    Same block matrix-multiply kernel as cosine_topk_pairs, but the
-    block filter is the threshold, so emitted rows ≈ true near-dup
-    pairs (output-sized, not n²-sized).
+    Same distributed block-pair kernel as cosine_topk_pairs (no driver
+    materialization), but the per-group filter is the threshold, so
+    emitted rows ≈ true near-dup pairs (output-sized, not n²-sized).
     """
-    import numpy as np
 
-    spark = emb.sparkSession
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
-
-    def block_filter(batches):
+    def group_filter(pdf):
+        import numpy as np
         import pandas as pd
 
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = a_mat @ b_mat.T
-            keep = (a_ids[:, None] < b_ids[None, :]) & (sims >= threshold)
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "a_id": a_ids[ai],
-                    "b_id": b_ids[bi],
-                    "cos_sim": sims[ai, bi],
-                }
-            )
+        a_ids, b_ids, sims, mask = _group_sims(pdf)
+        keep = mask & (sims >= threshold)
+        ai, bi = np.nonzero(keep)
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": sims[ai, bi]})
 
-    cand = emb.select("vec_id", "embedding").mapInPandas(
-        block_filter, "a_id long, b_id long, cos_sim double"
+    cand = (
+        _block_pair_groups(emb, n_blocks=8)
+        .groupBy("gi", "gj")
+        .applyInPandas(group_filter, "a_id long, b_id long, cos_sim double")
     )
     return cand.select(
         "a_id", "b_id", F.round("cos_sim", round_to).alias("cos_sim")
@@ -379,53 +408,73 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    max_queries: int = 65536,
 ) -> DataFrame:
     """Query-vs-corpus k-nearest-neighbor join: for every query vector,
     its top-k corpus neighbors by cosine → (q_id, n_id, cos_sim, rank).
 
-    The search shape of a retrieval pipeline (distinct from the
-    all-pairs kernels): corpus (ids + unit-norm f64 matrix) broadcasts,
-    queries stream through in Arrow batches, each batch does one BLAS
-    block multiply and an O(n·k) argpartition — no shuffle at all until
-    the (|Q|·k)-row result.
+    The search shape of a retrieval pipeline, oriented for scale: the
+    CORPUS (the side that grows to 100 TB) is never materialized — it
+    streams through Arrow batches; the QUERY set (ids + unit-norm f64
+    matrix) is the broadcast side, bounded by `max_queries` exactly
+    like the IVF quantizer's bounded training sample (the collect is a
+    `limit(max_queries + 1)` plan, never full-table). Each corpus
+    batch does one BLAS block multiply and emits its batch-local top-k
+    per query; a groupBy(q_id) merge reduces batch-local candidates to
+    the global top-k. Shuffle volume is O(|Q|·k·batches), not O(|C|).
 
-    At 100 TB the corpus side outgrows a broadcast; the plan becomes
-    IVF: assign queries to probe cells (ivf_topk_pairs' quantizer),
-    equi-join with cell-bucketed corpus, then this same kernel per
-    cell. Deterministic: ties break by neighbor id.
+    When the QUERY side also outgrows a broadcast, the plan becomes
+    IVF: assign both sides to probe cells (ivf_topk_pairs' quantizer),
+    equi-join on cell, this kernel per cell. Deterministic: ties break
+    by neighbor id.
     """
     import numpy as np
 
     spark = queries.sparkSession
-    rows = corpus.select(id_col, vec_col).collect()
-    c_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    c_mat = np.array([r[1] for r in rows], dtype=np.float64)
-    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"knn_join query side exceeds max_queries={max_queries}; "
+            "route through the IVF cell join for large query sets"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def block_knn(batches):
         import pandas as pd
 
-        n_ids, n_mat = bc.value
-        kk = min(k, len(n_ids))
+        qids, qmat = bc.value
         for pdf in batches:
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-            sims = q_mat @ n_mat.T
-            # stable top-k: order by (-sim, neighbor_id)
-            order = np.lexsort((n_ids[None, :].repeat(len(q_ids), 0), -sims), axis=1)[:, :kk]
-            rows_out = {
-                "q_id": np.repeat(q_ids, kk),
-                "n_id": n_ids[order].ravel(),
-                "cos_sim": np.take_along_axis(sims, order, axis=1).ravel(),
-                "rank": np.tile(np.arange(1, kk + 1), len(q_ids)),
-            }
-            yield pd.DataFrame(rows_out)
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = qmat @ c_mat.T  # |Q| × batch
+            kk = min(k, sims.shape[1])
+            # batch-local stable top-k per query: order by (-sim, n_id)
+            order = np.lexsort(
+                (c_ids[None, :].repeat(len(qids), 0), -sims), axis=1
+            )[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(qids, kk),
+                    "n_id": c_ids[order].ravel(),
+                    "cos_sim": np.take_along_axis(sims, order, axis=1).ravel(),
+                }
+            )
 
-    out = queries.select(id_col, vec_col).mapInPandas(
-        block_knn, "q_id long, n_id long, cos_sim double, rank int"
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        block_knn, "q_id long, n_id long, cos_sim double"
     )
-    return out.select(
-        "q_id", "n_id", F.round("cos_sim", round_to).alias("cos_sim"), "rank"
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round("cos_sim", round_to).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

@@ -180,8 +180,9 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
     tags=("FN-array", "X5"),
     oracle=f"""
 SELECT doc_id,
-       list_sort(list_distinct(list_intersect(string_split(text, ' '), {_STOP_SQL})))
-           AS stop_hits,
+       COALESCE(array_to_string(
+           list_sort(list_distinct(list_intersect(string_split(text, ' '), {_STOP_SQL}))),
+           ','), '') AS stop_hits,
        CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
        CAST(len(list_filter(list_distinct(string_split(text, ' ')),
                 x -> NOT list_contains({_STOP_SQL}, x))) AS INT) AS n_nonstop
@@ -199,9 +200,9 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.array_sort(F.array_distinct(F.array_intersect(toks, stop))).alias(
-            "stop_hits"
-        ),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_intersect(toks, stop))), ","
+        ).alias("stop_hits"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
         F.size(F.array_except(toks, stop)).alias("n_nonstop"),
     )

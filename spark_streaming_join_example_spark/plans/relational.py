@@ -1320,19 +1320,21 @@ def q_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A1", "FN-array"),
     oracle="""
 SELECT lang,
-       list_sort(list(DISTINCT source)) AS sources,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
        CAST(len(list(DISTINCT source)) AS INT) AS n_sources
 FROM documents GROUP BY lang
 """,
 )
 def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set made deterministic: set semantics kill duplicate
-    sensitivity, sort_array kills accumulation-order sensitivity —
-    the only safe way to hash-compare an aggregated array across
-    engines (or across partitionings)."""
+    sensitivity, sort_array kills accumulation-order sensitivity, and
+    array_join serializes to a scalar string — the only cell shape
+    every hasher (including the verification driver's) can take.
+    Array-typed output cells are a hash trap; registered queries
+    always serialize them."""
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
-        F.sort_array(F.collect_set("source")).alias("sources"),
+        F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
         F.size(F.collect_set("source")).alias("n_sources"),
     )
 

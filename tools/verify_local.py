@@ -86,6 +86,25 @@ def main() -> int:
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        # Driver-faithful hashability gate: the verification driver's
+        # value-hasher takes scalar cells only — an array/map/struct
+        # column makes it raise (`TypeError: unhashable type: 'list'`,
+        # the one red row of round 1). Flag such schemas as FAIL here
+        # so the local run catches exactly what the driver would err on.
+        if spec.oracle is not None:
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if bad:
+                print(
+                    f"FAIL {name}: DRIVER-UNHASHABLE non-scalar output "
+                    f"column(s) {bad} — serialize (array_join/to_json) "
+                    f"before registering"
+                )
+                n_fail += 1
+                continue
         if spec.oracle is None:
             print(f"rows-only {name}: {len(srows)} rows  ({time.time()-t0:.2f}s)")
             n_rowsonly += 1

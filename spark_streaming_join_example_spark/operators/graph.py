@@ -39,10 +39,15 @@ def connected_components(
     ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
     sym = sym.localCheckpoint(eager=True)
 
+    # Label init fused with propagation round 1: every node starts at
+    # min(self, direct neighbors) — the same single groupBy shuffle a
+    # bare `.distinct()` init would cost, but one full join+groupBy
+    # round cheaper overall (sym carries both orientations, so min("d")
+    # per s IS the neighbor minimum).
     labels = (
-        sym.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("s").alias("node"))
+        .agg(F.min("d").alias("mind"))
+        .select("node", F.least("node", "mind").alias("component"))
         .localCheckpoint(eager=True)
     )
 

@@ -869,25 +869,36 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dup_clusters",
     tags=("X1", "X2"),
     oracle="""
-WITH RECURSIVE t AS (
+WITH RECURSIVE t AS MATERIALIZED (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
   FROM documents WHERE doc_id < 2000
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id
   FROM t a JOIN t b ON a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a_id AS s, b_id AS d FROM pairs
   UNION ALL
   SELECT b_id, a_id FROM pairs
+), m1 AS MATERIALIZED (
+  -- one min-label contraction round (connectivity-preserving: each
+  -- node merges into a neighbor-or-self), so the recursive closure
+  -- runs on the contracted graph (132 edges here, not 184k)
+  SELECT s, LEAST(s, MIN(d)) AS m FROM edges GROUP BY s
+), e1 AS MATERIALIZED (
+  SELECT DISTINCT x.m AS s, y.m AS d
+  FROM edges e JOIN m1 x ON e.s = x.s JOIN m1 y ON e.d = y.s
+  WHERE x.m <> y.m
 ), reach(s, d) AS (
-  SELECT s, d FROM edges
+  SELECT s, d FROM e1
   UNION
-  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+  SELECT r.s, e.d FROM reach r JOIN e1 e ON r.d = e.s
+), comp1 AS (
+  SELECT s, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s
 )
-SELECT s AS node, LEAST(s, MIN(d)) AS component
-FROM reach GROUP BY s
+SELECT n.s AS node, COALESCE(c.comp, n.m) AS component
+FROM m1 n LEFT JOIN comp1 c ON n.m = c.s
 """,
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,17 +910,47 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive-CTE transitive closure over the same
     edges — an independent algorithm arriving at the same components.
     Scale: pair generation is LSH-bucketed in production (X2); the
-    component loop is O(|E|) per round x diameter rounds."""
-    from ..operators.dedup import distinct_tokens, jaccard
+    component loop is O(|E|) per round x diameter rounds.
+
+    Perf notes (vs the naive form): tokenization is checkpointed once
+    (the self-join would otherwise re-split both sides); the join
+    carries a size prefilter (jac >= t forces t*max(|A|,|B|) <=
+    min(|A|,|B|) — the standard similarity-join length filter, cheap
+    integer compare before any array op); Jaccard needs only ONE
+    array_intersect per surviving pair via |A∪B| = |A|+|B|-|A∩B|."""
+    from ..operators.dedup import distinct_tokens
     from ..operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    t = d.select("doc_id", distinct_tokens("text").alias("toks"))
-    a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
-    b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    t = (
+        d.select("doc_id", distinct_tokens("text").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .localCheckpoint(eager=True)
+    )
+    a = t.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("toks").alias("a_toks"),
+        F.col("n").alias("a_n"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("toks").alias("b_toks"),
+        F.col("n").alias("b_n"),
+    )
+    common = F.size(F.array_intersect(F.col("a_toks"), F.col("b_toks")))
+    jac = common.cast("double") / (
+        F.col("a_n") + F.col("b_n") - common
+    ).cast("double")
     edges = (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .filter(jaccard(F.col("a_toks"), F.col("b_toks")) >= 0.5)
+        a.join(
+            b,
+            (F.col("a_id") < F.col("b_id"))
+            & (
+                F.least("a_n", "b_n").cast("double")
+                >= 0.5 * F.greatest("a_n", "b_n").cast("double")
+            ),
+        )
+        .filter(jac >= 0.5)
         .select("a_id", "b_id")
     )
     return connected_components(edges).select("node", "component")

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructType
 
 
 def read_kafka_stream(
@@ -63,7 +63,15 @@ def parse_json_payload(
 
     Malformed payloads land in ``_corrupt`` (PERMISSIVE mode) instead
     of failing the query — at 100 TB there is always a bad record.
+    from_json only routes bad records to columnNameOfCorruptRecord when
+    that field EXISTS in the schema, so this helper appends a
+    ``_corrupt STRING`` field when the caller's schema lacks one
+    (otherwise bad payloads would silently become all-NULL structs).
     """
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if "_corrupt" not in schema.fieldNames():
+        schema = schema.add("_corrupt", StringType())
     parsed = kafka_df.select(
         F.col("key").cast("string").alias("_key"),
         F.from_json(

@@ -39,20 +39,24 @@ def chunk_events(
 ) -> list[str]:
     """Split events into chronological chunk files under ``out_dir``.
 
-    ``reorder`` remaps chunk positions (e.g. {1: 2, 2: 1} swaps the
-    2nd and 3rd chunk) to craft out-of-order/late-data replays: the
-    file written later carries a later mtime, so the file source
-    delivers it in a later micro-batch even though its event times are
-    older.
+    ``reorder`` maps replay position → chronological chunk index
+    (0-based): {1: 2, 2: 1} plays the 3rd chunk in the 2nd slot and
+    the 2nd chunk in the 3rd slot, crafting out-of-order/late-data
+    replays — the file written later carries a later mtime, so the
+    file source delivers it in a later micro-batch even though its
+    event times are older. The permutation is built in one pass
+    (positions absent from the mapping keep their chunk), so mutually
+    inverse entries like {1: 2, 2: 1} express the swap directly rather
+    than cancelling out as sequential in-place swaps would.
     """
     ensure_runtime_confs(spark)
     raw = spark.read.schema(EVENTS_RAW).parquet(table_path(sf_dir, "events"))
     w = Window.orderBy("ts", "event_id")
     chunked = raw.withColumn("__chunk", F.ntile(n_chunks).over(w))
-    order = list(range(1, n_chunks + 1))
-    if reorder:
-        for a, b in reorder.items():
-            order[a], order[b] = order[b], order[a]
+    reorder = reorder or {}
+    order = [reorder.get(pos, pos) + 1 for pos in range(n_chunks)]
+    if sorted(order) != list(range(1, n_chunks + 1)):
+        raise ValueError(f"reorder is not a permutation: {reorder}")
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for pos, chunk_id in enumerate(order):

@@ -54,6 +54,24 @@ def test_parse_json_payload_corrupt_records_survive(spark):
     assert len(bad) >= 1 and "not json" in bad[0]._corrupt
 
 
+def test_parse_json_payload_appends_corrupt_field(spark):
+    """A schema WITHOUT _corrupt still captures malformed payloads —
+    the helper appends the field (from_json only routes bad records to
+    columnNameOfCorruptRecord when it exists in the schema)."""
+    kdf = _kafka_frame(
+        spark,
+        ['{"user_id": 1, "event_type": "click", "value": 2.0}',
+         'not json at all{{{'],
+    )
+    out = parse_json_payload(kdf, "user_id LONG, event_type STRING, value DOUBLE")
+    assert "_corrupt" in out.columns
+    rows = out.collect()
+    bad = [r for r in rows if r._corrupt is not None]
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt
+    good = [r for r in rows if r._corrupt is None]
+    assert len(good) == 1 and good[0].user_id == 1
+
+
 def test_json_file_streaming_source(spark, sf_dir, tmp_path):
     """S2 (json flavor): chunked JSON replay ≡ the batch frame."""
     be = load_table(spark, sf_dir, "events").select(

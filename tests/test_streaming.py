@@ -129,7 +129,7 @@ def test_late_rows_dropped(spark, sf_dir, tmp_path):
     advanced past them must drop them from the (append) aggregation."""
     late_dir = tmp_path / "late_replay"
     # move the FIRST chronological chunk to arrive LAST
-    chunk_events(spark, sf_dir, str(late_dir), n_chunks=6, reorder={0: 5})
+    chunk_events(spark, sf_dir, str(late_dir), n_chunks=6, reorder={0: 5, 5: 0})
     stream = read_event_stream(spark, str(late_dir), max_files_per_trigger=1)
     agg = jobs.tumbling_counts(stream, watermark="10 minutes")
     out = run_to_memory(agg, str(tmp_path / "ckpt"), "append")
@@ -557,6 +557,63 @@ def test_full_outer_stream_stream_join(spark, sf_dir, replay_dir, tmp_path):
     )
     matched = out.filter(F.col("p_ts").isNotNull() & F.col("c_ts").isNotNull())
     assert matched.count() == bc.join(bp, cond).count()
+
+
+def test_right_outer_stream_stream_join(spark, sf_dir, replay_dir, tmp_path):
+    """J2 right-outer: purchases with no click in the horizon emit
+    null-padded once the watermark passes; matched rows equal the
+    batch inner join (completes the J2 matrix with left/full/semi)."""
+    stream = read_event_stream(spark, replay_dir)
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark(
+        "ts", "30 minutes"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    buys = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "30 minutes"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    out = run_to_memory(
+        clicks.join(buys, cond, "right_outer"), str(tmp_path / "ckpt"), "append"
+    )
+    # purchase-only rows are null-padded on the click side after the
+    # watermark passes their horizon
+    assert out.filter(F.col("c_ts").isNull()).count() > 0
+    assert out.filter(F.col("c_ts").isNotNull()).count() > 0
+    be = _batch_events(spark, sf_dir)
+    bc = be.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    bp = be.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    # matched rows must equal the batch inner join exactly
+    matched = out.filter(F.col("c_ts").isNotNull())
+    assert matched.count() == bc.join(bp, cond).count()
+    # null-padded purchases must be exactly those with NO matching
+    # click in the batch join (no false outer emissions)
+    batch_matched_purchases = {
+        r.purchase_id for r in bc.join(bp, cond).select("purchase_id").collect()
+    }
+    unmatched_purchases = {
+        r.purchase_id
+        for r in out.filter(F.col("c_ts").isNull()).select("purchase_id").collect()
+    }
+    assert unmatched_purchases.isdisjoint(batch_matched_purchases)
 
 
 def test_foreach_row_sink(spark, sf_dir, tmp_path):

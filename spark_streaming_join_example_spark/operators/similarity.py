@@ -100,8 +100,20 @@ def _group_sims(pdf):
     return a_ids, b_ids, sims, mask
 
 
+def _auto_blocks(emb: DataFrame, n_blocks: int | None) -> int:
+    """Pick P so BLAS groups hold ~500 rows (measured fastest: fewer →
+    Python-worker overhead dominates, more → workers idle), bounded to
+    [2, 64] — P² group count must stay sane; past the cap the exact
+    kernel is the wrong tool and ANN/IVF take over anyway. The count()
+    is parquet-metadata-only, not a scan."""
+    if n_blocks is not None:
+        return n_blocks
+    n = emb.count()
+    return max(2, min(64, (n + 499) // 500))
+
+
 def cosine_topk_pairs(
-    emb: DataFrame, k: int = 10, round_to: int = 6, n_blocks: int = 8
+    emb: DataFrame, k: int = 10, round_to: int = 6, n_blocks: int | None = None
 ) -> DataFrame:
     """Exact top-k most-similar vector pairs — distributed block
     matrix-multiply, no driver-side materialization.
@@ -119,6 +131,7 @@ def cosine_topk_pairs(
     rounded so the last-ulp difference between engines' float math
     can't flip the hash.
     """
+    n_blocks = _auto_blocks(emb, n_blocks)
     keep = max(3 * k, 64)
 
     def group_topk(pdf):
@@ -292,7 +305,7 @@ def cosine_pairs_above(
         return pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": sims[ai, bi]})
 
     cand = (
-        _block_pair_groups(emb, n_blocks=8)
+        _block_pair_groups(emb, _auto_blocks(emb, None))
         .groupBy("gi", "gj")
         .applyInPandas(group_filter, "a_id long, b_id long, cos_sim double")
     )

@@ -73,3 +73,93 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the high-diameter scale path: O(log² n) rounds
+    worst-case vs O(diameter) for plain label propagation, with the
+    same O(|E|)-per-round join+groupBy dataflow.
+
+    large-star(u): hook every neighbor v > u onto m(u) = min(Γ⁺(u));
+    small-star(u): hook every neighbor v < u AND u itself onto the
+    minimum of the small neighborhood.  The alternation contracts any
+    graph to a forest of depth-1 stars whose centers are the component
+    minima; labels then read straight off the final edge list.
+
+    Convergence probe: the undirected edge multiset only loses weight
+    (edges hook monotonically toward smaller centers), so an unchanged
+    (count, endpoint-sum) signature means a fixpoint — one tiny agg on
+    the freshly checkpointed edge set per round, same coordination
+    cost discipline as connected_components.
+    """
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a") + F.col("b")).alias("s"),
+        ).collect()[0]
+        return (row.n, row.s)
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # -------- large-star: (v, m(u)) for v in Γ(u), v > u --------
+        sym = e.select("a", "b").union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("minb"))
+            .select("a", F.least("a", "minb").alias("m"))
+        )
+        e = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(m, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # -------- small-star: (v, ms(u)) for v in Γ(u) with v < u, plus (u, ms(u)) --------
+        sym = e.select("a", "b").union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        smaller = sym.filter(F.col("b") < F.col("a"))
+        ms = smaller.groupBy("a").agg(F.min("b").alias("ms"))
+        hooked_spokes = (
+            smaller.join(ms, "a")
+            .select(F.col("b").alias("a"), F.col("ms").alias("b"))
+        )
+        hooked_self = ms.select("a", F.col("ms").alias("b"))
+        e = (
+            hooked_spokes.union(hooked_self)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged: e is a set of (spoke, center) star edges with centers
+    # = component minima; nodes absent from the spoke side are their
+    # own component (singleton stars / isolated after contraction).
+    spokes = e.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("comp"))
+    return (
+        all_nodes.join(spokes, "node", "left")
+        .select("node", F.coalesce("comp", "node").alias("component"))
+    )

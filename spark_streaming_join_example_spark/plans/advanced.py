@@ -865,10 +865,7 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q_dup_clusters",
-    tags=("X1", "X2"),
-    oracle="""
+_DUP_CLUSTERS_ORACLE = """
 WITH RECURSIVE t AS MATERIALIZED (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
   FROM documents WHERE doc_id < 2000
@@ -899,27 +896,16 @@ WITH RECURSIVE t AS MATERIALIZED (
 )
 SELECT n.s AS node, COALESCE(c.comp, n.m) AS component
 FROM m1 n LEFT JOIN comp1 c ON n.m = c.s
-""",
-)
-def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: token-Jaccard >= 0.5 pairs (bounded
-    all-pairs, cf. q_jaccard_pairs) -> connected components via
-    min-label propagation (operators/graph.py).  The output is the
-    keep-one-per-cluster key a dedup pipeline groups on.
+"""
 
-    Oracle: DuckDB recursive-CTE transitive closure over the same
-    edges — an independent algorithm arriving at the same components.
-    Scale: pair generation is LSH-bucketed in production (X2); the
-    component loop is O(|E|) per round x diameter rounds.
 
-    Perf notes (vs the naive form): tokenization is checkpointed once
-    (the self-join would otherwise re-split both sides); the join
-    carries a size prefilter (jac >= t forces t*max(|A|,|B|) <=
-    min(|A|,|B|) — the standard similarity-join length filter, cheap
-    integer compare before any array op); Jaccard needs only ONE
-    array_intersect per surviving pair via |A∪B| = |A|+|B|-|A∩B|."""
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-Jaccard >= 0.5 near-dup edges over documents (shared by
+    both duplicate-cluster queries). Tokenization is checkpointed once;
+    the join carries the standard similarity-join size prefilter
+    (jac >= t forces t*max(|A|,|B|) <= min(|A|,|B|)); Jaccard needs
+    only ONE array_intersect via |A∪B| = |A|+|B|-|A∩B|."""
     from ..operators.dedup import distinct_tokens
-    from ..operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     t = (
@@ -941,7 +927,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = common.cast("double") / (
         F.col("a_n") + F.col("b_n") - common
     ).cast("double")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a_id") < F.col("b_id"))
@@ -953,7 +939,43 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("a_id", "b_id")
     )
-    return connected_components(edges).select("node", "component")
+
+
+@register("q_dup_clusters", tags=("X1", "X2"), oracle=_DUP_CLUSTERS_ORACLE)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: token-Jaccard >= 0.5 pairs (bounded
+    all-pairs, cf. q_jaccard_pairs) -> connected components via
+    min-label propagation (operators/graph.py).  The output is the
+    keep-one-per-cluster key a dedup pipeline groups on.
+
+    Oracle: DuckDB recursive-CTE transitive closure over the same
+    edges — an independent algorithm arriving at the same components.
+    Scale: pair generation is LSH-bucketed in production (X2); the
+    component loop is O(|E|) per round x diameter rounds.
+
+    Edge generation is shared with q_dup_clusters_star (_dup_edges);
+    see that helper for the size-prefilter / single-intersect notes."""
+    from ..operators.graph import connected_components
+
+    return connected_components(_dup_edges(spark, sf_dir)).select(
+        "node", "component"
+    )
+
+
+@register("q_dup_clusters_star", tags=("X1", "X2"), oracle=_DUP_CLUSTERS_ORACLE)
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster resolution as q_dup_clusters but via
+    alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC'14) — the O(log n)-round formulation that stays fast when the
+    duplicate graph has long chains (plain label propagation is
+    O(diameter) rounds).  Three independent algorithms now agree on
+    these components: label propagation, star contraction, and the
+    DuckDB recursive-closure oracle."""
+    from ..operators.graph import connected_components_star
+
+    return connected_components_star(_dup_edges(spark, sf_dir)).select(
+        "node", "component"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1226,4 +1248,101 @@ def q_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_key"),
         F.repeat("lang", 2).alias("lang2"),
         F.translate("source", "aeiou", "AEIOU").alias("src_caps_vowels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — median + deterministic mode.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_median_mode",
+    tags=("A1", "FN-math"),
+    oracle="""
+WITH modes AS (
+  SELECT o_orderstatus, o_orderpriority,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rnk
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), med AS (
+  SELECT l_returnflag AS flag, round(median(l_quantity), 6) AS med_qty,
+         round(median(l_extendedprice), 4) AS med_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT m.o_orderstatus AS grp, m.o_orderpriority AS mode_priority,
+       d.med_qty, d.med_price
+FROM modes m JOIN med d
+  ON d.flag = CASE m.o_orderstatus WHEN 'O' THEN 'N'
+                                   WHEN 'F' THEN 'A' ELSE 'R' END
+WHERE m.rnk = 1
+""",
+)
+def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median() (continuous-interpolation, both engines average the two
+    middle values with identical IEEE math) and a DETERMINISTIC mode:
+    bare mode() is engine-arbitrary on frequency ties, so the mode is
+    formulated as the explicit argmax (count DESC, value ASC) — the
+    same tiebreak discipline q_minmax_by uses for max_by.
+
+    Scale: median is a full-sort-per-group operator (Spark runs it as
+    percentile, a single shuffle + per-group sort); the mode argmax is
+    two hash aggregations + a tiny window over group cardinality."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    modes = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+    )
+    med = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+    )
+    pairing = F.when(F.col("o_orderstatus") == "O", "N").when(
+        F.col("o_orderstatus") == "F", "A"
+    ).otherwise("R")
+    return modes.join(med, med.flag == pairing).select(
+        F.col("o_orderstatus").alias("grp"),
+        F.col("o_orderpriority").alias("mode_priority"),
+        "med_qty",
+        "med_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# FN-map — transform_keys (completes the map-HOF family of q_map_hofs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_transform_keys",
+    tags=("FN-map",),
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+       CAST(n_chars * 2 AS BIGINT) AS doubled
+FROM documents WHERE doc_id < 100
+""",
+)
+def q_transform_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_keys over a built map, verified by extracting through
+    the REKEYED map (upper-cased key) — proves key rewrite happened.
+    Output is serialized to scalars (map cells don't hash)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    m = F.create_map(
+        F.lit("tokens"), F.size(F.split("text", " ")).cast("long"),
+        F.lit("chars"), F.col("n_chars"),
+    )
+    rekeyed = F.transform_keys(m, lambda k, _: F.upper(k))
+    doubled = F.transform_values(rekeyed, lambda _, v: v * 2)
+    return d.select(
+        "doc_id",
+        F.element_at(rekeyed, "TOKENS").cast("int").alias("n_toks"),
+        F.element_at(doubled, "CHARS").alias("doubled"),
     )

@@ -205,3 +205,54 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, schema="a_id long, b_id long").repartition(3)
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == want
+
+
+@given(edges=EDGE_LISTS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_components_match_union_find(spark, edges):
+    """Large-star/small-star CC on a random graph equals a driver-side
+    union-find (same oracle as the label-propagation test — two
+    independent distributed algorithms, one ground truth)."""
+    from spark_streaming_join_example_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, schema="a_id long, b_id long").repartition(3)
+    got = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert got == want
+
+
+def test_star_components_high_diameter(spark):
+    """The case large-star/small-star exists for: a 60-node path
+    (diameter 59) plus a 10-node cycle must resolve in far fewer than
+    diameter rounds (max_iter=12 << 59 would make plain label
+    propagation fail; the star alternation converges in O(log n))."""
+    from spark_streaming_join_example_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    path = [(i, i + 1) for i in range(100, 160)]        # one long chain
+    cycle = [(200 + i, 200 + (i + 1) % 10) for i in range(10)]
+    df = spark.createDataFrame(path + cycle, schema="a_id long, b_id long")
+    got = {r.node: r.component for r in connected_components_star(df, max_iter=12).collect()}
+    assert all(got[n] == 100 for n in range(100, 161))
+    assert all(got[n] == 200 for n in range(200, 210))

@@ -1346,3 +1346,135 @@ def q_transform_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(rekeyed, "TOKENS").cast("int").alias("n_toks"),
         F.element_at(doubled, "CHARS").alias("doubled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X5 — token-distribution entropy (quality scoring signal).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_token_entropy",
+    tags=("X5", "A1"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_toks,
+       round(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+FROM cnt GROUP BY doc_id
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    repetition-detection member of the quality-score family (low
+    entropy = template/spam-like text; filters feed LM-corpus
+    curation).  Algebraic form ln(N) - Σ c·ln(c)/N avoids per-token
+    division and is two hash aggregations — fully partial-aggregable,
+    no window.  round(6) absorbs libm last-ulp drift between engines."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_toks"),
+        F.round(
+            F.log(n) - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))) / n,
+            6,
+        ).alias("entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — sequence packing (concat-and-chunk bin assignment).
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 200  # tokens per packed sequence
+
+
+@register(
+    "q_sequence_pack",
+    tags=("X5", "W3"),
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+         PARTITION BY lang ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_offset,
+       CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+         PARTITION BY lang ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // {_PACK_CAPACITY} AS BIGINT) AS bin
+FROM documents
+""",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LM training data: concatenate documents in
+    a deterministic order (doc_id within language) and chunk the token
+    stream every {capacity} tokens; each doc is assigned the bin its
+    first token lands in.  One running-sum window — no UDF, no loop;
+    the window partitions by language so no single global sort at
+    scale (shard key in production: (lang, shard_id) from a hash).
+
+    This is the concat-then-chunk packing used to build fixed-length
+    training sequences; the companion gather step (group docs by bin)
+    is a groupBy on the emitted bin column."""
+    d = _t(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(n_toks).over(w), F.lit(0)).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_toks.alias("n_toks"),
+        start.alias("start_offset"),
+        F.floor(start / _PACK_CAPACITY).cast("long").alias("bin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1 — prefix dedup (exact-dedup variant on a normalized key).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_prefix_dedup",
+    tags=("X1",),
+    oracle="""
+SELECT substring(text, 1, 32) AS prefix,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+""",
+)
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups by 32-char text prefix — the cheap first pass
+    of a dedup cascade (prefix buckets -> full-content hash -> near-dup
+    LSH), each stage shrinking the candidate set for the next.  Plain
+    groupBy-hash: shuffle carries the 32-byte key only."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.substring("text", 1, 32).alias("prefix"))
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )

@@ -142,3 +142,70 @@ def test_ml_brp_finds_close_vectors(spark, sf_dir):
     pairs = ml_brp_neighbors(emb, radius=6.0).collect()
     assert len(pairs) > 0
     assert all(0 <= r.l2_dist <= 6.0 for r in pairs)
+
+
+def test_block_pair_kernel_matches_hof_join(spark):
+    """The distributed block-pair exact kernel must agree value-for-
+    value with the pure-JVM HOF all-pairs join on random vectors —
+    two independent formulations of the same exact top-k, including
+    odd n not divisible by the block count."""
+    import numpy as np
+
+    from spark_streaming_join_example_spark.operators.similarity import (
+        cosine_topk_pairs,
+        cosine_topk_pairs_hof,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 73, 8
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=d)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, cosine_topk_pairs(emb, k=7, n_blocks=5).collect()))
+    b = sorted(map(tuple, cosine_topk_pairs_hof(emb, k=7).collect()))
+    assert a == b
+
+
+def test_knn_join_matches_numpy_bruteforce(spark):
+    """Corpus-streaming knn_join equals a driver-side brute force
+    (unit-norm f64 matmul + stable (-sim, id) sort)."""
+    import numpy as np
+
+    from spark_streaming_join_example_spark.operators.similarity import knn_join
+
+    rng = np.random.default_rng(11)
+    d = 8
+    q_rows = [(int(i), [float(x) for x in rng.normal(size=d)]) for i in range(6)]
+    c_rows = [
+        (int(100 + i), [float(x) for x in rng.normal(size=d)]) for i in range(57)
+    ]
+    queries = spark.createDataFrame(q_rows, "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(c_rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.q_id, r.rank): r.n_id
+        for r in knn_join(queries, corpus, k=4).collect()
+    }
+    qm = np.array([v for _, v in q_rows], dtype=np.float64)
+    cm = np.array([v for _, v in c_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+    sims = qm @ cm.T
+    c_ids = np.array([i for i, _ in c_rows])
+    for qi, (q_id, _) in enumerate(q_rows):
+        order = np.lexsort((c_ids, -sims[qi]))[:4]
+        for rank, ci in enumerate(order, start=1):
+            assert got[(q_id, rank)] == c_ids[ci]
+
+
+def test_knn_join_rejects_oversized_query_side(spark):
+    """The bounded-broadcast contract: a query side past max_queries
+    must raise, not silently materialize on the driver."""
+    import pytest as _pytest
+
+    from spark_streaming_join_example_spark.operators.similarity import knn_join
+
+    rows = [(int(i), [1.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="max_queries"):
+        knn_join(df, df, k=2, max_queries=10)

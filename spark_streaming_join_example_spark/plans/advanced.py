@@ -1478,3 +1478,141 @@ def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dups") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# X5/X1 — benchmark decontamination (n-gram overlap vs an eval set).
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4  # tokens per shingle
+
+
+@register(
+    "q_decontaminate",
+    tags=("X5", "X1", "J9"),
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(2, len(toks) - {_DECON_N} + 2)),
+           i -> array_to_string(toks[CAST(i AS BIGINT):CAST(i + {_DECON_N} - 1 AS BIGINT)], ' ')
+         ) AS gs
+  FROM corpus
+), flat AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams
+), bench AS (
+  SELECT DISTINCT g FROM flat WHERE doc_id < 10
+)
+SELECT f.doc_id,
+       CAST(COUNT(DISTINCT f.g) AS BIGINT) AS n_hit_grams
+FROM flat f JOIN bench b ON f.g = b.g
+WHERE f.doc_id >= 10
+GROUP BY f.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    8-token shingle with the eval set (doc_id < 10 stands in for the
+    benchmark) — the standard n-gram-overlap contamination check run
+    before LM training.
+
+    Plan: shingle both sides JVM-side (sequence + slice + array_join,
+    no UDF), broadcast the DISTINCT benchmark grams (eval sets are
+    small by definition), hash-join on the gram string, count distinct
+    hits per corpus doc.  At 100 TB the corpus side is a linear scan +
+    explode; the shuffle carries only (doc_id, gram-hash) matches."""
+    d = _t(spark, sf_dir, "documents")
+    # materialize the token array BEFORE the gram lambda: referencing a
+    # fresh split() inside transform() re-evaluates it per gram element
+    # (no CSE across the lambda boundary) — a 20x slowdown measured
+    toked = d.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.lit(1), F.size("toks") - F.lit(_DECON_N - 1)
+                    ),
+                ),
+                lambda i: F.array_join(F.slice("toks", i, _DECON_N), " "),
+            )
+        ).alias("g"),
+    ).localCheckpoint(eager=True)  # shingled once; both join sides reuse
+    bench = (
+        grams.filter(F.col("doc_id") < 10).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hit_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — packed-payload assembly (companion gather step of q_sequence_pack).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pack_payload",
+    tags=("X5", "A1"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, lang, text,
+         CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_PACK_CAPACITY} AS BIGINT) AS bin
+  FROM documents
+)
+SELECT lang, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       md5(string_agg(text, chr(30) ORDER BY doc_id)) AS payload_md5,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+FROM assigned
+GROUP BY lang, bin
+""",
+)
+def q_pack_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gather step of sequence packing: concatenate each bin's
+    documents in doc_id order (record-separator joined) into one
+    training-sequence payload.  Output carries the md5 of the packed
+    payload rather than the payload itself (scalar-hashable, and at
+    100 TB you'd write the payload to the sink, not the result set).
+
+    Order-deterministic aggregation without relying on engine
+    accumulation order: collect_list(struct(doc_id, text)) →
+    array_sort (sorts by the leading struct field) → transform out the
+    text → array_join.  Every step JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(n_toks).over(w), F.lit(0)).cast("long")
+    assigned = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        n_toks.alias("nt"),
+        F.floor(start / _PACK_CAPACITY).cast("long").alias("bin"),
+    )
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+        "\x1e",
+    )
+    return assigned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.md5(packed).alias("payload_md5"),
+        F.sum("nt").alias("n_toks"),
+    )

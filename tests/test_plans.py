@@ -221,3 +221,25 @@ def test_cached_dimension_scans_memory_not_parquet(spark, sf_dir):
         assert "InMemoryTableScan" in p or "InMemoryRelation" in p
     finally:
         dim.unpersist()
+
+
+def test_block_pair_kernel_plan_is_distributed(spark, sf_dir, qd):
+    """The exact similarity kernel must be shuffle-distributed, never
+    driver-materialized: column-pruned scan (vec_id + embedding only),
+    a grouped Arrow stage (FlatMapGroupsInPandas), a TakeOrdered final
+    — and no broadcast of the full embedding table anywhere."""
+    p = plan_of(qd["q_cosine_topk"](spark, sf_dir))
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "embedding" in read_schema and "label" not in read_schema
+    assert "FlatMapGroupsInPandas" in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" not in p
+
+
+def test_knn_join_plan_streams_corpus(spark, sf_dir, qd):
+    """knn_join's registered plan: corpus flows through one Arrow map
+    stage (MapInPandas), global per-query top-k is a window over the
+    batch-local candidates — no corpus-side broadcast/nested-loop."""
+    p = plan_of(qd["q_knn_search"](spark, sf_dir))
+    assert "MapInPandas" in p
+    assert "BroadcastNestedLoopJoin" not in p

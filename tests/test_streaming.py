@@ -827,3 +827,55 @@ def test_foreach_batch_multi_sink_fanout(spark, sf_dir, tmp_path):
     assert sum(seen_batches.values()) == total
     assert spark.read.parquet(out_dir).count() == total
     assert len(seen_batches) >= 2
+
+
+def test_chained_three_way_stream_stream_join(spark, sf_dir, replay_dir, tmp_path):
+    """J2 chained: view ⋈ click ⋈ purchase, two stream-stream interval
+    joins back-to-back (multiple stateful operators in one append
+    pipeline).  The streamed result must equal the identical batch
+    3-way join — per-row, not just by count."""
+    def sides(src):
+        views = src.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        clicks = src.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        buys = src.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        return views, clicks, buys
+
+    cond1 = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    cond2 = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+
+    stream = read_event_stream(spark, replay_dir)
+    sv, sc, sp = sides(stream)
+    sv = sv.withWatermark("v_ts", "30 minutes")
+    sc = sc.withWatermark("c_ts", "30 minutes")
+    sp = sp.withWatermark("p_ts", "30 minutes")
+    funnel = sv.join(sc, cond1).join(sp, cond2).select(
+        "view_id", "click_id", "purchase_id"
+    )
+    out = run_to_memory(funnel, str(tmp_path / "ckpt"), "append")
+
+    be = _batch_events(spark, sf_dir)
+    bv, bc, bp = sides(be)
+    batch = bv.join(bc, cond1).join(bp, cond2).select(
+        "view_id", "click_id", "purchase_id"
+    )
+    assert collect_sorted(out) == collect_sorted(batch)

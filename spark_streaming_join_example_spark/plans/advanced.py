@@ -1616,3 +1616,29 @@ def q_pack_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(packed).alias("payload_md5"),
         F.sum("nt").alias("n_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3 — approximate quantiles (t-digest style percentile_approx).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_approx_quantiles",
+    tags=("A3",),
+    oracle=None,  # sketch estimates are engine-specific; the accuracy
+    # envelope vs exact percentiles is asserted in tests/test_batch_queries.py
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx p50/p90/p99 of order totals per status — the
+    mergeable-sketch quantile path (per-partition digests merge
+    associatively; shuffle carries digests, not rows).  accuracy=10000
+    bounds rank error to ~1e-4·n; the ε envelope against exact
+    percentile() is pinned in pytest.  At 100 TB this replaces exact
+    percentile whenever a full per-group sort is not worth it."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
+    )

@@ -215,3 +215,34 @@ def test_train_test_split_disjoint_and_complete(spark, sf_dir):
     assert total == load_table(spark, sf_dir, "embeddings").count()
     train = sum(r.n for r in rows if r.split == "train")
     assert 0.72 < train / total < 0.88
+
+
+def test_approx_quantiles_envelope(spark, sf_dir):
+    """percentile_approx estimates must sit within a tight rank
+    envelope of the exact per-group percentiles (accuracy=10000 →
+    rank error ~1e-4·n; at fixture n the estimate is near-exact, so a
+    1% value tolerance is generous)."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark import load_table
+
+    qd = queries_dict()
+    got = {
+        r.o_orderstatus: (r.p50, r.p90, r.p99)
+        for r in qd["q_approx_quantiles"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: (r.p50, r.p90, r.p99)
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in got:
+        for a, b in zip(got[k], exact[k]):
+            assert abs(a - b) <= 0.01 * abs(b), (k, a, b)

@@ -879,3 +879,24 @@ def test_chained_three_way_stream_stream_join(spark, sf_dir, replay_dir, tmp_pat
         "view_id", "click_id", "purchase_id"
     )
     assert collect_sorted(out) == collect_sorted(batch)
+
+
+def test_stream_union_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    """Union of two streaming branches (S-family: one source fanned
+    into filtered branches, unioned back) drains to exactly the batch
+    union of the same branches."""
+    stream = read_event_stream(spark, replay_dir)
+    a = stream.filter(F.col("event_type") == "click").select("event_id", "user_id")
+    b = stream.filter(F.col("event_type") == "purchase").select("event_id", "user_id")
+    out = run_to_memory(a.union(b), str(tmp_path / "ckpt"), "append")
+    be = _batch_events(spark, sf_dir)
+    batch = (
+        be.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id")
+        .union(
+            be.filter(F.col("event_type") == "purchase").select(
+                "event_id", "user_id"
+            )
+        )
+    )
+    assert collect_sorted(out) == collect_sorted(batch)

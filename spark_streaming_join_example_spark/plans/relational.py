@@ -1498,3 +1498,111 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J4 at 100 TB — explicit salted skew join (the join twin of q_salted_agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_salted_join",
+    tags=("J4", "T5"),
+    oracle=f"""
+SELECT event_type, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {oracle_exact_sum('value', VALUE)} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY event_type, c_mktsegment
+""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted skew join: the fact side carries a deterministic
+    salt in [0, S); the (small) build side is replicated S times via
+    explode, and the join key becomes (key, salt) — any hot user_id is
+    sharded across S reducers instead of melting one.  Result is
+    provably identical to the plain join (every fact row still meets
+    its one dim row, in exactly one salt shard), which is what the
+    plain-join oracle checks.
+
+    Scale: this is the manual armor for skew AQE cannot fix (e.g. a
+    hot key inside one huge shuffle block on a sorted-bucketed table);
+    replication factor S multiplies only the SMALL side.  Cf.
+    q_salted_agg for the aggregation twin and SCALE.md for when to
+    reach for which."""
+    n_salt = 8
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    fact = ev.withColumn(
+        "_salt", F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(n_salt)).cast("int")
+    )
+    dim = c.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.user_id == dim.c_custkey) & (fact._salt == dim._salt),
+        )
+        .groupBy("event_type", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", VALUE).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — six-table join chain (Catalyst join-ordering showcase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_market_join6",
+    tags=("J5", "J3", "J4", "A1"),
+    oracle=f"""
+SELECT r_name,
+       CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {oracle_exact_sum('l_extendedprice * (1 - l_discount)', VALUE)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE s_nationkey = c_nationkey
+GROUP BY r_name, order_year
+""",
+)
+def q_market_join6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table chain: two fact-fact equi-joins
+    (lineitem⋈orders, ⋈customer) plus three broadcast dims, with the
+    local-supplier predicate (s_nationkey = c_nationkey) applied as a
+    post-join filter Catalyst pushes into the join.
+
+    Scale: the declared plan leaves join ORDER to Catalyst/AQE —
+    cost-based reordering puts the two big shuffles first at minimal
+    width, dims broadcast; no hand-scheduling.  The grouped output is
+    (region × year), tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), VALUE
+            ).alias("revenue"),
+        )
+    )

@@ -1606,3 +1606,4 @@ def q_market_join6(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+

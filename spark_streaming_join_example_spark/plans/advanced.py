@@ -1642,3 +1642,49 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
         F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X5 — deterministic dataset shuffle + shard assignment.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@register(
+    "q_shard_assign",
+    tags=("X5", "O1"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(rn % {_N_SHARDS} AS BIGINT) AS shard,
+       CAST(rn // {_N_SHARDS} AS BIGINT) AS pos_in_shard
+FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS rn
+  FROM documents
+)
+""",
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle + round-robin shard assignment — the
+    'randomize example order, then write N shards' step of training
+    data prep, made deterministic and engine-portable by ordering on
+    md5(seed:id) instead of a RNG (same permutation on any engine, any
+    partitioning, any rerun).
+
+    Scale: the global row_number is the one intentionally-global op;
+    in production you'd range-partition on the hash (each partition
+    knows its offset from a 1-row-per-partition count scan) — the
+    hash ORDER itself is embarrassingly parallel.  Round-robin on the
+    shuffled order gives shards that are i.i.d. samples, so
+    per-shard loss curves are comparable."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(h, "doc_id")
+    rn = F.row_number().over(w) - 1
+    return d.select(
+        "doc_id",
+        (rn % _N_SHARDS).cast("long").alias("shard"),
+        F.floor(rn / _N_SHARDS).cast("long").alias("pos_in_shard"),
+    )

@@ -1688,3 +1688,113 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rn % _N_SHARDS).cast("long").alias("shard"),
         F.floor(rn / _N_SHARDS).cast("long").alias("pos_in_shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P4/P5 — try_cast / try_element_at battery (safe-coercion family).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_try_casts",
+    tags=("P4", "P5"),
+    oracle="""
+SELECT doc_id,
+       TRY_CAST(lang AS INTEGER) AS lang_as_int,
+       TRY_CAST(CAST(doc_id AS VARCHAR) AS INTEGER) AS id_roundtrip,
+       TRY_CAST(substring(text, 1, 3) AS DOUBLE) AS text_as_num,
+       string_split(text, ' ')[1] AS first_tok,
+       CASE WHEN len(string_split(text, ' ')) >= 1000
+            THEN string_split(text, ' ')[1000] END AS tok_1000
+FROM documents WHERE doc_id < 100
+""",
+)
+def q_try_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast (NULL, never error, on bad coercion) and
+    try_element_at (NULL on out-of-bounds index) — the safe-coercion
+    family a 100 TB ingest needs: one malformed cell must not kill a
+    stage.  Oracle: DuckDB TRY_CAST + guarded list index (DuckDB list
+    indexing returns NULL out-of-bounds natively)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("lang_as_int"),
+        F.col("doc_id").cast("string").try_cast("int").alias("id_roundtrip"),
+        F.substring("text", 1, 3).try_cast("double").alias("text_as_num"),
+        F.try_element_at(toks, F.lit(1)).alias("first_tok"),
+        F.try_element_at(toks, F.lit(1000)).alias("tok_1000"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — repetition ratio (max-token-frequency quality score).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_repetition_ratio",
+    tags=("X5", "A1", "W4"),
+    oracle="""
+WITH cnt AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_toks,
+       CAST(MAX(c) AS BIGINT) AS max_tok_freq,
+       round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS rep_ratio
+FROM cnt GROUP BY doc_id
+""",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratio: the most frequent token's share of the
+    document — the cheap complement of q_token_entropy for detecting
+    degenerate/repetitive text (boilerplate, keyword stuffing).  Two
+    hash aggregations, fully partial-aggregable."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_toks"),
+        F.max("c").alias("max_tok_freq"),
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("rep_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/FN — struct column ops (create, nest, access, compare).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_struct_ops",
+    tags=("P1", "A1"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(MAX(struct_pack(p := o_totalprice, k := o_orderkey)).p AS DOUBLE)
+         AS top_price,
+       CAST(MAX(struct_pack(p := o_totalprice, k := o_orderkey)).k AS BIGINT)
+         AS top_key
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct ordering as deterministic argmax: max(struct(price, key))
+    compares field-by-field left-to-right, so the key rides along with
+    its price and ties break on the key — the struct-native form of
+    q_minmax_by's integer-compound trick.  Output unpacks to scalar
+    fields (struct cells don't hash in the driver)."""
+    o = _t(spark, sf_dir, "orders")
+    top = F.max(F.struct("o_totalprice", "o_orderkey"))
+    return o.groupBy("o_orderstatus").agg(
+        top.getField("o_totalprice").alias("top_price"),
+        top.getField("o_orderkey").alias("top_key"),
+    )

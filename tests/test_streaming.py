@@ -900,3 +900,25 @@ def test_stream_union_equivalence(spark, sf_dir, replay_dir, tmp_path):
         )
     )
     assert collect_sorted(out) == collect_sorted(batch)
+
+
+def test_stream_static_right_outer_from_static_left(spark, sf_dir, replay_dir, tmp_path):
+    """J1 matrix completion: static LEFT ⋈ stream RIGHT with
+    right_outer (the stream side is the preserved one — the only
+    outer direction Structured Streaming allows for a static⋈stream
+    join).  Equivalent to the stream-left left_outer; result ≡ batch."""
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = read_event_stream(spark, replay_dir)
+
+    def enrich(ev):
+        return dim.join(
+            ev, ev.user_id == dim.c_custkey, "right_outer"
+        ).select("event_id", "user_id", "c_mktsegment")
+
+    out = run_to_memory(enrich(stream), str(tmp_path / "ckpt"), "append")
+    batch = enrich(_batch_events(spark, sf_dir))
+    assert out.filter(F.col("c_mktsegment").isNull()).count() > 0
+    assert collect_sorted(out) == collect_sorted(batch)

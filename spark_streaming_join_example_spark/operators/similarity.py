@@ -491,3 +491,94 @@ def knn_join(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """k-NN join for query sets too large to broadcast: both sides are
+    assigned to IVF cells (the quantizer trains on a bounded corpus
+    sample, exactly as ivf_topk_pairs), queries probe their n_probe
+    nearest cells, and candidates form only inside a cell — a plain
+    equi-join on cell id, no broadcast of either side.  Exact cosine
+    re-ranks candidates; the global per-query top-k is one window.
+
+    Approximate (recall tuned by n_cells/n_probe, pinned in pytest) —
+    the scale analogue of exact knn_join: O(|Q|·n_probe + |C|) shuffle
+    instead of an O(|Q|·|C|) cross product, AQE splitting any fat cell.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    sample = corpus.select(vec_col).limit(4096).collect()
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = _kmeans_centroids(mat, n_cells, seed=seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign(n_out: int):
+        def fn(batches):
+            import pandas as pd
+
+            c = bc.value
+            for pdf in batches:
+                v = np.array(list(pdf[vec_col]), dtype=np.float64)
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                sims = v @ c.T
+                order = np.argsort(-sims, axis=1)[:, :n_out]
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), n_out),
+                        "cell": order.ravel().astype("int32"),
+                        vec_col: [
+                            pdf[vec_col].iloc[i]
+                            for i in range(n)
+                            for _ in range(n_out)
+                        ],
+                    }
+                )
+
+        return fn
+
+    schema = f"{id_col} long, cell int, {vec_col} array<float>"
+    q_assigned = queries.select(id_col, vec_col).mapInPandas(
+        assign(n_probe), schema
+    )
+    c_assigned = corpus.select(id_col, vec_col).mapInPandas(assign(1), schema)
+    q = q_assigned.select(
+        F.col(id_col).alias("q_id"), "cell", F.col(vec_col).alias("q_vec")
+    )
+    c = c_assigned.select(
+        F.col(id_col).alias("n_id"), "cell", F.col(vec_col).alias("c_vec")
+    )
+    cand = (
+        q.join(c, "cell")
+        .select(
+            "q_id",
+            "n_id",
+            cosine(
+                as_double_array(F.col("q_vec")), as_double_array(F.col("c_vec"))
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["q_id", "n_id"])  # same pair via >1 probed cell
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round("cos_sim", round_to).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -679,3 +679,17 @@ def q_ml_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return ml_minhash_pairs(d, jaccard_threshold=0.9)
+
+
+@register("q_knn_search_ivf", tags=("X3",))
+def q_knn_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-celled k-NN retrieval (no broadcast of either side) — the
+    scale path for query sets too large for q_knn_search's bounded
+    broadcast.  Rows-only; recall vs the exact kernel asserted in
+    tests/test_extensions.py."""
+    from ..operators.similarity import knn_join_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    return knn_join_ivf(queries, corpus, k=5, n_cells=8, n_probe=4)

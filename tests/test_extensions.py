@@ -209,3 +209,30 @@ def test_knn_join_rejects_oversized_query_side(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="max_queries"):
         knn_join(df, df, k=2, max_queries=10)
+
+
+def test_knn_ivf_recall_against_exact(spark, sf_dir):
+    """knn_join_ivf (no broadcast of either side) must recover most of
+    the exact knn_join's neighbor pairs at fixture scale — the recall
+    pin for the large-query-set scale path."""
+    from spark_streaming_join_example_spark.operators.similarity import (
+        knn_join,
+        knn_join_ivf,
+    )
+    from spark_streaming_join_example_spark.sources.batch import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30)
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    exact = {
+        (r.q_id, r.n_id) for r in knn_join(queries, corpus, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.n_id)
+        for r in knn_join_ivf(
+            queries, corpus, k=5, n_cells=8, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f}"

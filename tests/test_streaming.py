@@ -922,3 +922,23 @@ def test_stream_static_right_outer_from_static_left(spark, sf_dir, replay_dir, t
     batch = enrich(_batch_events(spark, sf_dir))
     assert out.filter(F.col("c_mktsegment").isNull()).count() > 0
     assert collect_sorted(out) == collect_sorted(batch)
+
+
+def test_complete_mode_tumbling_agg(spark, sf_dir, replay_dir, tmp_path):
+    """A8 output-mode matrix: COMPLETE re-emits the entire result table
+    each trigger, so the drained final table equals the FULL batch
+    aggregation — including windows append mode would withhold."""
+    stream = read_event_stream(spark, replay_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    out = run_to_memory(agg, str(tmp_path / "ckpt"), "complete")
+    be = _batch_events(spark, sf_dir)
+    full = (
+        be.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    assert collect_sorted(out) == collect_sorted(full)

@@ -219,22 +219,36 @@ def ann_topk_pairs(
     emb: DataFrame,
     k: int = 10,
     dim: int = 64,
-    n_planes: int = 16,
+    n_planes: int | None = None,
     bands: int = 4,
     round_to: int = 6,
 ) -> DataFrame:
-    """Approximate top-k cosine pairs via banded hyperplane LSH.
+    """Approximate top-k cosine pairs via banded hyperplane LSH with a
+    per-bucket BLAS kernel.
 
-    Bands of n_planes/bands bits each; a pair is a candidate if any
-    band matches exactly. Candidates get exact (double) cosine, global
-    top-k with id tiebreaks. Recall vs the exact path is asserted in
-    tests/test_extensions.py.
+    Bands of n_planes/bands sign bits each; a pair is a candidate iff
+    some band matches exactly. Candidates are NEVER materialized as
+    pair rows: each (band, bucket) group runs one unit-norm `A @ Aᵀ`
+    block in applyInPandas and emits only its bucket-local top-3k
+    (a_id < b_id) pairs — shuffle is O(n·bands) vector rows plus
+    O(k·buckets) result rows, not O(Σ bucket²) pairs dragging two
+    vectors each (the round-1 per-pair HOF-join form shuffled ~1 GB at
+    8k vectors; this form shuffles ~32k rows). Cross-band duplicate
+    winners collapse in the final dedup + TakeOrdered.
 
-    Scale: the band-explode + equi-join on (band, bucket) is a plain
-    shuffle join — no quadratic blowup; skewed buckets are split by
-    AQE.
+    Bits per band auto-scale with corpus size (buckets ≈ n/64 per
+    band) so bucket population stays bounded as n grows — the knob a
+    fixed 16-plane signature lacks. Recall vs the exact kernel is
+    asserted in tests/test_extensions.py.
     """
+    import math
+
+    if n_planes is None:
+        n = emb.count()
+        bits = max(2, min(16, math.ceil(math.log2(max(2, n / 64)))))
+        n_planes = bands * bits
     rows_per_band = n_planes // bands
+    keep = max(3 * k, 64)
     sig = emb.select(
         "vec_id",
         as_double_array("embedding").alias("vec"),
@@ -247,36 +261,46 @@ def ann_topk_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.slice("sig", i * rows_per_band + 1, rows_per_band).alias(
-                            "bucket"
-                        ),
+                        F.array_join(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                            "",
+                        ).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
             )
         ).alias("bb"),
     ).select("vec_id", "vec", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("vec").alias("a_vec"),
-        "band",
-        "bucket",
-    )
-    b = banded.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("vec").alias("b_vec"),
-        "band",
-        "bucket",
-    )
+
+    def bucket_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        mask = ids[:, None] < ids[None, :]
+        flat = np.where(mask.ravel(), sims.ravel(), -np.inf)
+        n_take = min(keep, flat.size)
+        if n_take == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+            )
+        idx = np.argpartition(-flat, n_take - 1)[:n_take]
+        idx = idx[np.isfinite(flat[idx])]
+        ai, bi = np.unravel_index(idx, sims.shape)
+        return pd.DataFrame(
+            {"a_id": ids[ai], "b_id": ids[bi], "cos_sim": sims[ai, bi]}
+        )
+
     cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_vec", "b_vec")
+        banded.groupBy("band", "bucket")
+        .applyInPandas(bucket_topk, "a_id long, b_id long, cos_sim double")
         .dropDuplicates(["a_id", "b_id"])
     )
-    cos = cosine(F.col("a_vec"), F.col("b_vec"))
     return (
-        cand.select("a_id", "b_id", F.round(cos, round_to).alias("cos_sim"))
+        cand.select("a_id", "b_id", F.round("cos_sim", round_to).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "a_id", "b_id")
         .limit(k)
     )

@@ -380,9 +380,13 @@ def ivf_topk_pairs(
     hash join, no O(n²) crossJoin); exact cosine re-ranks candidates.
 
     At 100 TB: assignment is a linear mapInPandas pass (d·n_cells flops
-    per row), the per-cell joins shuffle on cell_id (AQE splits any fat
-    cell), and the final top-k is a TakeOrderedAndProject. Recall is
-    tuned by (n_cells, n_probe) exactly as in FAISS-style IVF-Flat.
+    per row); each cell runs ONE unit-norm `A @ Aᵀ` BLAS block in
+    applyInPandas and emits only its cell-local top-3k pairs — like
+    ann_topk_pairs, candidates never materialize as pair rows, so the
+    shuffle is O(n·n_probe) vector rows + O(k·cells) results (AQE
+    splits any fat cell). The final top-k is a TakeOrderedAndProject.
+    Recall is tuned by (n_cells, n_probe) exactly as in FAISS-style
+    IVF-Flat.
     """
     import numpy as np
 
@@ -392,6 +396,7 @@ def ivf_topk_pairs(
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     cent = _kmeans_centroids(mat, n_cells, seed=seed)
     bc = spark.sparkContext.broadcast(cent)
+    keep = max(3 * k, 64)
 
     def assign(batches):
         import pandas as pd
@@ -416,19 +421,31 @@ def ivf_topk_pairs(
     assigned = emb.select("vec_id", "embedding").mapInPandas(
         assign, "vec_id long, cell int, embedding array<float>"
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cand = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            cosine(
-                as_double_array(F.col("a.embedding")),
-                as_double_array(F.col("b.embedding")),
-            ).alias("cos_sim"),
+
+    def cell_topk(pdf):
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat_ = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mat_ /= np.linalg.norm(mat_, axis=1, keepdims=True)
+        sims = mat_ @ mat_.T
+        mask = ids[:, None] < ids[None, :]
+        flat = np.where(mask.ravel(), sims.ravel(), -np.inf)
+        n_take = min(keep, flat.size)
+        if n_take == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+            )
+        idx = np.argpartition(-flat, n_take - 1)[:n_take]
+        idx = idx[np.isfinite(flat[idx])]
+        ai, bi = np.unravel_index(idx, sims.shape)
+        return pd.DataFrame(
+            {"a_id": ids[ai], "b_id": ids[bi], "cos_sim": sims[ai, bi]}
         )
+
+    cand = (
+        assigned.groupBy("cell")
+        .applyInPandas(cell_topk, "a_id long, b_id long, cos_sim double")
         .dropDuplicates(["a_id", "b_id"])  # pairs sharing >1 probed cell
     )
     return (

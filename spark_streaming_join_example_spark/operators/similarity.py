@@ -595,21 +595,39 @@ def knn_join_ivf(
         assign(n_probe), schema
     )
     c_assigned = corpus.select(id_col, vec_col).mapInPandas(assign(1), schema)
-    q = q_assigned.select(
-        F.col(id_col).alias("q_id"), "cell", F.col(vec_col).alias("q_vec")
-    )
-    c = c_assigned.select(
-        F.col(id_col).alias("n_id"), "cell", F.col(vec_col).alias("c_vec")
-    )
-    cand = (
-        q.join(c, "cell")
-        .select(
-            "q_id",
-            "n_id",
-            cosine(
-                as_double_array(F.col("q_vec")), as_double_array(F.col("c_vec"))
-            ).alias("cos_sim"),
+
+    def cell_knn(qpdf, cpdf):
+        import pandas as pd
+
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"q_id": [], "n_id": [], "cos_sim": []}).astype(
+                {"q_id": "int64", "n_id": "int64", "cos_sim": "float64"}
+            )
+        q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+        q_mat = np.array(list(qpdf[vec_col]), dtype=np.float64)
+        q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+        c_ids = cpdf[id_col].to_numpy(dtype=np.int64)
+        c_mat = np.array(list(cpdf[vec_col]), dtype=np.float64)
+        c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+        sims = q_mat @ c_mat.T
+        kk = min(k, sims.shape[1])
+        order = np.lexsort(
+            (c_ids[None, :].repeat(len(q_ids), 0), -sims), axis=1
+        )[:, :kk]
+        return pd.DataFrame(
+            {
+                "q_id": np.repeat(q_ids, kk),
+                "n_id": c_ids[order].ravel(),
+                "cos_sim": np.take_along_axis(sims, order, axis=1).ravel(),
+            }
         )
+
+    # per-cell BLAS via cogroup — queries and corpus rows meet inside
+    # their shared cell only; candidate pairs never materialize as rows
+    cand = (
+        q_assigned.groupby("cell")
+        .cogroup(c_assigned.groupby("cell"))
+        .applyInPandas(cell_knn, "q_id long, n_id long, cos_sim double")
         .dropDuplicates(["q_id", "n_id"])  # same pair via >1 probed cell
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))

@@ -1,16 +1,23 @@
 """Vector similarity search (SURVEY.md §2.11 X3).
 
-Everything is built from JVM-side higher-order array functions
-(zip_with/aggregate) — no Python in the hot path; whole-stage codegen
-keeps the dot products inside one stage.
+One kernel shape everywhere: vectors shuffle into bounded groups
+(triangular block-pairs for exact, LSH buckets / IVF cells for
+approximate), each group runs a unit-norm BLAS `A @ Bᵀ` block in an
+Arrow-batched applyInPandas and emits only its group-local top-3k —
+candidate PAIRS never materialize as rows, so shuffle volume is
+O(n·replication) vector rows + O(k·groups) results, never O(pairs).
+HOF (zip_with/aggregate) formulations are kept for per-row scoring
+and as the UDF-free reference twin (cosine_topk_pairs_hof).
 
-Two paths, per the scale mandate:
-- exact top-k: all-pairs cosine — O(n²), correct, the oracle-checkable
-  baseline (fine to a few 10⁴ vectors);
-- ANN: random-hyperplane LSH bucketing — vectors hash to sign-pattern
-  buckets, candidates only form within a bucket, turning O(n²) into
-  O(Σ bucket²). Deterministic (hyperplanes from a seeded generator),
-  rows-only checked + recall-tested in pytest.
+Paths, per the scale mandate:
+- exact top-k / threshold: distributed block-pair all-pairs — O(n²·d)
+  flops (it is exact), oracle-checked, the per-bucket kernel for the
+  approximate paths;
+- ANN: seeded random-hyperplane LSH, bits-per-band auto-scaled with n;
+- IVF: sample-trained k-means cells, n_probe assignment;
+- knn: corpus-streaming bounded-query broadcast, or IVF-celled cogroup
+  when the query set outgrows a broadcast.
+All seeded/deterministic; approximate paths recall-pinned in pytest.
 """
 
 from __future__ import annotations

@@ -145,3 +145,61 @@ def simhash63(tokens: Column, n_bits: int = 63) -> Column:
             F.lit(0).cast("long")
         )
     return out
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bits: int = 63,
+) -> DataFrame:
+    """Bucketed SimHash near-dup pairs: hamming(a, b) <= max_hamming.
+
+    Pigeonhole blocking: split the fingerprint into (max_hamming + 1)
+    bit chunks — any pair within hamming r must agree EXACTLY on at
+    least one chunk, so candidates form only inside a (chunk_idx,
+    chunk_value) bucket (plain equi-join, same shape as MinHash LSH
+    banding), then bit_count(a XOR b) verifies exactly. Replaces the
+    quadratic all-pairs comparison the fingerprint alone would need —
+    shuffle is O(n·(r+1)) id+chunk rows plus the candidate set.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = n_bits // n_chunks
+    fp = docs.select(
+        F.col(id_col), simhash63(distinct_tokens(text_col)).alias("fp")
+    ).localCheckpoint(eager=True)
+    chunks = fp.select(
+        F.col(id_col),
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("fp", i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(F.col(id_col), "fp", "c.ci", "c.cv")
+    a = chunks.select(
+        F.col(id_col).alias("a_id"), F.col("fp").alias("a_fp"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("b_id"), F.col("fp").alias("b_fp"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_fp", "b_fp")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+    )

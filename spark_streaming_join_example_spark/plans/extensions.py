@@ -693,3 +693,16 @@ def q_knn_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     corpus = emb.filter(F.col("vec_id") >= 100)
     return knn_join_ivf(queries, corpus, k=5, n_cells=8, n_probe=4)
+
+
+@register("q_simhash_pairs", tags=("X2",))
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed SimHash near-dup pairs (hamming <= 3) via pigeonhole
+    chunk blocking — the scalable pairing for the SimHash fingerprints
+    of q_simhash_fingerprints.  Rows-only (xxhash64-based fingerprint
+    is engine-specific); blocking proven LOSSLESS vs brute-force
+    all-pairs hamming in tests/test_extensions.py."""
+    from ..operators.dedup import simhash_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=3)

@@ -236,3 +236,35 @@ def test_knn_ivf_recall_against_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_simhash_banded_pairs_match_bruteforce(spark, sf_dir):
+    """Pigeonhole-bucketed SimHash pairing must find EXACTLY the pairs
+    a brute-force all-pairs hamming comparison finds (blocking by
+    chunk equality is lossless for hamming <= r — pigeonhole)."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.operators.dedup import (
+        distinct_tokens,
+        simhash63,
+        simhash_near_duplicates,
+    )
+    from spark_streaming_join_example_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    fp = docs.select("doc_id", simhash63(distinct_tokens("text")).alias("fp"))
+    a = fp.select(F.col("doc_id").alias("a_id"), F.col("fp").alias("a_fp"))
+    b = fp.select(F.col("doc_id").alias("b_id"), F.col("fp").alias("b_fp"))
+    brute = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp"))).cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+    assert len(brute) > 0  # fixture has near-dups; the test is not vacuous

@@ -1798,3 +1798,72 @@ def q_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.getField("o_totalprice").alias("top_price"),
         top.getField("o_orderkey").alias("top_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FN-string — binary/encoding battery.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_encode_funcs",
+    tags=("FN-string",),
+    oracle="""
+SELECT doc_id,
+       base64(encode(lang)) AS lang_b64,
+       upper(hex(encode(source))) AS src_hex,
+       CAST(octet_length(encode(text)) AS INT) AS text_bytes,
+       lower(to_hex(doc_id)) AS id_hex
+FROM documents WHERE doc_id < 100
+""",
+)
+def q_encode_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64 / hex / octet-length / int-to-hex — the binary-encoding
+    scalars a payload pipeline leans on (checksums, keys, wire
+    formats).  All JVM codegen; no shuffle."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
+        F.upper(F.hex(F.col("source").cast("binary"))).alias("src_hex"),
+        F.octet_length("text").alias("text_bytes"),
+        F.lower(F.hex("doc_id")).alias("id_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 — null-handling battery.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_null_funcs",
+    tags=("P5",),
+    oracle="""
+SELECT doc_id,
+       COALESCE(NULLIF(lang, 'en'), 'default') AS lang_or_default,
+       CASE WHEN NULLIF(n_chars, 0) IS NULL THEN -1 ELSE n_chars END AS chars_nz,
+       GREATEST(n_chars, CAST(doc_id AS BIGINT)) AS g,
+       LEAST(n_chars, CAST(doc_id AS BIGINT)) AS l,
+       CASE WHEN lang = 'en' THEN NULL ELSE lang END IS NULL AS en_blanked
+FROM documents WHERE doc_id < 200
+""",
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / nvl2-shape / greatest / least — NULL
+    plumbing.  nullif + coalesce compose into defaulting rules; the
+    greatest/least pair is the row-wise (not aggregate) min/max.
+    Codegen scalars, no shuffle."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.coalesce(F.nullif("lang", F.lit("en")), F.lit("default")).alias(
+            "lang_or_default"
+        ),
+        F.nvl2(F.nullif("n_chars", F.lit(0)), F.col("n_chars"), F.lit(-1)).alias(
+            "chars_nz"
+        ),
+        F.greatest("n_chars", F.col("doc_id").cast("long")).alias("g"),
+        F.least("n_chars", F.col("doc_id").cast("long")).alias("l"),
+        F.isnull(F.nullif("lang", F.lit("en"))).alias("en_blanked"),
+    )

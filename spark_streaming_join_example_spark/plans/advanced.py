@@ -1867,3 +1867,99 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("n_chars", F.col("doc_id").cast("long")).alias("l"),
         F.isnull(F.nullif("lang", F.lit("en"))).alias("en_blanked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rel — table generator: sequence + explode (generate_series twin).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_generate_series",
+    tags=("P1", "FN-array"),
+    oracle="""
+SELECT r_regionkey,
+       CAST(gs.g AS BIGINT) AS step,
+       CAST(r_regionkey * 10 + gs.g AS BIGINT) AS derived
+FROM region, generate_series(0, 4) AS gs(g)
+""",
+)
+def q_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generator: sequence(0,4) exploded per input row — the
+    DataFrame twin of SQL generate_series / LATERAL VIEW explode,
+    the idiom for calendar spines, bucket skeletons, salt fan-outs.
+    Expand node, no shuffle."""
+    r = _t(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("step"),
+    ).select(
+        "r_regionkey",
+        F.col("step").cast("long").alias("step"),
+        (F.col("r_regionkey") * 10 + F.col("step")).cast("long").alias("derived"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FN-datetime — timestamp difference/add battery (unit arithmetic).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_timestamp_diffs",
+    tags=("FN-datetime",),
+    oracle="""
+SELECT event_id,
+       CAST(date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)
+         AS mins_since_epoch0,
+       CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)
+         AS days_since,
+       CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS unix_s,
+       ts + INTERVAL 90 MINUTE AS ts_plus90m
+FROM events WHERE event_id < 1000
+""",
+)
+def q_timestamp_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestampdiff units (minute/day), unix seconds, interval add —
+    the event-time arithmetic kit under every windowing layer.
+    NOTE DuckDB's date_diff counts UNIT BOUNDARIES crossed while
+    Spark's timestampdiff counts full elapsed units — identical only
+    when the anchor sits ON a boundary (midnight anchor here; a
+    mid-unit anchor would diverge).  Codegen scalars."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    anchor = "TIMESTAMP '2024-01-01 00:00:00'"
+    return e.select(
+        "event_id",
+        F.expr(f"timestampdiff(MINUTE, {anchor}, ts)").alias("mins_since_epoch0"),
+        F.expr(f"timestampdiff(DAY, {anchor}, ts)").alias("days_since"),
+        F.unix_timestamp("ts").alias("unix_s"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus90m"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §3.2 — parameterized SQL front door (named parameter markers).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_parameterized_sql",
+    tags=("P2", "A1"),
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_totalprice > 250000.0
+GROUP BY o_orderstatus
+""",
+)
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql with named parameter markers (:thr) — the injection-
+    safe SQL front door (Spark 4 parameterized queries); the literal
+    binds at parse time, so pushdown/pruning see a constant exactly as
+    if it were inlined."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders_v "
+        "WHERE o_totalprice > :thr GROUP BY o_orderstatus",
+        args={"thr": 250000.0},
+    )

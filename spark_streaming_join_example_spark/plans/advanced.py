@@ -1963,3 +1963,48 @@ def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE o_totalprice > :thr GROUP BY o_orderstatus",
         args={"thr": 250000.0},
     )
+
+
+# ---------------------------------------------------------------------------
+# W2 — value window functions (first/last/nth, IGNORE NULLS).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_value_funcs",
+    tags=("W2", "W3"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       first_value(CASE WHEN o_totalprice > 300000 THEN o_totalprice END
+                   IGNORE NULLS) OVER w AS first_big
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full-partition
+    frame, plus the IGNORE NULLS variant (first value satisfying a
+    predicate — the classic 'first qualifying event' idiom).  The
+    frame is pinned UNBOUNDED/UNBOUNDED because last_value over the
+    default frame (UNBOUNDED..CURRENT ROW) is a famous footgun both
+    engines share; ties on o_orderdate are broken by o_orderkey so
+    every value function is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    big = F.when(F.col("o_totalprice") > 300000, F.col("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.first(big, ignorenulls=True).over(w).alias("first_big"),
+    )

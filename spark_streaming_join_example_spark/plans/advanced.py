@@ -2008,3 +2008,36 @@ def q_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         F.first(big, ignorenulls=True).over(w).alias("first_big"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FN-string — regexp battery 2 (count / instr / substr).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_regexp_battery2",
+    tags=("FN-string",),
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS INT) AS n_ta_words,
+       COALESCE(regexp_extract(text, 'st[a-z]+'), '') AS first_st,
+       CAST(CASE WHEN regexp_matches(text, 'window') THEN 1 ELSE 0 END AS INT)
+         AS has_window
+FROM documents WHERE doc_id < 200
+""",
+)
+def q_regexp_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_count / regexp_substr / rlike — pattern-scan scalars
+    beyond extract/replace (already covered).  regexp_substr returns
+    NULL on no-match in Spark vs '' conventions elsewhere — both sides
+    coalesce to '' so the miss case hashes identically."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("ta[a-z]+")).cast("int").alias("n_ta_words"),
+        F.coalesce(F.regexp_substr("text", F.lit("st[a-z]+")), F.lit("")).alias(
+            "first_st"
+        ),
+        F.col("text").rlike("window").cast("int").alias("has_window"),
+    )

@@ -252,3 +252,36 @@ def test_parquet_writer_options_partitioned_sorted(spark, sf_dir, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 1000
     assert set(got.columns) == set(orders.columns)
+
+
+def test_output_file_count_management(spark, sf_dir, tmp_path):
+    """Output-layout knobs a 100 TB writer lives by: repartition(n)
+    controls file count (one file per task), and maxRecordsPerFile
+    splits oversized tasks — small-file storms and giant-file stragglers
+    are both layout choices, not accidents."""
+    import glob as _glob
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    n_rows = li.count()
+
+    out1 = str(tmp_path / "one_file")
+    li.repartition(1).write.mode("overwrite").parquet(out1)
+    assert len(_glob.glob(out1 + "/*.parquet")) == 1
+
+    out2 = str(tmp_path / "eight_files")
+    li.repartition(8).write.mode("overwrite").parquet(out2)
+    assert len(_glob.glob(out2 + "/*.parquet")) == 8
+
+    cap = max(1, n_rows // 10)
+    out3 = str(tmp_path / "capped")
+    (
+        li.repartition(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", cap)
+        .parquet(out3)
+    )
+    files3 = _glob.glob(out3 + "/*.parquet")
+    assert len(files3) >= 10  # one logical task split into capped files
+    assert spark.read.parquet(out3).count() == n_rows

@@ -942,3 +942,35 @@ def test_complete_mode_tumbling_agg(spark, sf_dir, replay_dir, tmp_path):
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
     assert collect_sorted(out) == collect_sorted(full)
+
+
+def test_rocksdb_provider_agg_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    """Cross-provider equivalence (complements test_sources'
+    RocksDB dedup test): the same windowed aggregation run under
+    RocksDBStateStoreProvider (the 100 TB-state backend — state spills
+    to disk instead of living on the JVM heap) must produce exactly
+    the HDFS-backed/default-provider result."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, replay_dir)
+        out = run_to_memory(
+            jobs.tumbling_counts(stream), str(tmp_path / "ckpt_rocks"), "append"
+        )
+        out_rows = collect_sorted(out)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # default-provider twin on the same replay
+    stream2 = read_event_stream(spark, replay_dir)
+    base = run_to_memory(
+        jobs.tumbling_counts(stream2), str(tmp_path / "ckpt_hdfs"), "append"
+    )
+    assert len(out_rows) > 0
+    assert out_rows == collect_sorted(base)

@@ -243,3 +243,32 @@ def test_knn_join_plan_streams_corpus(spark, sf_dir, qd):
     p = plan_of(qd["q_knn_search"](spark, sf_dir))
     assert "MapInPandas" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_analyze_table_stats_feed_cbo(spark, sf_dir, tmp_path):
+    """Catalog statistics path: ANALYZE TABLE COMPUTE STATISTICS
+    populates rowCount/sizeInBytes, which the cost-based optimizer
+    reads for join ordering and broadcast decisions on catalog tables
+    (fixture-path scans rely on file-size stats instead)."""
+    from spark_streaming_join_example_spark import load_table
+
+    spark.sql("DROP TABLE IF EXISTS nation_stats")
+    load_table(spark, sf_dir, "nation").write.saveAsTable("nation_stats")
+    try:
+        spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+        det = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED nation_stats").collect()
+        }
+        stats = det.get("Statistics", "")
+        assert "rows" in stats and "bytes" in stats
+        # column-level stats exist (distinct count on the join key)
+        cdesc = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                "DESCRIBE EXTENDED nation_stats n_nationkey"
+            ).collect()
+        }
+        assert int(cdesc.get("distinct_count", "0")) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats")

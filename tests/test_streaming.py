@@ -974,3 +974,64 @@ def test_rocksdb_provider_agg_equivalence(spark, sf_dir, replay_dir, tmp_path):
     )
     assert len(out_rows) > 0
     assert out_rows == collect_sorted(base)
+
+
+def test_materialized_view_maintenance(spark, sf_dir, tmp_path):
+    """Incrementally-maintained MV: update-mode agg + dynamic partition
+    overwrite in foreachBatch.  After draining the replay the view
+    equals the batch aggregate; re-running on the same checkpoint
+    changes nothing (idempotent); draining ADDITIONAL data refreshes
+    only the touched groups and the view equals the new batch truth."""
+    from spark_streaming_join_example_spark.streaming.matview import (
+        maintain_counts_view,
+        read_counts_view,
+    )
+
+    replay = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(replay), n_chunks=6)
+    out_dir = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = read_event_stream(spark, str(replay), max_files_per_trigger=None)
+        q = maintain_counts_view(stream, out_dir, ckpt)
+        q.awaitTermination()
+
+    drain()
+    be = _batch_events(spark, sf_dir)
+    expect = be.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+            "sum_value_e6"
+        ),
+    )
+    got = read_counts_view(spark, out_dir).select("event_type", "n", "sum_value_e6")
+    assert collect_sorted(got) == collect_sorted(expect)
+
+    drain()  # restart on drained checkpoint: no-op, view unchanged
+    got2 = read_counts_view(spark, out_dir).select("event_type", "n", "sum_value_e6")
+    assert collect_sorted(got2) == collect_sorted(expect)
+
+    # new data arrives: re-deliver chunk 0 under a new filename; the
+    # next drain must fold exactly those rows into the view
+    import shutil
+
+    files = sorted(glob.glob(str(replay / "chunk_*.parquet")))
+    shutil.copy(files[0], str(replay / "zz_extra.parquet"))
+    drain()
+    extra = spark.read.parquet(str(replay / "zz_extra.parquet")).select(
+        "event_type", "value"
+    )
+    expect3 = (
+        be.select("event_type", "value")
+        .unionByName(extra)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "sum_value_e6"
+            ),
+        )
+    )
+    got3 = read_counts_view(spark, out_dir).select("event_type", "n", "sum_value_e6")
+    assert collect_sorted(got3) == collect_sorted(expect3)

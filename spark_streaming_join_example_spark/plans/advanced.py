@@ -2041,3 +2041,42 @@ def q_regexp_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("text").rlike("window").cast("int").alias("has_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FN-math/A1 — higher statistical moments (skewness / kurtosis).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_higher_moments",
+    tags=("FN-math", "A1"),
+    oracle="""
+WITH mu AS (
+  SELECT o_orderstatus, avg(o_totalprice) AS m
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(avg(pow(o_totalprice - m, 3))
+             / pow(avg(pow(o_totalprice - m, 2)), 1.5), 6) AS skew,
+       round(avg(pow(o_totalprice - m, 4))
+             / pow(avg(pow(o_totalprice - m, 2)), 2) - 3.0, 6) AS kurt
+FROM orders o JOIN mu ON o.o_orderstatus = mu.o_orderstatus
+GROUP BY o.o_orderstatus
+""",
+)
+def q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skewness / kurtosis per group.  Spark computes POPULATION
+    moments (g1, excess g2); DuckDB's built-ins apply sample-bias
+    correction, so the oracle states the population formula explicitly
+    from centered power sums — same estimator, two codebases.
+    round(6) absorbs accumulation-order float drift.  Scale: Spark's
+    implementation is a single-pass mergeable moment sketch (partial
+    aggregation works); the oracle's two-pass form is oracle-only."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.skewness("o_totalprice"), 6).alias("skew"),
+        F.round(F.kurtosis("o_totalprice"), 6).alias("kurt"),
+    )

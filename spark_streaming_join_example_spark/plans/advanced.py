@@ -2080,3 +2080,161 @@ def q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("o_totalprice"), 6).alias("skew"),
         F.round(F.kurtosis("o_totalprice"), 6).alias("kurt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3 — KLL quantile sketch (mergeable two-level rollup, like q_hll_sketch).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_kll_quantiles",
+    tags=("A3",),
+    oracle=None,  # sketch internals are engine-specific; ε vs exact
+    # percentile asserted in tests/test_batch_queries.py
+)
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches with a two-level rollup: per-(status, year)
+    sketches merged into per-status quantiles via kll_merge_agg — the
+    datasketches quantile path (bounded-size, mergeable partials; the
+    persistable-daily-sketch pattern of q_hll_sketch applied to
+    quantiles instead of distinct counts)."""
+    o = _t(spark, sf_dir, "orders")
+    per_year = o.groupBy(
+        "o_orderstatus", F.year("o_orderdate").alias("yr")
+    ).agg(F.expr("kll_sketch_agg_double(o_totalprice)").alias("sk"))
+    return (
+        per_year.groupBy("o_orderstatus")
+        .agg(F.expr("kll_merge_agg_double(sk)").alias("msk"))
+        .select(
+            "o_orderstatus",
+            F.expr("kll_sketch_get_quantile_double(msk, 0.5)").alias("p50"),
+            F.expr("kll_sketch_get_quantile_double(msk, 0.9)").alias("p90"),
+            F.expr("kll_sketch_get_n_double(msk)").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — theta sketches: approximate distinct WITH set algebra.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_theta_setops",
+    tags=("A3", "U2", "U3"),
+    oracle=None,  # sketch estimates are engine-specific; exactness
+    # envelope asserted in tests/test_batch_queries.py
+)
+def q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches: per-event-type distinct-user sketches that
+    support UNION / INTERSECTION across groups — the mergeable way to
+    answer 'users who did A and B' without re-scanning raw data
+    (a plain COUNT DISTINCT cannot intersect two precomputed counts).
+    Scale: sketches are KB-sized; segment sketches persist and any
+    cross-segment set question is sketch algebra, not a 100 TB scan."""
+    e = _t(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    sk.createOrReplaceTempView("theta_by_type")
+    return spark.sql("""
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               theta_sketch_estimate(a.sk) AS est_a,
+               theta_sketch_estimate(b.sk) AS est_b,
+               theta_sketch_estimate(theta_union(a.sk, b.sk)) AS est_union,
+               theta_sketch_estimate(theta_intersection(a.sk, b.sk)) AS est_intersect
+        FROM theta_by_type a JOIN theta_by_type b
+          ON a.event_type < b.event_type
+    """)
+
+
+# ---------------------------------------------------------------------------
+# X5 — PII masking (mask built-in, exact regexp oracle).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mask_pii",
+    tags=("X5", "FN-string"),
+    oracle="""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+           substring(text, 1, 40), '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+           '[0-9]', 'n', 'g') AS masked,
+       regexp_replace(substring(source, 1, 20), '[0-9]', '*', 'g') AS src_digits_starred
+FROM documents WHERE doc_id < 150
+""",
+)
+def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask(): the PII-redaction scalar (upper→X, lower→x, digit→n,
+    other kept) over a text prefix, plus a digits-only custom mask —
+    the anonymization step of a training-data pipeline.  The oracle
+    states mask()'s exact contract as a regexp chain."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return d.select(
+        "doc_id",
+        F.mask(F.substring("text", 1, 40)).alias("masked"),
+        F.expr(
+            "mask(substring(source, 1, 20), NULL, NULL, '*', NULL)"
+        ).alias("src_digits_starred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FN-string — battery 3 (split_part / substring_index / overlay / initcap).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_string_battery3",
+    tags=("FN-string",),
+    oracle="""
+SELECT doc_id,
+       split_part(text, ' ', 2) AS second_tok,
+       CASE WHEN len(string_split(text, ' ')) >= 2
+            THEN string_split(text, ' ')[1] || ' ' || string_split(text, ' ')[2]
+            ELSE text END AS first_two,
+       left(text, 5) AS l5,
+       right(text, 5) AS r5,
+       'prefix-' || lang AS tagged
+FROM documents WHERE doc_id < 150
+""",
+)
+def q_string_battery3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_part / substring_index / left / right / concat — the
+    delimiter-arithmetic string family (key parsing, path splitting).
+    substring_index(s, d, 2) ≡ first two delimited fields."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return d.select(
+        "doc_id",
+        F.split_part("text", F.lit(" "), F.lit(2)).alias("second_tok"),
+        F.substring_index("text", " ", 2).alias("first_two"),
+        F.left("text", F.lit(5)).alias("l5"),
+        F.right("text", F.lit(5)).alias("r5"),
+        F.concat(F.lit("prefix-"), F.col("lang")).alias("tagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FN-string — AES encrypt/decrypt round trip.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_aes_roundtrip",
+    tags=("FN-string",),
+    oracle="""
+SELECT doc_id, lang AS recovered
+FROM documents WHERE doc_id < 100
+""",
+)
+def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aes_decrypt(aes_encrypt(x)) == x (ECB mode so the round trip is
+    deterministic without a shared IV) — column-level encryption for
+    at-rest PII with exact recoverability, oracle = identity."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
+    enc = F.aes_encrypt(F.col("lang"), key, F.lit("ECB"))
+    dec = F.aes_decrypt(enc, key, F.lit("ECB"))
+    return d.select("doc_id", dec.cast("string").alias("recovered"))

@@ -246,3 +246,67 @@ def test_approx_quantiles_envelope(spark, sf_dir):
     for k in got:
         for a, b in zip(got[k], exact[k]):
             assert abs(a - b) <= 0.01 * abs(b), (k, a, b)
+
+
+def test_kll_quantiles_envelope(spark, sf_dir):
+    """KLL sketch quantiles must sit near the exact per-group
+    percentiles (default k → normalized rank error ~1.7%; 5% value
+    tolerance on this smooth distribution is generous) and n must be
+    exact (the sketch counts every update)."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark import load_table
+
+    qd = queries_dict()
+    got = {
+        r.o_orderstatus: (r.p50, r.p90, r.n)
+        for r in qd["q_kll_quantiles"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: (r.p50, r.p90, r.n)
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in got:
+        assert got[k][2] == exact[k][2]  # n exact
+        for a, b in zip(got[k][:2], exact[k][:2]):
+            assert abs(a - b) <= 0.05 * abs(b), (k, a, b)
+
+
+def test_theta_setops_envelope(spark, sf_dir):
+    """Theta sketch estimates vs exact set cardinalities: per-type
+    estimates, unions, and intersections all within 5% (theta default
+    k=4096 → ~1.6% RSE; intersections amplify error, hence the loose
+    bound) — and the set-algebra invariants hold."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark import load_table
+
+    qd = queries_dict()
+    rows = qd["q_theta_setops"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    e = load_table(spark, sf_dir, "events")
+    users = {
+        t: {r.user_id for r in e.filter(F.col("event_type") == t)
+            .select("user_id").distinct().collect()}
+        for t in [r.event_type for r in e.select("event_type").distinct().collect()]
+    }
+    for r in rows:
+        ua, ub = users[r.type_a], users[r.type_b]
+        for est, exact in (
+            (r.est_a, len(ua)),
+            (r.est_b, len(ub)),
+            (r.est_union, len(ua | ub)),
+            (r.est_intersect, len(ua & ub)),
+        ):
+            assert abs(est - exact) <= max(5, 0.05 * exact), (r, est, exact)
+        # algebra invariants: |A∪B| <= |A|+|B|, |A∩B| <= min(|A|,|B|)
+        assert r.est_union <= r.est_a + r.est_b + 5
+        assert r.est_intersect <= min(r.est_a, r.est_b) + 5

@@ -2238,3 +2238,74 @@ def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = F.aes_encrypt(F.col("lang"), key, F.lit("ECB"))
     dec = F.aes_decrypt(enc, key, F.lit("ECB"))
     return d.select("doc_id", dec.cast("string").alias("recovered"))
+
+
+# ---------------------------------------------------------------------------
+# FN-datetime — calendar battery 2 (construction + field extraction).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_calendar_battery2",
+    tags=("FN-datetime",),
+    oracle="""
+SELECT o_orderkey,
+       make_date(2025, CAST(date_part('month', o_orderdate) AS INT), 1)
+         AS month_anchor,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       CAST(date_part('doy', o_orderdate) AS INT) AS doy,
+       CAST(CASE WHEN dayofweek(o_orderdate) = 0 THEN 1
+                 ELSE dayofweek(o_orderdate) + 1 END AS INT) AS dow_sun1
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def q_calendar_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_date / trunc-to-month / ISO week / day-of-year /
+    day-of-week — calendar construction + extraction.  Cross-engine
+    trap: Spark dayofweek is 1=Sunday..7=Saturday, DuckDB 0=Sunday..6
+    — the oracle restates Spark's convention explicitly."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.make_date(F.lit(2025), F.month("o_orderdate"), F.lit(1)).alias(
+            "month_anchor"
+        ),
+        F.trunc("o_orderdate", "month").alias("month_start"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — JSON path accessors (get_json_object / json_tuple / lengths).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_paths",
+    tags=("P3",),
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.device') AS device,
+       json_extract_string(props, '$.session') AS session_id,
+       CAST(json_array_length(props, '$.tags') AS INT) AS n_tags
+FROM events WHERE event_id < 2000
+""",
+)
+def q_json_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-based JSON accessors — get_json_object ($.path string
+    extraction) and json_tuple (multi-field single-parse) — the
+    schema-on-read complement of the from_json struct decode
+    (q_json_extract).  json_array_length counts without
+    materializing the array."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    jt = e.select(
+        "event_id",
+        F.json_tuple("props", "device", "session").alias("device", "session_id"),
+        F.json_array_length(F.get_json_object("props", "$.tags")).alias(
+            "n_tags"
+        ),
+    )
+    return jt

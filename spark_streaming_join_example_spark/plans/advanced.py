@@ -2309,3 +2309,143 @@ def q_json_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return jt
+
+
+# ---------------------------------------------------------------------------
+# A1 — ordered string aggregation (listagg WITHIN GROUP).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_listagg",
+    tags=("A1", "FN-string"),
+    oracle="""
+SELECT lang,
+       string_agg(source, ',' ORDER BY source) AS sources_csv,
+       string_agg(DISTINCT source, '|' ORDER BY source) AS distinct_csv
+FROM (SELECT DISTINCT lang, source FROM documents)
+GROUP BY lang
+""",
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg with WITHIN GROUP (ORDER BY ...) — deterministic ordered
+    string aggregation (Spark 4), the SQL-standard successor of the
+    collect_list→sort→join idiom used elsewhere (q_pack_payload)."""
+    d = _t(spark, sf_dir, "documents").select("lang", "source").distinct()
+    d.createOrReplaceTempView("lang_sources")
+    return spark.sql("""
+        SELECT lang,
+               listagg(source, ',') WITHIN GROUP (ORDER BY source)
+                 AS sources_csv,
+               listagg(DISTINCT source, '|') WITHIN GROUP (ORDER BY source)
+                 AS distinct_csv
+        FROM lang_sources GROUP BY lang
+    """)
+
+
+# ---------------------------------------------------------------------------
+# FN-array — battery 2 (zip / flatten / repeat / position / contains).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_array_battery2",
+    tags=("FN-array",),
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 150)
+SELECT doc_id,
+       CAST(len(flatten([toks[1:2], toks[3:4]])) AS INT) AS flat_n,
+       array_to_string(list_transform(range(1, 4), i -> toks[1]), ',') AS rep3,
+       CAST(COALESCE(list_position(toks, 'table'), 0) AS INT) AS table_pos,
+       list_contains(toks, 'spark') AS has_spark,
+       CAST(greatest(len(toks), 0) AS INT) AS cardinality_
+FROM t
+""",
+)
+def q_array_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten / array_repeat / array_position / array_contains /
+    cardinality — the remaining array-shape operators (serialized or
+    scalar outputs only; arrays themselves never leave the plan)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2)))
+        ).alias("flat_n"),
+        F.array_join(
+            F.array_repeat(F.element_at(toks, 1), 3), ","
+        ).alias("rep3"),
+        F.array_position(toks, "table").cast("int").alias("table_pos"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.cardinality(toks).alias("cardinality_"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FN-math — bitwise / radix battery (bin, conv, getbit, shifts).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bitwise_battery",
+    tags=("FN-math",),
+    oracle="""
+SELECT o_orderkey,
+       bin(o_orderkey) AS bits,
+       CAST(o_orderkey % 2 AS INT) AS bit0,
+       CAST(o_orderkey * 8 AS BIGINT) AS shl3,
+       CAST(o_orderkey // 4 AS BIGINT) AS shr2,
+       xor(o_orderkey, 255) AS xored
+FROM orders WHERE o_orderkey < 3000
+""",
+)
+def q_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bin / getbit / shiftleft / shiftright / xor — integer bit
+    plumbing (bucket ids, bloom/bitmap addressing, key packing).
+    Shifts restated as *8 and //4 in the oracle: identical for the
+    non-negative keys here, and DuckDB's >> on INT32 differs from
+    Spark's on sign-extension so the arithmetic form is the portable
+    truth."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        F.bin("o_orderkey").alias("bits"),
+        F.getbit("o_orderkey", F.lit(0)).cast("int").alias("bit0"),
+        F.shiftleft("o_orderkey", 3).cast("long").alias("shl3"),
+        F.shiftright("o_orderkey", 2).cast("long").alias("shr2"),
+        F.col("o_orderkey").bitwiseXOR(F.lit(255)).alias("xored"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FN-string — formatting battery (format_number / format_string / to_char).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_format_funcs",
+    tags=("FN-string",),
+    oracle="""
+SELECT o_orderkey,
+       printf('%08d|%s', o_orderkey, o_orderstatus) AS packed_key,
+       printf('%.2f', round(o_totalprice, 2)) AS price_2dp,
+       CAST(round(o_totalprice, 0) AS BIGINT) AS price_rounded
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def q_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_string (printf-style packing — composite keys, log
+    lines) and fixed-point formatting.  %.2f goes through an explicit
+    round() first: printf alone half-rounds differently across libc
+    implementations; round-then-format is the portable form."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.format_string("%08d|%s", "o_orderkey", "o_orderstatus").alias(
+            "packed_key"
+        ),
+        F.format_string("%.2f", F.round("o_totalprice", 2)).alias("price_2dp"),
+        F.round("o_totalprice", 0).cast("long").alias("price_rounded"),
+    )

@@ -2449,3 +2449,43 @@ def q_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%.2f", F.round("o_totalprice", 2)).alias("price_2dp"),
         F.round("o_totalprice", 0).cast("long").alias("price_rounded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FN-math — transcendental battery (trig / log / exp).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_math_battery2",
+    tags=("FN-math",),
+    oracle="""
+SELECT o_orderkey,
+       round(sin(radians(o_totalprice % 360)), 8) AS s,
+       round(cos(radians(o_totalprice % 360)), 8) AS c,
+       round(atan2(CAST(o_orderkey % 7 AS DOUBLE), 3.0), 8) AS a2,
+       round(ln(o_totalprice), 8) AS lnp,
+       round(log10(o_totalprice), 8) AS log10p,
+       round(exp(o_totalprice / 1000000.0), 8) AS e_small,
+       round(cbrt(o_totalprice), 8) AS cbrtp
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def q_math_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sin/cos/atan2/radians/ln/log10/exp/cbrt — transcendental
+    scalars (feature engineering: cyclical encodings, log transforms).
+    round(8) absorbs libm last-ulp differences between engines."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    deg = F.col("o_totalprice") % 360
+    return o.select(
+        "o_orderkey",
+        F.round(F.sin(F.radians(deg)), 8).alias("s"),
+        F.round(F.cos(F.radians(deg)), 8).alias("c"),
+        F.round(
+            F.atan2((F.col("o_orderkey") % 7).cast("double"), F.lit(3.0)), 8
+        ).alias("a2"),
+        F.round(F.log("o_totalprice"), 8).alias("lnp"),
+        F.round(F.log10("o_totalprice"), 8).alias("log10p"),
+        F.round(F.exp(F.col("o_totalprice") / 1_000_000.0), 8).alias("e_small"),
+        F.round(F.cbrt("o_totalprice"), 8).alias("cbrtp"),
+    )

@@ -167,7 +167,8 @@ def simhash_near_duplicates(
     n_chunks = max_hamming + 1
     chunk_bits = n_bits // n_chunks
     fp = docs.select(
-        F.col(id_col), simhash63(distinct_tokens(text_col)).alias("fp")
+        F.col(id_col),
+        simhash63(distinct_tokens(text_col), n_bits=n_bits).alias("fp"),
     ).localCheckpoint(eager=True)
     chunks = fp.select(
         F.col(id_col),

@@ -107,6 +107,30 @@ def _group_sims(pdf):
     return a_ids, b_ids, sims, mask
 
 
+def _pairs_topk_frame(ids_a, ids_b, sims, mask, keep, reorient=False):
+    """Shared group-local top-k emitter for the BLAS kernels: mask the
+    sims matrix, argpartition the top `keep` finite cells, and build
+    the (a_id, b_id, cos_sim) pandas frame.  With reorient=True the id
+    pair is normalized to (min, max) — required when side A may hold
+    the larger id (cross-block groups)."""
+    import numpy as np
+    import pandas as pd
+
+    flat = np.where(mask.ravel(), sims.ravel(), -np.inf)
+    n_take = min(keep, flat.size)
+    if n_take == 0:
+        return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+            {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+        )
+    idx = np.argpartition(-flat, n_take - 1)[:n_take]
+    idx = idx[np.isfinite(flat[idx])]
+    ai, bi = np.unravel_index(idx, sims.shape)
+    a_out, b_out = ids_a[ai], ids_b[bi]
+    if reorient:
+        a_out, b_out = np.minimum(a_out, b_out), np.maximum(a_out, b_out)
+    return pd.DataFrame({"a_id": a_out, "b_id": b_out, "cos_sim": sims[ai, bi]})
+
+
 def _auto_blocks(emb: DataFrame, n_blocks: int | None) -> int:
     """Pick P so BLAS groups hold ~500 rows (measured fastest: fewer →
     Python-worker overhead dominates, more → workers idle), bounded to
@@ -142,22 +166,8 @@ def cosine_topk_pairs(
     keep = max(3 * k, 64)
 
     def group_topk(pdf):
-        import numpy as np
-        import pandas as pd
-
         a_ids, b_ids, sims, mask = _group_sims(pdf)
-        flat = np.where(mask.ravel(), sims.ravel(), -np.inf)
-        n_take = min(keep, flat.size)
-        if n_take == 0:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
-                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
-            )
-        idx = np.argpartition(-flat, n_take - 1)[:n_take]
-        idx = idx[np.isfinite(flat[idx])]
-        ai, bi = np.unravel_index(idx, sims.shape)
-        lo = np.minimum(a_ids[ai], b_ids[bi])
-        hi = np.maximum(a_ids[ai], b_ids[bi])
-        return pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": sims[ai, bi]})
+        return _pairs_topk_frame(a_ids, b_ids, sims, mask, keep, reorient=True)
 
     cand = (
         _block_pair_groups(emb, n_blocks)
@@ -281,25 +291,13 @@ def ann_topk_pairs(
 
     def bucket_topk(pdf):
         import numpy as np
-        import pandas as pd
 
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["vec"]), dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         sims = mat @ mat.T
         mask = ids[:, None] < ids[None, :]
-        flat = np.where(mask.ravel(), sims.ravel(), -np.inf)
-        n_take = min(keep, flat.size)
-        if n_take == 0:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
-                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
-            )
-        idx = np.argpartition(-flat, n_take - 1)[:n_take]
-        idx = idx[np.isfinite(flat[idx])]
-        ai, bi = np.unravel_index(idx, sims.shape)
-        return pd.DataFrame(
-            {"a_id": ids[ai], "b_id": ids[bi], "cos_sim": sims[ai, bi]}
-        )
+        return _pairs_topk_frame(ids, ids, sims, mask, keep)
 
     cand = (
         banded.groupBy("band", "bucket")
@@ -430,25 +428,12 @@ def ivf_topk_pairs(
     )
 
     def cell_topk(pdf):
-        import pandas as pd
-
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat_ = np.array(list(pdf["embedding"]), dtype=np.float64)
         mat_ /= np.linalg.norm(mat_, axis=1, keepdims=True)
         sims = mat_ @ mat_.T
         mask = ids[:, None] < ids[None, :]
-        flat = np.where(mask.ravel(), sims.ravel(), -np.inf)
-        n_take = min(keep, flat.size)
-        if n_take == 0:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
-                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
-            )
-        idx = np.argpartition(-flat, n_take - 1)[:n_take]
-        idx = idx[np.isfinite(flat[idx])]
-        ai, bi = np.unravel_index(idx, sims.shape)
-        return pd.DataFrame(
-            {"a_id": ids[ai], "b_id": ids[bi], "cos_sim": sims[ai, bi]}
-        )
+        return _pairs_topk_frame(ids, ids, sims, mask, keep)
 
     cand = (
         assigned.groupBy("cell")
@@ -497,6 +482,10 @@ def knn_join(
         raise ValueError(
             f"knn_join query side exceeds max_queries={max_queries}; "
             "route through the IVF cell join for large query sets"
+        )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id long, n_id long, cos_sim double, rank int"
         )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -567,6 +556,10 @@ def knn_join_ivf(
 
     spark = corpus.sparkSession
     sample = corpus.select(vec_col).limit(4096).collect()
+    if not sample:
+        return spark.createDataFrame(
+            [], "q_id long, n_id long, cos_sim double, rank int"
+        )
     mat = np.array([r[0] for r in sample], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     cent = _kmeans_centroids(mat, n_cells, seed=seed)
@@ -577,20 +570,24 @@ def knn_join_ivf(
             import pandas as pd
 
             c = bc.value
+            # the quantizer may hold fewer centroids than requested
+            # (tiny corpus sample / n_cells > sample size) — probing
+            # more cells than exist would misalign repeat vs ravel
+            k_out = min(n_out, len(c))
             for pdf in batches:
                 v = np.array(list(pdf[vec_col]), dtype=np.float64)
                 v /= np.linalg.norm(v, axis=1, keepdims=True)
                 sims = v @ c.T
-                order = np.argsort(-sims, axis=1)[:, :n_out]
+                order = np.argsort(-sims, axis=1)[:, :k_out]
                 n = len(pdf)
                 yield pd.DataFrame(
                     {
-                        id_col: np.repeat(pdf[id_col].to_numpy(), n_out),
+                        id_col: np.repeat(pdf[id_col].to_numpy(), k_out),
                         "cell": order.ravel().astype("int32"),
                         vec_col: [
                             pdf[vec_col].iloc[i]
                             for i in range(n)
-                            for _ in range(n_out)
+                            for _ in range(k_out)
                         ],
                     }
                 )

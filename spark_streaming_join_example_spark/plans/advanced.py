@@ -1514,9 +1514,9 @@ GROUP BY f.doc_id
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any
-    8-token shingle with the eval set (doc_id < 10 stands in for the
-    benchmark) — the standard n-gram-overlap contamination check run
-    before LM training.
+    _DECON_N-token (4-token) shingle with the eval set (doc_id < 10
+    stands in for the benchmark) — the standard n-gram-overlap
+    contamination check run before LM training.
 
     Plan: shingle both sides JVM-side (sequence + slice + array_join,
     no UDF), broadcast the DISTINCT benchmark grams (eval sets are

@@ -71,7 +71,9 @@ def parse_json_payload(
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     if "_corrupt" not in schema.fieldNames():
-        schema = schema.add("_corrupt", StringType())
+        # copy first: StructType.add mutates self, and the schema
+        # object belongs to the caller
+        schema = StructType(list(schema.fields)).add("_corrupt", StringType())
     parsed = kafka_df.select(
         F.col("key").cast("string").alias("_key"),
         F.from_json(

@@ -43,17 +43,15 @@ def maintain_counts_view(
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.write.mode("overwrite")
-                .partitionBy(group_col)
-                .parquet(out_dir)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-write option, NOT the session conf: a session-level
+        # toggle would leak dynamic-overwrite semantics into
+        # concurrent writers in the same SparkSession
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(group_col)
+            .parquet(out_dir)
+        )
 
     return (
         agg.writeStream.outputMode("update")

@@ -268,3 +268,27 @@ def test_simhash_banded_pairs_match_bruteforce(spark, sf_dir):
     }
     assert got == brute
     assert len(brute) > 0  # fixture has near-dups; the test is not vacuous
+
+
+def test_knn_join_empty_and_tiny_inputs(spark):
+    """Review-found edge cases: empty query side returns an empty
+    typed frame (not a numpy AxisError); an IVF probe count larger
+    than the trained centroid count clamps instead of misaligning."""
+    from spark_streaming_join_example_spark.operators.similarity import (
+        knn_join,
+        knn_join_ivf,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    out = knn_join(empty, corpus, k=3)
+    assert out.count() == 0
+    assert out.columns == ["q_id", "n_id", "cos_sim", "rank"]
+    # 5-vector corpus, n_cells=8 → fewer centroids than n_probe=16
+    got = knn_join_ivf(corpus, corpus, k=2, n_cells=8, n_probe=16)
+    assert got.count() > 0
+    # empty corpus: typed empty result
+    assert knn_join_ivf(corpus, empty, k=2).count() == 0

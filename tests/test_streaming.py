@@ -1012,12 +1012,19 @@ def test_materialized_view_maintenance(spark, sf_dir, tmp_path):
     got2 = read_counts_view(spark, out_dir).select("event_type", "n", "sum_value_e6")
     assert collect_sorted(got2) == collect_sorted(expect)
 
-    # new data arrives: re-deliver chunk 0 under a new filename; the
-    # next drain must fold exactly those rows into the view
-    import shutil
-
-    files = sorted(glob.glob(str(replay / "chunk_*.parquet")))
-    shutil.copy(files[0], str(replay / "zz_extra.parquet"))
+    # new data arrives touching ONE group only: the update-mode batch
+    # emits just that group, so only its partition is rewritten — if
+    # the sink used STATIC overwrite the other groups' partitions
+    # would be deleted and the final equality below would fail; this
+    # pins the dynamic-overwrite semantics, not just the end state
+    one_type = be.select("event_type").first().event_type
+    extra_pdf = (
+        spark.read.parquet(*sorted(glob.glob(str(replay / "chunk_*.parquet")))[:1])
+        .filter(F.col("event_type") == one_type)
+        .toPandas()
+    )
+    assert len(extra_pdf) > 0
+    extra_pdf.to_parquet(str(replay / "zz_extra.parquet"), index=False)
     drain()
     extra = spark.read.parquet(str(replay / "zz_extra.parquet")).select(
         "event_type", "value"

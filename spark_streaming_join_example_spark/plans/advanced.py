@@ -2489,3 +2489,70 @@ def q_math_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.col("o_totalprice") / 1_000_000.0), 8).alias("e_small"),
         F.round(F.cbrt("o_totalprice"), 8).alias("cbrtp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J-family — null-safe equality join (<=> / IS NOT DISTINCT FROM).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_null_safe_join",
+    tags=("J4", "P5"),
+    oracle="""
+WITH l AS (
+  SELECT doc_id, NULLIF(lang, 'de') AS k FROM documents WHERE doc_id < 60
+), r AS (
+  SELECT doc_id AS rid, NULLIF(lang, 'de') AS k FROM documents
+  WHERE doc_id >= 60 AND doc_id < 120
+)
+SELECT l.doc_id, r.rid
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+""",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): NULL keys MATCH each other instead
+    of vanishing — the semantics dimension plain equi-joins miss
+    (NULL = NULL is NULL, so ordinary joins silently drop NULL-keyed
+    rows).  Catalyst plans <=> as a hash join (EqualNullSafe is an
+    equi-key), so the 100 TB story is unchanged: still a shuffle hash
+    join, not a nested loop."""
+    d = _t(spark, sf_dir, "documents")
+    left = d.filter(F.col("doc_id") < 60).select(
+        "doc_id", F.nullif("lang", F.lit("de")).alias("k")
+    )
+    right = (
+        d.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120))
+        .select(F.col("doc_id").alias("rid"), F.nullif("lang", F.lit("de")).alias("k2"))
+    )
+    return left.join(right, left.k.eqNullSafe(right.k2)).select("doc_id", "rid")
+
+
+# ---------------------------------------------------------------------------
+# U1 — unionByName with missing columns (schema-evolution union).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_by_name",
+    tags=("U1",),
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50
+UNION ALL
+SELECT doc_id, lang, NULL AS n_chars FROM documents
+WHERE doc_id >= 50 AND doc_id < 100
+""",
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): position-independent,
+    schema-evolving union — the append path when a new batch gains or
+    loses columns (old rows NULL-fill).  Ordinary UNION is positional
+    and would silently mis-align reordered columns."""
+    d = _t(spark, sf_dir, "documents")
+    full = d.filter(F.col("doc_id") < 50).select("doc_id", "lang", "n_chars")
+    # second frame: different column ORDER and missing n_chars
+    slim = (
+        d.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+        .select("lang", "doc_id")
+    )
+    return full.unionByName(slim, allowMissingColumns=True)

@@ -2556,3 +2556,60 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
     )
     return full.unionByName(slim, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# §3.2 — modern SQL sugar: GROUP BY ALL + EXISTS subqueries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_group_by_all",
+    tags=("A1",),
+    oracle="""
+SELECT o_orderstatus, CAST(date_part('year', o_orderdate) AS INT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ALL
+""",
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 ≡ DuckDB): every non-aggregate select
+    item becomes a grouping key — kills the classic
+    add-a-column-forget-the-GROUP-BY bug in wide rollups."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql("""
+        SELECT o_orderstatus, year(o_orderdate) AS yr, COUNT(*) AS n
+        FROM orders_gba GROUP BY ALL
+    """)
+
+
+@register(
+    "q_exists_subquery",
+    tags=("J9",),
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+""",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — the SQL spelling of semi/anti
+    joins (q_semi_join / q_anti_join are the DataFrame spelling);
+    Catalyst rewrites both predicates to LeftSemi/LeftAnti hash
+    joins, so the plan story is identical."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders_ex o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+    """)

@@ -35,15 +35,18 @@ def ml_minhash_pairs(
     """
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
+    # MinHashLSH requires ≥1 non-zero vector entry; filtering empty
+    # token arrays BEFORE CountVectorizer is equivalent (binary=True,
+    # minDF=1 ⇒ every surviving row has ≥1 non-zero) and stays JVM-side
+    # where a post-hoc VectorUDT filter would need a row-at-a-time UDF.
     toks = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
+        "doc_id",
+        F.array_remove(F.array_distinct(F.split("text", " ")), "").alias("toks"),
+    ).filter(F.size("toks") > 0)
     cv = CountVectorizer(
         inputCol="toks", outputCol="features", binary=True, minDF=1.0
     ).fit(toks)
     vecs = cv.transform(toks).select("doc_id", "features")
-    # MinHashLSH requires at least one non-zero entry per vector
-    vecs = vecs.filter(F.udf(lambda v: v.numNonzeros() > 0, "boolean")("features"))
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     ).fit(vecs)

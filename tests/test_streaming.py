@@ -616,9 +616,10 @@ def test_right_outer_stream_stream_join(spark, sf_dir, replay_dir, tmp_path):
     assert unmatched_purchases.isdisjoint(batch_matched_purchases)
 
 
-def test_foreach_row_sink(spark, sf_dir, tmp_path):
+def test_foreach_row_sink_exact_ids(spark, sf_dir, tmp_path):
     """S5-family: the per-row foreach sink (each row visits a Python
-    callback; partition-local, at-least-once)."""
+    callback; partition-local, at-least-once) — exact event-id-set
+    equality against the batch table."""
     replay = tmp_path / "replay"
     chunk_events(spark, sf_dir, str(replay), n_chunks=3)
     stream = read_event_stream(spark, str(replay)).select("event_id")

@@ -7,18 +7,23 @@ Prints ONE JSON line:
 
 Method mirrors BASELINE.md: one shared SparkSession (Spark's per-query
 fixed overhead dominates at this scale); each query's DataFrame is
-built once, then executed (`collect()`) twice — cold (1st) warms code
-paths, file listings and the JIT; warm (2nd) is reported. Timing the
-execution of an analyzed plan (rather than re-running the Python DSL
-each time) isolates engine throughput from the ~0.3 s driver-side
-Py4J/Catalyst analysis constant, which is amortized noise in any
-long-lived deployment. `value` is the sum of warm times.
+built once, then executed (`collect()`) once cold — warming code
+paths, file listings and the JIT — and five more times warm; the
+reported per-query number is the MEDIAN of the five warm runs (robust
+to a single scheduler hiccup, unlike min which under-reports or mean
+which over-reports). Per-query min/max across the warm runs go out in
+"spread" so a reader can tell a real regression from machine noise.
+Timing the execution of an analyzed plan (rather than re-running the
+Python DSL each time) isolates engine throughput from the ~0.3 s
+driver-side Py4J/Catalyst analysis constant, which is amortized noise
+in any long-lived deployment. `value` is the sum of warm medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -41,22 +46,36 @@ def main() -> None:
     qd = queries_dict()
     names = [n for n, s in sorted(REGISTRY.items()) if s.bench]
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # Global warmup pass FIRST: JVM JIT of the shuffle/codegen/Arrow
+    # machinery is shared across queries, so per-query-local warmup
+    # makes the alphabetically-first query pay the whole JIT bill
+    # (q_cosine_topk measured 0.28-0.42s for an identical plan
+    # depending on session warmth). One cold pass over every query,
+    # then the timed runs, removes the run-order dependence.
+    dfs = {name: qd[name](spark, sf_dir) for name in names}
+    for df in dfs.values():
+        df.collect()
+
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        df = qd[name](spark, sf_dir)
-        df.collect()  # cold run: warms code paths + file listing + JIT
-        best = float("inf")
-        for _ in range(3):  # min-of-3: scheduler noise, not the engine
+        df = dfs[name]
+        samples = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df.collect()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 4)
+        spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
     out = {
         "metric": "warm_total_headline_queries",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
+        "spread": spread,
+        "runs": n_runs,
         "sf": sf,
     }
     print(json.dumps(out))

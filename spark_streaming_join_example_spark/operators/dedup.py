@@ -165,7 +165,20 @@ def simhash_near_duplicates(
     shuffle is O(n·(r+1)) id+chunk rows plus the candidate set.
     """
     n_chunks = max_hamming + 1
-    chunk_bits = n_bits // n_chunks
+    if n_chunks > n_bits:
+        raise ValueError(
+            f"max_hamming + 1 = {n_chunks} chunks need at least 1 bit each "
+            f"but n_bits = {n_bits}; a 0-bit chunk would collapse every row "
+            "into one global bucket (quadratic join)"
+        )
+    # Distribute the n_bits % n_chunks remainder across the leading
+    # chunks (sizes differ by at most 1) — a plain n_bits // n_chunks
+    # split would silently drop the high remainder bits from every
+    # chunk, wasting their pruning power (pigeonhole soundness needs
+    # only that the chunks COVER the fingerprint disjointly).
+    base, rem = divmod(n_bits, n_chunks)
+    sizes = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets = [sum(sizes[:i]) for i in range(n_chunks)]
     fp = docs.select(
         F.col(id_col),
         simhash63(distinct_tokens(text_col), n_bits=n_bits).alias("fp"),
@@ -178,8 +191,8 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftright("fp", i * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        F.shiftright("fp", offsets[i])
+                        .bitwiseAND(F.lit((1 << sizes[i]) - 1))
                         .alias("cv"),
                     )
                     for i in range(n_chunks)

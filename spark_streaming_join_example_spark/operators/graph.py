@@ -22,8 +22,16 @@ iteration count.
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+
+class ConvergenceWarning(UserWarning):
+    """Emitted when an iterative graph loop exhausts max_iter without
+    its convergence probe firing — the returned labels may be wrong
+    (an unconverged intermediate state, not the fixpoint)."""
 
 
 def connected_components(
@@ -56,6 +64,7 @@ def connected_components(
     # means converged.  One cheap agg per round instead of a
     # join+count.
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         neighbor_labels = (
             sym.join(labels, sym["d"] == labels["node"])
@@ -70,8 +79,18 @@ def connected_components(
         )
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} exhausted before the "
+            "fixpoint — returned labels are an unconverged intermediate state "
+            "(raise max_iter, or use connected_components_star for "
+            "high-diameter graphs)",
+            ConvergenceWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -93,11 +112,14 @@ def connected_components_star(
     graph to a forest of depth-1 stars whose centers are the component
     minima; labels then read straight off the final edge list.
 
-    Convergence probe: the undirected edge multiset only loses weight
-    (edges hook monotonically toward smaller centers), so an unchanged
-    (count, endpoint-sum) signature means a fixpoint — one tiny agg on
-    the freshly checkpointed edge set per round, same coordination
-    cost discipline as connected_components.
+    Convergence probe: one tiny agg on the freshly checkpointed edge
+    set per round computing an order-independent set fingerprint —
+    (count, Σ xxhash64(a,b) as decimal).  Equal fingerprints across a
+    round mean the edge set is unchanged (up to a 2⁻⁶⁴-grade hash-sum
+    collision — a fingerprint, not a proof; the count term and the
+    monotone contraction make an accidental collision harmless in
+    practice), so the stars are stable and labels can be read off.
+    Decimal accumulation sidesteps ANSI long-sum overflow.
     """
     all_nodes = (
         edges.select(F.col(src).alias("node"))
@@ -115,11 +137,12 @@ def connected_components_star(
     def signature(df: DataFrame):
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("a") + F.col("b")).alias("s"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
-        return (row.n, row.s)
+        return (row.n, row.h)
 
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # -------- large-star: (v, m(u)) for v in Γ(u), v > u --------
         sym = e.select("a", "b").union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -152,8 +175,17 @@ def connected_components_star(
         )
         sig = signature(e)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        warnings.warn(
+            f"connected_components_star: max_iter={max_iter} exhausted before "
+            "the edge-set fingerprint stabilized — returned labels may be an "
+            "unconverged intermediate state (raise max_iter)",
+            ConvergenceWarning,
+            stacklevel=2,
+        )
 
     # converged: e is a set of (spoke, center) star edges with centers
     # = component minima; nodes absent from the spoke side are their

@@ -131,20 +131,31 @@ def _pairs_topk_frame(ids_a, ids_b, sims, mask, keep, reorient=False):
     return pd.DataFrame({"a_id": a_out, "b_id": b_out, "cos_sim": sims[ai, bi]})
 
 
-def _auto_blocks(emb: DataFrame, n_blocks: int | None) -> int:
+def _auto_blocks(
+    emb: DataFrame, n_blocks: int | None, n_rows: int | None = None
+) -> int:
     """Pick P so BLAS groups hold ~500 rows (measured fastest: fewer →
     Python-worker overhead dominates, more → workers idle), bounded to
     [2, 64] — P² group count must stay sane; past the cap the exact
-    kernel is the wrong tool and ANN/IVF take over anyway. The count()
-    is parquet-metadata-only, not a scan."""
+    kernel is the wrong tool and ANN/IVF take over anyway.
+
+    Auto-sizing costs one count() action per invocation — cheap
+    (metadata-only) when `emb` is a bare parquet scan, a real pass when
+    it is a filtered/derived plan. Callers that know the cardinality
+    (or want to skip the action) pass `n_rows` or an explicit
+    `n_blocks`."""
     if n_blocks is not None:
         return n_blocks
-    n = emb.count()
+    n = emb.count() if n_rows is None else n_rows
     return max(2, min(64, (n + 499) // 500))
 
 
 def cosine_topk_pairs(
-    emb: DataFrame, k: int = 10, round_to: int = 6, n_blocks: int | None = None
+    emb: DataFrame,
+    k: int = 10,
+    round_to: int = 6,
+    n_blocks: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k most-similar vector pairs — distributed block
     matrix-multiply, no driver-side materialization.
@@ -162,7 +173,7 @@ def cosine_topk_pairs(
     rounded so the last-ulp difference between engines' float math
     can't flip the hash.
     """
-    n_blocks = _auto_blocks(emb, n_blocks)
+    n_blocks = _auto_blocks(emb, n_blocks, n_rows)
     keep = max(3 * k, 64)
 
     def group_topk(pdf):
@@ -239,6 +250,7 @@ def ann_topk_pairs(
     n_planes: int | None = None,
     bands: int = 4,
     round_to: int = 6,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine pairs via banded hyperplane LSH with a
     per-bucket BLAS kernel.
@@ -255,13 +267,15 @@ def ann_topk_pairs(
 
     Bits per band auto-scale with corpus size (buckets ≈ n/64 per
     band) so bucket population stays bounded as n grows — the knob a
-    fixed 16-plane signature lacks. Recall vs the exact kernel is
-    asserted in tests/test_extensions.py.
+    fixed 16-plane signature lacks. Auto-scaling costs one count()
+    action (metadata-only on a bare scan; a real pass on derived
+    inputs — pass `n_planes` or `n_rows` to skip it). Recall vs the
+    exact kernel is asserted in tests/test_extensions.py.
     """
     import math
 
     if n_planes is None:
-        n = emb.count()
+        n = emb.count() if n_rows is None else n_rows
         bits = max(2, min(16, math.ceil(math.log2(max(2, n / 64)))))
         n_planes = bands * bits
     rows_per_band = n_planes // bands
@@ -312,7 +326,11 @@ def ann_topk_pairs(
 
 
 def cosine_pairs_above(
-    emb: DataFrame, threshold: float, round_to: int = 6
+    emb: DataFrame,
+    threshold: float,
+    round_to: int = 6,
+    n_blocks: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All vector pairs with cosine ≥ threshold — embedding-based
     near-duplicate detection (the vector twin of Jaccard near-dup).
@@ -320,6 +338,8 @@ def cosine_pairs_above(
     Same distributed block-pair kernel as cosine_topk_pairs (no driver
     materialization), but the per-group filter is the threshold, so
     emitted rows ≈ true near-dup pairs (output-sized, not n²-sized).
+    `n_blocks`/`n_rows` skip the auto-sizing count() action — pass one
+    when the input is a derived plan for which a count is a real pass.
     """
 
     def group_filter(pdf):
@@ -334,7 +354,7 @@ def cosine_pairs_above(
         return pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": sims[ai, bi]})
 
     cand = (
-        _block_pair_groups(emb, _auto_blocks(emb, None))
+        _block_pair_groups(emb, _auto_blocks(emb, n_blocks, n_rows))
         .groupBy("gi", "gj")
         .applyInPandas(group_filter, "a_id long, b_id long, cos_sim double")
     )

@@ -2230,9 +2230,12 @@ FROM documents WHERE doc_id < 100
 """,
 )
 def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """aes_decrypt(aes_encrypt(x)) == x (ECB mode so the round trip is
-    deterministic without a shared IV) — column-level encryption for
-    at-rest PII with exact recoverability, oracle = identity."""
+    """aes_decrypt(aes_encrypt(x)) == x — exercises the AES function
+    family with an identity oracle. ECB is used ONLY because it is
+    deterministic (no IV), which the cross-engine hash comparison
+    needs; it leaks equal-plaintext patterns and is NOT a production
+    PII-at-rest mode — real column encryption uses F.aes_encrypt(...,
+    'GCM') with a stored random IV per value."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
     enc = F.aes_encrypt(F.col("lang"), key, F.lit("ECB"))

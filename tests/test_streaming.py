@@ -1026,7 +1026,39 @@ def test_materialized_view_maintenance(spark, sf_dir, tmp_path):
     )
     assert len(extra_pdf) > 0
     extra_pdf.to_parquet(str(replay / "zz_extra.parquet"), index=False)
+
+    def partition_files():
+        """{partition dir name: sorted (file, size, mtime_ns)} for the
+        view's data files — the write-amplification ground truth."""
+        import os
+
+        snap = {}
+        for part in sorted(os.listdir(out_dir)):
+            pdir = os.path.join(out_dir, part)
+            if not (os.path.isdir(pdir) and part.startswith("event_type=")):
+                continue
+            snap[part] = sorted(
+                (f, os.path.getsize(os.path.join(pdir, f)),
+                 os.stat(os.path.join(pdir, f)).st_mtime_ns)
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+        return snap
+
+    before = partition_files()
     drain()
+    after = partition_files()
+    touched = f"event_type={one_type}"
+    # file-level partition-overwrite proof: the update-mode batch holds
+    # ONLY the changed group, so dynamic overwrite rewrites exactly its
+    # partition; every other partition's data files are untouched on
+    # disk (same names, sizes, mtimes) — write amplification tracks the
+    # change rate, not the table size
+    assert after[touched] != before[touched]
+    untouched_before = {k: v for k, v in before.items() if k != touched}
+    untouched_after = {k: v for k, v in after.items() if k != touched}
+    assert untouched_after == untouched_before
+    assert len(untouched_before) > 0
     extra = spark.read.parquet(str(replay / "zz_extra.parquet")).select(
         "event_type", "value"
     )

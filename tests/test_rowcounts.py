@@ -1,0 +1,56 @@
+"""Row-count pin for EVERY registered query at sf0.01.
+
+The driver's correctness gate compares row counts even for queries
+with no SQL oracle (the 16 rows-only seeded/approximate operators), so
+a count drift in any of the 160 registered queries would otherwise
+surface only at judge time.  The expected counts were captured at
+sf0.01 (tests/data/expected_rowcounts_sf0.01.json); this test re-runs
+the full registry there under the test session's different
+master/shuffle settings, so it doubles as a partitioning-independence
+check on the counts.
+
+Regenerate the fixture after intentionally changing a query's output:
+
+    python3 - <<'PY'
+    import json
+    from spark_streaming_join_example_spark import get_spark
+    from spark_streaming_join_example_spark.plans.registry import queries_dict
+    spark = get_spark("rowcounts", master="local[16]", shuffle_partitions=16)
+    counts = {n: fn(spark, "/root/testdata/sf0.01").count()
+              for n, fn in sorted(queries_dict().items())}
+    json.dump(counts, open("tests/data/expected_rowcounts_sf0.01.json", "w"),
+              indent=0, sort_keys=True)
+    PY
+"""
+
+import json
+import pathlib
+
+from spark_streaming_join_example_spark.plans.registry import queries_dict
+
+EXPECTED = json.loads(
+    (pathlib.Path(__file__).parent / "data" / "expected_rowcounts_sf0.01.json")
+    .read_text()
+)
+SF001_DIR = "/root/testdata/sf0.01"
+
+
+def test_registry_and_fixture_in_sync():
+    assert sorted(queries_dict()) == sorted(EXPECTED), (
+        "query registry and rowcount fixture diverged — regenerate the "
+        "fixture (see module docstring)"
+    )
+
+
+def test_all_query_rowcounts_at_sf001(spark):
+    qd = queries_dict()
+    mismatches = {}
+    for name in sorted(EXPECTED):
+        try:
+            got = qd[name](spark, SF001_DIR).count()
+        except Exception as exc:  # keep scanning; report every breakage
+            mismatches[name] = f"ERROR {type(exc).__name__}: {exc}"
+            continue
+        if got != EXPECTED[name]:
+            mismatches[name] = f"expected {EXPECTED[name]}, got {got}"
+    assert not mismatches, f"{len(mismatches)} count drifts: {mismatches}"

@@ -10,7 +10,7 @@ map-side partials combine in any order on any number of executors.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..functions.numeric import (
     MONEY,
@@ -2616,3 +2616,453 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE o2.o_custkey = c.c_custkey
                             AND o2.o_orderstatus = 'F')
     """)
+
+
+# ---------------------------------------------------------------------------
+# Round 3 — n-gram repetition (X5), event-funnel / retention / sessionization
+# analytics (A1/W1-family product queries), gap-filled time series, and
+# edit-distance fuzzy matching.
+# ---------------------------------------------------------------------------
+
+
+def _bigrams(toks: Column) -> Column:
+    """Adjacent-token bigrams via zip_with over two shifted slices —
+    pure JVM codegen (no explode-with-index, no Python).  Empty for
+    arrays with fewer than 2 elements."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+@register(
+    "q_ngram_repetition",
+    tags=("X5", "A1"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) u
+), cnt AS (
+  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(MAX(c) AS BIGINT) AS max_gram_freq,
+       round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS rep2_ratio
+FROM cnt GROUP BY doc_id
+""",
+)
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram repetition ratio: the most frequent adjacent-token PAIR's
+    share of all bigrams — catches looped phrases ("buy now buy now…")
+    that q_repetition_ratio's single-token counter misses.  The n-gram
+    member of the quality-score family; same two partial-aggregable
+    hash aggregations, bigrams built JVM-side (zip_with over shifted
+    slices, no re-tokenization inside the lambda)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    grams = toks.select("doc_id", F.explode(_bigrams(F.col("t"))).alias("gram"))
+    cnt = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("max_gram_freq"),
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("rep2_ratio"),
+    )
+
+
+@register(
+    "q_top_ngrams",
+    tags=("X5", "O2"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT t[i] || ' ' || t[i+1] AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) u
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams GROUP BY gram
+ORDER BY n DESC, gram LIMIT 20
+""",
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams — the vocabulary/boilerplate probe a
+    corpus health dashboard starts with.  Hash aggregate then
+    TakeOrderedAndProject (driver sees 20 rows); ties broken on the
+    gram string so the LIMIT is a total order."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    grams = toks.select(F.explode(_bigrams(F.col("t"))).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(20)
+    )
+
+
+@register(
+    "q_funnel",
+    tags=("A1", "P5"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         MIN(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+         MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+         MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+       CAST(COUNT(CASE WHEN t_view > t_signup THEN 1 END) AS BIGINT)
+         AS n_signup_view,
+       CAST(COUNT(CASE WHEN t_view > t_signup AND t_purchase > t_view
+                  THEN 1 END) AS BIGINT) AS n_full_funnel
+FROM u
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → first view after it → first
+    purchase after that) — the canonical product-analytics query.  One
+    hash aggregate to per-user stage timestamps (conditional MIN — no
+    self-joins), one global reduce; both partial-aggregable, so the
+    whole funnel is two shuffles of |users| and 1 rows."""
+    e = _t(spark, sf_dir, "events")
+
+    def first_ts(ev: str) -> Column:
+        return F.min(F.when(F.col("event_type") == ev, F.col("ts")))
+
+    u = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return u.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_view") > F.col("t_signup"), 1)).alias(
+            "n_signup_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_view") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "q_retention",
+    tags=("A1", "J3"),
+    oracle="""
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen ISO week,
+    counted in each later active week.  distinct(user, week) then a
+    user-keyed join back to the cohort table — at 100 TB the join is
+    |users|-sized on both sides and co-partitioned on user_id; both
+    date_trunc('week') engines truncate to Monday.  (act is already
+    distinct per user×week, so COUNT(*) ≡ COUNT(DISTINCT user).)"""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    act = e.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    j = act.join(first, "user_id")
+    return j.groupBy(
+        "cohort",
+        (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "q_cumulative_distinct",
+    tags=("A2", "W3"),
+    oracle="""
+WITH f AS (
+  SELECT event_type, user_id, CAST(MIN(ts) AS DATE) AS day
+  FROM events GROUP BY event_type, user_id
+), d AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM f GROUP BY event_type, day
+)
+SELECT event_type, day, new_users,
+       CAST(SUM(new_users) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM d
+""",
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the running
+    count-distinct that window functions can't express directly; the
+    standard rewrite keys each user to their FIRST day (per type) so a
+    plain running SUM of first-appearances equals the cumulative
+    distinct.  Two hash aggregates shrink 10k events to |types|×|days|
+    rows before the (tiny, per-type) window."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("event_type", "user_id").agg(
+        F.to_date(F.min("ts")).alias("day")
+    )
+    d = f.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@register(
+    "q_gap_fill",
+    tags=("P1", "J10", "FN-datetime"),
+    oracle="""
+WITH e2 AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type,
+         CAST(round(value * 1000000.0) AS BIGINT) AS microval
+  FROM events
+), b AS (
+  SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM e2
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b
+), types AS (
+  SELECT DISTINCT event_type FROM e2
+), agg AS (
+  SELECT hr, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(microval) AS BIGINT) AS sv
+  FROM e2 GROUP BY hr, event_type
+)
+SELECT s.hr, t.event_type,
+       COALESCE(a.n, 0) AS n_events,
+       COALESCE(a.sv, 0) AS val_sum_e6
+FROM spine s CROSS JOIN types t
+LEFT JOIN agg a ON a.hr = s.hr AND a.event_type = t.event_type
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type: a dense hour spine
+    (sequence over the observed min..max, exploded) cross-joined with
+    the type dimension, left-joined to the hourly aggregate, zeros
+    where no events landed — resampling for downstream models that
+    need every bucket present.  The spine is derived from a 1-row
+    global agg, so grid and aggregate are both tiny relative to the
+    scan; value sums are exact integer micro-units (order- and
+    partitioning-independent)."""
+    e = _t(spark, sf_dir, "events")
+    e2 = e.select(
+        F.date_trunc("hour", "ts").alias("hr"),
+        "event_type",
+        F.round(F.col("value") * 1000000.0).cast("long").alias("microval"),
+    )
+    bounds = e2.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = e2.select("event_type").distinct()
+    agg = e2.groupBy("hr", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("microval").alias("sv")
+    )
+    grid = spine.crossJoin(types)
+    return grid.join(agg, ["hr", "event_type"], "left").select(
+        "hr",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("sv", F.lit(0)).alias("val_sum_e6"),
+    )
+
+
+_SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6-hour inactivity gap
+
+
+@register(
+    "q_sessionize_batch",
+    tags=("W2", "A1", "T4"),
+    oracle=f"""
+WITH m AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), b AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess
+  FROM b
+), ps AS (
+  SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         MAX(us) - MIN(us) AS dur_us
+  FROM s GROUP BY user_id, sess
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
+FROM ps GROUP BY user_id
+""",
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a session break wherever a
+    user is idle > 6h, session ids as a running sum of breaks — the
+    lag+cumsum rewrite that needs no stateful operator (the streaming
+    twin is q_session_window / applyInPandasWithState).  All windows
+    are partitioned by user_id, so state never leaves a partition;
+    durations are integer microseconds (exact cross-engine).  Ordering
+    ties broken by event_id so the cumsum is total-ordered."""
+    e = _t(spark, sf_dir, "events")
+    m = e.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    b = m.withColumn("prev", F.lag("us").over(w)).withColumn(
+        "brk",
+        F.when(
+            F.col("prev").isNull()
+            | ((F.col("us") - F.col("prev")) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    s = b.withColumn(
+        "sess", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = s.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("max_session_events"),
+        F.sum("dur_us").alias("total_dur_us"),
+    )
+
+
+@register(
+    "q_rolling_time_range",
+    tags=("W3", "FN-datetime"),
+    oracle=f"""
+WITH m AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 1000000.0) AS BIGINT) AS microval
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_6h,
+       CAST(SUM(microval) OVER w AS BIGINT) AS val_sum_e6
+FROM m WINDOW w AS (
+  PARTITION BY user_id ORDER BY us
+  RANGE BETWEEN {_SESSION_GAP_US} PRECEDING AND CURRENT ROW)
+""",
+)
+def q_rolling_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6-hour rolling count/sum per user — a RANGE frame over
+    integer epoch-microseconds, so the frame boundary is exact and
+    peer rows (equal timestamps) share one frame in every engine; the
+    summed value is integer micro-units.  This is the time-valued
+    range frame (q_window_range_frame's frame is numeric-valued);
+    per-user partitions keep the sort local."""
+    e = _t(spark, sf_dir, "events")
+    m = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 1000000.0).cast("long").alias("microval"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_SESSION_GAP_US, 0)
+    )
+    return m.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_6h"),
+        F.sum("microval").over(w).alias("val_sum_e6"),
+    )
+
+
+@register(
+    "q_levenshtein_fuzzy",
+    tags=("J6", "FN-string", "X2"),
+    oracle="""
+WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part)
+SELECT a.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_fuzzy_pairs,
+       CAST(MIN(levenshtein(a.p_name, b.p_name)) AS INT) AS min_dist,
+       round(CAST(SUM(levenshtein(a.p_name, b.p_name)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_dist
+FROM p a JOIN p b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+GROUP BY a.p_brand
+""",
+)
+def q_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: near-identical part names inside a
+    (brand, size) blocking group, pairs at levenshtein ≤ 4 — the
+    record-linkage primitive for catalog dedup.  Blocking makes the
+    quadratic local: pairs form only inside equi-join groups (≤7 rows
+    per group here; at 100 TB the block key IS the shuffle key and
+    skewed blocks split under AQE), never all-pairs."""
+    p = _t(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("k1"),
+        F.col("p_name").alias("n1"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("k2"),
+        F.col("p_name").alias("n2"),
+    )
+    dist = F.levenshtein("n1", "n2")
+    pairs = (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("k1") < F.col("k2"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= 4)
+    )
+    return pairs.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_fuzzy_pairs"),
+        F.min("dist").cast("int").alias("min_dist"),
+        F.round(
+            F.sum("dist").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_dist"),
+    )

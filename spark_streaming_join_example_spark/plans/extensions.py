@@ -695,6 +695,41 @@ def q_knn_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_ivf(queries, corpus, k=5, n_cells=8, n_probe=4)
 
 
+@register(
+    "q_knn_ivf_exact",
+    tags=("X3",),
+    oracle="""
+SELECT q_id, n_id, cos_sim, CAST(rank AS INT) AS rank
+FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id >= 100
+  WHERE q.vec_id < 20
+) WHERE rank <= 5
+""",
+)
+def q_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-celled k-NN with EXHAUSTIVE probing (n_probe = n_cells):
+    every query visits every cell, so the routed cogroup kernel must
+    reproduce the exact brute-force top-k — the correctness gate for
+    the IVF machinery itself (q_knn_search_ivf is the partial-probe,
+    rows-only production setting).  Same DuckDB window-over-crossjoin
+    oracle as q_knn_search; ranks tie-break on neighbor id in both
+    engines."""
+    from ..operators.similarity import knn_join_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    return knn_join_ivf(queries, corpus, k=5, n_cells=8, n_probe=8)
+
+
 @register("q_simhash_pairs", tags=("X2",))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed SimHash near-dup pairs (hamming <= 3) via pigeonhole

@@ -8,10 +8,12 @@ over the consumed prefix — so the driver checks these against the
 DuckDB oracle while tests/test_streaming.py proves the streaming
 variants produce identical results through the replay harness.
 
-Timestamp parity: Spark reads events.ts as int64 nanos and truncates to
-micros (`ts div 1000`); every oracle here goes through the same exact
-truncation (`make_timestamp(epoch_ns(ts) // 1000)`) rather than a cast
-whose rounding mode we don't control.
+Timestamp parity: the loader normalizes events.ts to µs precision
+whatever the fixture's physical encoding (int64/ns or timestamp[us] —
+sources/batch.py sniffs the footer); every oracle here goes through the
+same exact truncation (`make_timestamp(epoch_ns(ts) // 1000)`, a no-op
+on µs-stored data) rather than a cast whose rounding mode we don't
+control.
 """
 
 from __future__ import annotations

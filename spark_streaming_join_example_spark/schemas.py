@@ -84,7 +84,10 @@ LINEITEM = _st(
     ("l_shipdate", TimestampType()),
 )
 
-#: as stored: ts is INT64 nanos (read via nanosAsLong).
+#: raw-nanos fixture encoding: ts as INT64 nanos (read via
+#: nanosAsLong).  The loader sniffs the footer and only uses this when
+#: the fixture actually stores nanos; timestamp[us] fixtures read with
+#: EVENTS directly (sources/batch.py).
 EVENTS_RAW = _st(
     ("event_id", LongType()),
     ("ts", LongType()),

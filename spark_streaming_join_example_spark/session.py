@@ -1,11 +1,14 @@
 """SparkSession factory + mandatory runtime confs.
 
-The ``events`` fixture stores its event-time column as parquet
-``timestamp[ns]`` which Spark 4.x rejects by default
-(PARQUET_TYPE_ILLEGAL).  ``spark.sql.legacy.parquet.nanosAsLong`` is a
-runtime-settable SQL conf (verified in this environment), so
-``ensure_runtime_confs`` can repair *any* session — including one the
-test driver created without our configs — before a read happens.
+The ``events`` fixture has stored its event-time column two ways
+across driver refreshes: parquet ``timestamp[ns]`` — which Spark 4.x
+rejects by default (PARQUET_TYPE_ILLEGAL) — and plain
+``timestamp[us]``.  ``spark.sql.legacy.parquet.nanosAsLong`` is a
+runtime-settable SQL conf (verified in this environment) kept on so the
+nanos encoding stays readable; the loader sniffs the footer and picks
+the right normalization (sources/batch.py).  ``ensure_runtime_confs``
+can repair *any* session — including one the test driver created
+without our configs — before a read happens.
 
 Scale notes (100 TB design, SURVEY.md §7 step 6):
 - AQE on: runtime shuffle-partition coalescing + skew-join splitting.

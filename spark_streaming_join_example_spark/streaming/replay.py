@@ -10,7 +10,7 @@ makes that testable offline:
   sandbox) with increasing mtimes so ``maxFilesPerTrigger=1`` replays
   them in order, one micro-batch each;
 - ``read_event_stream``: the streaming source with the same explicit
-  schema + ns→µs normalization the batch loader applies (streaming
+  µs-timestamp schema the batch loader normalizes to (streaming
   sources never infer schemas);
 - ``run_to_memory``: drain with ``trigger(availableNow=True)`` into a
   memory sink and hand back the result table.
@@ -25,9 +25,9 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..schemas import EVENTS_RAW
+from ..schemas import EVENTS
 from ..session import ensure_runtime_confs
-from ..sources.batch import table_path
+from ..sources.batch import load_table
 
 
 def chunk_events(
@@ -50,7 +50,10 @@ def chunk_events(
     than cancelling out as sequential in-place swaps would.
     """
     ensure_runtime_confs(spark)
-    raw = spark.read.schema(EVENTS_RAW).parquet(table_path(sf_dir, "events"))
+    # load_table normalizes ts to TimestampType(µs) whatever the
+    # fixture's physical encoding; chunks are re-written as
+    # timestamp[us] so the streaming reader needs no conversion.
+    raw = load_table(spark, sf_dir, "events")
     w = Window.orderBy("ts", "event_id")
     chunked = raw.withColumn("__chunk", F.ntile(n_chunks).over(w))
     reorder = reorder or {}
@@ -63,7 +66,15 @@ def chunk_events(
         part = chunked.filter(F.col("__chunk") == chunk_id).drop("__chunk")
         pdf = part.toPandas()
         path = os.path.join(out_dir, f"chunk_{pos:03d}.parquet")
-        pdf.to_parquet(path, index=False)
+        # pandas holds ts as datetime64[ns]; coerce back to µs so the
+        # chunk schema matches EVENTS exactly (values are already
+        # µs-truncated by the loader — no information is lost).
+        pdf.to_parquet(
+            path,
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
         # strictly increasing mtimes → deterministic replay order
         mtime = time.time() - (len(order) - pos)
         os.utime(path, (mtime, mtime))
@@ -75,13 +86,13 @@ def read_event_stream(
     spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = 1
 ) -> DataFrame:
     """Streaming events source over a replay directory (explicit
-    schema; same µs normalization as the batch loader)."""
+    schema; chunks are written as timestamp[us] by ``chunk_events``,
+    so no further normalization is needed)."""
     ensure_runtime_confs(spark)
-    reader = spark.readStream.schema(EVENTS_RAW)
+    reader = spark.readStream.schema(EVENTS)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(dir_path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(dir_path)
 
 
 def run_to_memory(

@@ -285,3 +285,43 @@ def test_output_file_count_management(spark, sf_dir, tmp_path):
     files3 = _glob.glob(out3 + "/*.parquet")
     assert len(files3) >= 10  # one logical task split into capped files
     assert spark.read.parquet(out3).count() == n_rows
+
+
+def test_events_ts_encoding_sniff(spark, tmp_path):
+    """The fixture generator has shipped events.ts as int64 nanos AND as
+    parquet timestamp[us] across refreshes (the round-3 refresh flipped
+    it, silently compressing every timestamp 1000x under the old
+    nanos-only loader).  load_table must sniff the footer and normalize
+    both encodings to the same TimestampType(us) values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    micros = [1704067200_000_000 + i * 37_000_001 for i in range(5)]
+    cols = {
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([7] * 5, pa.int64()),
+        "event_type": pa.array(["click"] * 5),
+        "value": pa.array([1.5] * 5, pa.float64()),
+        "props": pa.array(["{}"] * 5),
+    }
+
+    ns_dir = tmp_path / "ns" / "events.parquet"
+    us_dir = tmp_path / "us" / "events.parquet"
+    ns_dir.parent.mkdir(parents=True)
+    us_dir.parent.mkdir(parents=True)
+    # nanos fixture stores sub-microsecond noise that truncation drops.
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array([m * 1000 + 777 for m in micros], pa.int64())}),
+        ns_dir,
+    )
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array(micros, pa.timestamp("us"))}),
+        us_dir,
+    )
+
+    a = load_table(spark, str(tmp_path / "ns"), "events")
+    b = load_table(spark, str(tmp_path / "us"), "events")
+    assert isinstance(a.schema["ts"].dataType, TimestampType)
+    assert a.schema == b.schema
+    assert collect_sorted(a) == collect_sorted(b)

@@ -1,0 +1,782 @@
+"""Round-4 analytics surface: data-layout clustering, iterative graph
+ranking, time-series smoothing/interpolation, corpus vocabulary
+statistics, and robust (winsorized) aggregation.
+
+Determinism doctrine (same as the rest of the registry): every query
+here is arithmetic-identical between the Spark and DuckDB
+formulations — integer/fixed-point math wherever a sum crosses a
+shuffle boundary, explicit tie-breaks on every top-k, and float
+expressions written term-for-term in the same order on both sides so
+IEEE evaluation is bit-identical.  That is also the 100 TB property:
+results do not move when the partition count does.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.numeric import VALUE, exact_sum, oracle_exact_sum
+from ..sources.batch import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# O3/P1 — Z-order (Morton) layout statistics.
+# ---------------------------------------------------------------------------
+
+_ZBITS = 4  # 4 bits per dimension → 8-bit Morton code, 256 z-values
+
+
+def _morton_sql(bx: str, by: str) -> str:
+    """8-bit Morton interleave of two 4-bit bucket ids, written with
+    only integer // and % so Spark (`div`) and DuckDB (`//`) evaluate
+    the identical arithmetic."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"(({bx} {{d}} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({by} {{d}} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@register(
+    "q_zorder_stats",
+    tags=("O3", "P1", "A1"),
+    oracle=f"""
+WITH z AS (
+  SELECT {_morton_sql('(l_partkey % 16)', '(l_suppkey % 16)').format(d='//')} AS zval,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT CAST(zval // 4 AS INT) AS zcell,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(zval) AS INT) AS z_lo,
+       CAST(MAX(zval) AS INT) AS z_hi,
+       {oracle_exact_sum('l_extendedprice')} AS sum_price
+FROM z
+GROUP BY 1
+""",
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) curve statistics over (l_partkey, l_suppkey)
+    buckets: interleave 4 bits of each key into an 8-bit z-value and
+    aggregate per 4-z-value cell.
+
+    Scale rationale: Z-ordering is THE multi-dimensional data-layout
+    tool at 100 TB — `repartitionByRange(zval)` +
+    `sortWithinPartitions(zval)` before the write clusters rows so
+    parquet row-group min/max footers prune scans on EITHER predicate
+    column (a single-column sort prunes only one).  This query is the
+    layout's audit: each z-cell's count and key spread show the
+    clustering the writer would produce.  The z-value itself is pure
+    integer bit-arithmetic — no UDF, whole-stage-codegen'd, identical
+    in any engine.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    z = li.select(
+        F.expr(
+            _morton_sql("(l_partkey % 16)", "(l_suppkey % 16)").format(d="div")
+        ).alias("zval"),
+        "l_extendedprice",
+    )
+    return (
+        z.groupBy(F.expr("CAST(zval div 4 AS INT)").alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zval").cast("int").alias("z_lo"),
+            F.max("zval").cast("int").alias("z_hi"),
+            exact_sum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/A1 (iterative) — fixed-point PageRank on the co-supplier graph.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # rank unit = 1e-12
+
+
+@register(
+    "q_pagerank",
+    tags=("J5", "A1", "X2"),
+    oracle=f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+),
+r0 AS MATERIALIZED (
+  SELECT node, {_PR_SCALE} // n_nodes AS r FROM nodes CROSS JOIN nn
+),
+c1 AS (
+  SELECT e.dst, SUM(r0.r // d.outdeg) AS c
+  FROM edges e JOIN r0 ON r0.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r1 AS MATERIALIZED (
+  SELECT nodes.node,
+         (15 * ({_PR_SCALE} // n_nodes)) // 100
+           + (85 * COALESCE(c1.c, 0)) // 100 AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = nodes.node
+),
+c2 AS (
+  SELECT e.dst, SUM(r1.r // d.outdeg) AS c
+  FROM edges e JOIN r1 ON r1.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT nodes.node,
+         (15 * ({_PR_SCALE} // n_nodes)) // 100
+           + (85 * COALESCE(c2.c, 0)) // 100 AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nodes.node
+)
+SELECT node AS s_suppkey, CAST(r AS BIGINT) AS rank_e12
+FROM r2 ORDER BY r DESC, node LIMIT 20
+""",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fixed iterations of PageRank (d=0.85) over the co-supplier
+    graph (suppliers sharing an order), in pure INTEGER fixed-point
+    (rank unit 1e-12) so the result is bit-identical at any partition
+    count and in any engine — floating-point PageRank is famously
+    non-reproducible because contribution sums reorder.
+
+    Scale rationale: each iteration is one shuffle of |edges| keyed by
+    dst (partial-aggregable integer SUM) plus a broadcast-able
+    node/degree side; the co-order self-join that builds the edge list
+    is an equi-join on l_orderkey, never all-pairs.  The graph is
+    symmetric, so every node has outdeg ≥ 1 — no dangling-mass
+    redistribution term is needed (documented deviation from the
+    full PageRank formulation).  Iteration count is fixed (2), so the
+    whole computation is one declarative plan — no driver-side
+    convergence probe.
+
+    Iterative-plan hygiene: without persistence Catalyst re-derives the
+    edge list from the parquet scan once per reference (5× here — the
+    classic iterative-algorithm trap; exchange reuse does not rescue
+    identical subtrees under AQE reliably), so the loop-invariant
+    edges/degrees are persisted once, and the per-iteration rank/degree
+    sides — node-cardinality, tiny next to edges — are broadcast.  At
+    web-scale node counts you'd drop the broadcast hints and let the
+    co-partitioned shuffle join take over; edges stay the only
+    edge-cardinality shuffle either way.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+
+    r = nodes.crossJoin(nn).select(
+        "node", F.expr(f"{_PR_SCALE} div n_nodes").alias("r")
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(F.broadcast(r), edges.src == r.node)
+            .join(F.broadcast(deg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div outdeg")).alias("c"))
+        )
+        r = (
+            nodes.crossJoin(nn)
+            .join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"(15 * ({_PR_SCALE} div n_nodes)) div 100"
+                    " + (85 * coalesce(c, 0)) div 100"
+                ).alias("r"),
+            )
+        )
+    return (
+        r.orderBy(F.col("r").desc(), "node")
+        .limit(20)
+        .select(F.col("node").alias("s_suppkey"), F.col("r").alias("rank_e12"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2/W3 — bounded-depth EWMA (exponentially weighted moving average).
+# ---------------------------------------------------------------------------
+
+_EWMA_W = 0.6
+_EWMA_K = 8
+
+
+def _ewma_weights() -> list[float]:
+    return [_EWMA_W**k for k in range(_EWMA_K)]
+
+
+@register(
+    "q_ewma",
+    tags=("W2", "W3", "FN-math"),
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+       CAST(round((({
+           ' + '.join(
+               f"COALESCE(lag(value, {k}) OVER w * {w!r}, 0.0)"
+               for k, w in enumerate(_ewma_weights())
+           )
+       }) / ({
+           ' + '.join(
+               f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL"
+               f" THEN {w!r} ELSE 0.0 END"
+               for k, w in enumerate(_ewma_weights())
+           )
+       })) * 1000000.0) AS BIGINT) AS ewma_e6
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth EWMA (w=0.6, depth 8) of purchase values per user,
+    normalized over the weights actually present — the streaming-native
+    smoother (each row needs only the last K rows, so state is bounded;
+    the unbounded-recursion EWMA is NOT partition-safe).
+
+    Determinism: the weighted sum is written as the SAME left-to-right
+    chain of 8 terms in both engines, with weight literals emitted via
+    ``repr`` so both sides parse to the identical double — IEEE
+    addition order matches, the quotient matches bit-for-bit, and the
+    micro-unit rounding is stable.  Scale: one window shuffle keyed by
+    user_id; no unbounded frame, no Python.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num_terms = [
+        F.coalesce(F.lag("value", k).over(win) * F.lit(w), F.lit(0.0))
+        for k, w in enumerate(_ewma_weights())
+    ]
+    den_terms = [
+        F.when(F.lag("value", k).over(win).isNotNull(), F.lit(w)).otherwise(
+            F.lit(0.0)
+        )
+        for k, w in enumerate(_ewma_weights())
+    ]
+    num = reduce(lambda x, y: x + y, num_terms)
+    den = reduce(lambda x, y: x + y, den_terms)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round((num / den) * F.lit(1000000.0)).cast("long").alias("ewma_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10/W2 — linear interpolation over a dense time spine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_interpolate",
+    tags=("J10", "W2", "FN-datetime"),
+    oracle="""
+WITH e2 AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type,
+         CAST(round(value * 1000000.0) AS BIGINT) AS microval
+  FROM events
+),
+agg AS MATERIALIZED (
+  SELECT hr, event_type, CAST(SUM(microval) // COUNT(*) AS BIGINT) AS v_e6
+  FROM e2 GROUP BY hr, event_type
+),
+b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM e2),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b
+),
+types AS (SELECT DISTINCT event_type FROM e2),
+grid AS (
+  SELECT s.hr, t.event_type, a.v_e6,
+         epoch_us(s.hr) // 3600000000 AS hk
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN agg a ON a.hr = s.hr AND a.event_type = t.event_type
+),
+nb AS (
+  SELECT hr, event_type, v_e6, hk,
+         last_value(v_e6 IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v_e6 IS NOT NULL THEN hk END IGNORE NULLS)
+           OVER wp AS pk,
+         first_value(v_e6 IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v_e6 IS NOT NULL THEN hk END IGNORE NULLS)
+           OVER wn AS nk
+  FROM grid
+  WINDOW wp AS (PARTITION BY event_type ORDER BY hk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY hk
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT hr, event_type,
+       CASE WHEN v_e6 IS NOT NULL THEN v_e6
+            ELSE pv + CAST(round((nv - pv) * 1.0 * (hk - pk) / (nk - pk))
+                           AS BIGINT)
+       END AS val_e6,
+       CAST(v_e6 IS NULL AS INT) AS interp
+FROM nb
+WHERE v_e6 IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+""",
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing hourly buckets per event type:
+    dense hour spine, then each gap hour gets the straight line between
+    its nearest observed neighbors (leading/trailing gaps are dropped —
+    extrapolation is a modeling choice, not a resample).
+
+    This is the other half of q_gap_fill's resampler (zeros → lines).
+    Determinism: hourly means are integer micro-units (floor division —
+    both engines floor on non-negative operands); the interpolation
+    weight is computed in doubles from exact small integers, identical
+    bits both sides, then rounded half-away-from-zero in both.  Scale:
+    one hash aggregate + two bounded-frame windows keyed by event_type;
+    the spine is derived from a 1-row global agg.
+    """
+    e = _t(spark, sf_dir, "events")
+    e2 = e.select(
+        F.date_trunc("hour", "ts").alias("hr"),
+        "event_type",
+        F.round(F.col("value") * 1000000.0).cast("long").alias("microval"),
+    )
+    agg = e2.groupBy("hr", "event_type").agg(
+        F.expr("CAST(SUM(microval) div COUNT(*) AS BIGINT)").alias("v_e6")
+    )
+    bounds = e2.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    types = e2.select("event_type").distinct()
+    grid = (
+        spine.crossJoin(types)
+        .join(agg, ["hr", "event_type"], "left")
+        .withColumn("hk", F.expr("unix_micros(hr) div 3600000000"))
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hk")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hk = F.when(F.col("v_e6").isNotNull(), F.col("hk"))
+    nb = grid.select(
+        "hr",
+        "event_type",
+        "v_e6",
+        "hk",
+        F.last("v_e6", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_hk, ignorenulls=True).over(wp).alias("pk"),
+        F.first("v_e6", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_hk, ignorenulls=True).over(wn).alias("nk"),
+    )
+    line = F.col("pv") + F.round(
+        (F.col("nv") - F.col("pv"))
+        * F.lit(1.0)
+        * (F.col("hk") - F.col("pk"))
+        / (F.col("nk") - F.col("pk"))
+    ).cast("long")
+    return nb.filter(
+        F.col("v_e6").isNotNull()
+        | (F.col("pv").isNotNull() & F.col("nv").isNotNull())
+    ).select(
+        "hr",
+        "event_type",
+        F.when(F.col("v_e6").isNotNull(), F.col("v_e6"))
+        .otherwise(line)
+        .alias("val_e6"),
+        F.col("v_e6").isNull().cast("int").alias("interp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5/O2 — vocabulary coverage (Zipf head) of the document corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_vocab_coverage",
+    tags=("X5", "O2", "W1"),
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS MATERIALIZED (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq),
+ranked AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS rank,
+         SUM(n) OVER (ORDER BY n DESC, token
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM freq
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, n,
+       CAST((cum * 1000000) // total AS BIGINT) AS cum_ppm
+FROM ranked CROSS JOIN tot
+WHERE rank <= 100
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the top-100 tokens by corpus
+    frequency with their cumulative share of all tokens (ppm) — the
+    Zipf-head diagnostic that tells an LM-data pipeline how much of the
+    corpus a small vocabulary already covers.
+
+    All-integer output (rank, count, ppm via integer division) — no
+    float crosses the hash gate.  Scale: token counting is a hash
+    aggregate over the exploded corpus; the global-order window runs on
+    the aggregated vocabulary (millions of rows at worst, not the
+    corpus), and only the 100-row head survives.  At 100 TB you would
+    pre-filter `n >= threshold` before the single-partition window —
+    the aggregate, not the window, sees the data volume.
+    """
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = freq.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    ranked = freq.select(
+        "token",
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    ).filter(F.col("rank") <= 100)
+    return ranked.crossJoin(tot).select(
+        F.col("rank").cast("long").alias("rank"),
+        "token",
+        "n",
+        F.expr("CAST((cum * 1000000) div total AS BIGINT)").alias("cum_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — dual correlated EXISTS / NOT EXISTS (TPC-H Q21 shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_late_supplier_blame",
+    tags=("J9", "J5", "O2"),
+    oracle="""
+WITH li_o AS MATERIALIZED (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM li_o l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM li_o l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li_o l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+)
+def q_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely to blame for late multi-supplier orders
+    (TPC-H Q21 shape re-expressed on the fixture schema: "late" =
+    shipped more than 90 days after the order date): EXISTS another
+    supplier on the order, NOT EXISTS another LATE supplier.
+
+    Spark-first: the correlated EXISTS pair becomes a left-semi plus a
+    left-anti join against the same projected (orderkey, suppkey, late)
+    relation — both shuffle on l_orderkey, so with AQE they share the
+    exchange; the supplier dimension broadcasts.  Count semantics
+    follow TPC-H: one row per late lineitem occurrence.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    li_o = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+            "late"
+        ),
+    )
+    l1 = li_o.filter("late").alias("l1")
+    others = li_o.select("l_orderkey", "l_suppkey").alias("l2")
+    late_others = li_o.filter("late").select("l_orderkey", "l_suppkey").alias("l3")
+    cond2 = (F.col("l1.l_orderkey") == F.col("l2.l_orderkey")) & (
+        F.col("l1.l_suppkey") != F.col("l2.l_suppkey")
+    )
+    cond3 = (F.col("l1.l_orderkey") == F.col("l3.l_orderkey")) & (
+        F.col("l1.l_suppkey") != F.col("l3.l_suppkey")
+    )
+    blamed = l1.join(others, cond2, "left_semi").join(
+        late_others, cond3, "left_anti"
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/W1 — winsorized (clipped) aggregation with discrete percentiles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_winsorized_agg",
+    tags=("A1", "W1", "FN-math"),
+    oracle=f"""
+WITH r AS MATERIALIZED (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = (5 * n + 99) // 100 THEN value END) AS lo,
+         MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS hi
+  FROM r GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CASE WHEN r.value < b.lo THEN 1 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(COUNT(CASE WHEN r.value > b.hi THEN 1 END) AS BIGINT)
+         AS n_clip_hi,
+       {oracle_exact_sum('LEAST(GREATEST(r.value, b.lo), b.hi)', VALUE)}
+         AS sum_winsorized
+FROM r JOIN bounds b ON b.event_type = r.event_type
+GROUP BY r.event_type
+""",
+)
+def q_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized sum of event values per type: clip to the discrete
+    5th/95th percentile values, then aggregate — the robust-statistics
+    primitive that keeps heavy-tailed telemetry from letting a few
+    outliers own the sum.
+
+    DISCRETE percentiles by construction: the bound IS a value that
+    occurs (row_number selection with an event_id tie-break), so no
+    interpolation arithmetic exists to drift between engines —
+    interpolated percentile_cont differs in last-ulp between
+    implementations and would break the hash gate.  The index formula
+    ceil(p*n) is pure integer ((5n+99)//100).  Scale: one window
+    shuffle keyed by event_type (AQE splits skewed types), a 5-row
+    bounds broadcast back, then a partial-aggregable exact sum.
+    """
+    e = _t(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    bounds = r.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(5 * n + 99) div 100"), F.col("value"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(95 * n + 99) div 100"), F.col("value"))
+        ).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        r.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_clip_lo"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_clip_hi"),
+            exact_sum(clipped, VALUE).alias("sum_winsorized"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6/J9 — Pareto skyline (dominance anti-join) per blocking group.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_skyline",
+    tags=("J6", "J9", "O2"),
+    oracle="""
+SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+""",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier per brand: parts not dominated on
+    (minimize retail price, maximize size) — the multi-objective
+    shortlist operator (cheapest-per-capability catalog pruning).
+
+    Spark-first: dominance is a correlated NOT EXISTS → one left-anti
+    theta join whose equi-component (p_brand) is the shuffle key, so
+    the quadratic dominance test stays inside blocking groups — the
+    same bounded-block discipline as q_levenshtein_fuzzy.  At 100 TB
+    the group key bounds the work; a global (unblocked) skyline would
+    need the sort-filter-scan algorithm instead.  Double comparisons
+    are exact (no arithmetic, just ordering).
+    """
+    p = _t(spark, sf_dir, "part").alias("p")
+    q = _t(spark, sf_dir, "part").alias("q")
+    dominated = (
+        (F.col("q.p_brand") == F.col("p.p_brand"))
+        & (F.col("q.p_retailprice") <= F.col("p.p_retailprice"))
+        & (F.col("q.p_size") >= F.col("p.p_size"))
+        & (
+            (F.col("q.p_retailprice") < F.col("p.p_retailprice"))
+            | (F.col("q.p_size") > F.col("p.p_size"))
+        )
+    )
+    return p.join(q, dominated, "left_anti").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/FN-math — z-score anomaly flagging from exact integer moments.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_anomaly_zscore",
+    tags=("A1", "FN-math", "W1"),
+    oracle="""
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100.0) AS BIGINT) AS xc
+  FROM events
+),
+m AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xc) AS BIGINT) AS s1,
+         CAST(SUM(xc * xc) AS BIGINT) AS s2
+  FROM c GROUP BY event_type
+),
+f AS (
+  SELECT c.event_type, c.xc,
+         (CAST(m.n * c.xc - m.s1 AS DOUBLE)
+          * CAST(m.n * c.xc - m.s1 AS DOUBLE))
+           > (9.0 * (CAST(m.n AS DOUBLE) * CAST(m.s2 AS DOUBLE)
+                     - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)))
+           AS is_anomaly
+  FROM c JOIN m ON m.event_type = c.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CASE WHEN is_anomaly THEN 1 END) AS BIGINT) AS n_anomalies,
+       MIN(CASE WHEN is_anomaly THEN xc END) AS min_anomaly_c,
+       MAX(CASE WHEN is_anomaly THEN xc END) AS max_anomaly_c
+FROM f GROUP BY event_type
+""",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population 3-sigma outlier flagging per event type, with the
+    moments (n, Σx, Σx²) accumulated as EXACT integers in centi-units —
+    float moment sums reorder across partitions and make "is this row
+    an anomaly?" nondeterministic right at the threshold; integer sums
+    don't.  The final |x-μ| > 3σ test is algebraically cleared of
+    divisions and sqrt: (n·x − S1)² > 9·(n·S2 − S1²), evaluated in
+    doubles CONVERTED FROM the same exact integers on both engines, so
+    every comparison sees bit-identical operands.
+
+    Scale: one partial-aggregable moment pass, a 5-row broadcast back,
+    one more aggregate.  Envelope: BIGINT Σx² holds to ~1e9 rows/group
+    at these magnitudes; past that swap S2 to DECIMAL(38,0) — same
+    shape, wider lane.
+    """
+    e = _t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100.0).cast("long").alias("xc"),
+    )
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xc").cast("long").alias("s1"),
+        F.sum(F.col("xc") * F.col("xc")).cast("long").alias("s2"),
+    )
+    f = c.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "xc",
+        (
+            (
+                F.expr("CAST(n * xc - s1 AS DOUBLE)")
+                * F.expr("CAST(n * xc - s1 AS DOUBLE)")
+            )
+            > (
+                F.lit(9.0)
+                * (
+                    F.expr("CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)")
+                    - F.expr("CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)")
+                )
+            )
+        ).alias("is_anomaly"),
+    )
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("is_anomaly"), 1)).alias("n_anomalies"),
+        F.min(F.when(F.col("is_anomaly"), F.col("xc"))).alias("min_anomaly_c"),
+        F.max(F.when(F.col("is_anomaly"), F.col("xc"))).alias("max_anomaly_c"),
+    )

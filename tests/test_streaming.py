@@ -1075,3 +1075,61 @@ def test_materialized_view_maintenance(spark, sf_dir, tmp_path):
     )
     got3 = read_counts_view(spark, out_dir).select("event_type", "n", "sum_value_e6")
     assert collect_sorted(got3) == collect_sorted(expect3)
+
+
+def test_state_store_reader_exposes_watermark_frontier(spark, sf_dir, tmp_path):
+    """S-surface: the `statestore` / `state-metadata` data sources read
+    a checkpoint's state as DataFrames — the ops/debugging window into
+    a running job's state.  Beyond the recentProgress counters
+    (test_watermark_bounds_agg_state), this proves eviction ROW BY
+    ROW: after the drain, every surviving state key is a window the
+    final watermark has not closed, and the frontier matches the batch
+    recomputation of those open windows exactly."""
+    import datetime
+
+    chunks = tmp_path / "chunks"
+    chunk_events(spark, sf_dir, str(chunks), n_chunks=4)
+    stream = read_event_stream(spark, str(chunks), max_files_per_trigger=None)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ckpt = tmp_path / "ckpt"
+    run_to_memory(agg, str(ckpt), output_mode="update", name="state_reader_probe")
+
+    state = spark.read.format("statestore").load(str(ckpt))
+    rows = state.select(
+        F.col("key.window.start").alias("ws"),
+        F.col("key.window.end").alias("we"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    ).collect()
+    assert rows, "state store reader returned no rows"
+
+    batch = load_table(spark, sf_dir, "events")
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - datetime.timedelta(minutes=10)
+    # every surviving key is an OPEN window (end > watermark)...
+    assert all(r.we > watermark for r in rows)
+    # ...and the frontier equals the batch recomputation of open windows.
+    expected = {
+        (r.ws, r.event_type): r.n
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
+                "event_type", "n")
+        .collect()
+        if r.we > watermark
+    }
+    assert {(r.ws, r.event_type): r.n for r in rows} == expected
+
+    md = spark.read.format("state-metadata").load(str(ckpt))
+    meta = md.collect()
+    assert len(meta) == 1
+    assert meta[0].operatorName == "stateStoreSave"
+    assert meta[0].numPartitions == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

@@ -780,3 +780,207 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("is_anomaly"), F.col("xc"))).alias("min_anomaly_c"),
         F.max(F.when(F.col("is_anomaly"), F.col("xc"))).alias("max_anomaly_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X5/O2 — collocation extraction via integer PMI lift.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_SUPPORT = 5
+
+
+@register(
+    "q_pmi_collocations",
+    tags=("X5", "O2", "J3"),
+    oracle=f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT t[i] AS w1, t[i+1] AS w2, t[i] || ' ' || t[i+1] AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) u
+),
+uni AS MATERIALIZED (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+),
+bi AS (
+  SELECT gram, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM grams GROUP BY gram, w1, w2
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t_uni FROM uni)
+SELECT b.gram, b.n_ab,
+       CAST((b.n_ab * tot.t_uni * 1000000) // (ua.n * ub.n) AS BIGINT)
+         AS lift_ppm
+FROM bi b
+JOIN uni ua ON ua.token = b.w1
+JOIN uni ub ON ub.token = b.w2
+CROSS JOIN tot
+WHERE b.n_ab >= {_PMI_MIN_SUPPORT}
+ORDER BY lift_ppm DESC, gram
+LIMIT 20
+""",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 bigrams by pointwise-mutual-
+    information LIFT, P(a,b)/(P(a)·P(b)), computed as the INTEGER
+    n_ab·T·1e6 // (n_a·n_b) so ranking and output never touch a float
+    log — the phrase-mining primitive for tokenizer/vocabulary
+    induction over a training corpus.
+
+    Scale: two hash aggregates (bigram counts, unigram counts); the
+    unigram table joins onto the bigram table twice — at corpus scale
+    the unigram side is vocabulary-sized and broadcasts (hinted
+    implicitly by AQE here; a Zipf-truncated explicit broadcast at
+    100 TB).  Min-support 5 prunes the heavy tail before the join.
+    TakeOrderedAndProject keeps only 20 rows at the driver.  Integer
+    envelope: n_ab·T·1e6 needs BIGINT headroom ~(corpus tokens)²·1e6 —
+    beyond ~1e6-token corpora, promote to DECIMAL(38,0) or rescale.
+    """
+    from .advanced import _bigrams
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(_bigrams(F.col("t"))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_SUPPORT)
+        .withColumn("w1", F.split("gram", " ")[0])
+        .withColumn("w2", F.split("gram", " ")[1])
+    )
+    tot = uni.agg(F.sum("n").cast("long").alias("t_uni"))
+    ua = uni.select(F.col("token").alias("w1"), F.col("n").alias("na"))
+    ub = uni.select(F.col("token").alias("w2"), F.col("n").alias("nb"))
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(tot)
+        .select(
+            "gram",
+            "n_ab",
+            F.expr("CAST((n_ab * t_uni * 1000000) div (na * nb) AS BIGINT)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "gram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9/A1 — scalar-subquery threshold + anti join (TPC-H Q22 shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_idle_customers",
+    tags=("J9", "A1", "P5"),
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 100.0 AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_bal
+FROM customer c CROSS JOIN avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_mktsegment
+""",
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-funded customers gone quiet (TPC-H Q22 shape): balance
+    above the positive-balance average, and no order since 2000-01-01
+    — the scalar-subquery-threshold + anti-join combination.  (Every
+    fixture customer has SOME order, so the classic "never ordered"
+    predicate is vacuous; the recency filter keeps the anti-join's
+    probe semantics with a non-degenerate result, and pushes a date
+    predicate into the anti-join's build side.)
+
+    Determinism: the average threshold is derived from an exact integer
+    centi-unit sum, so both engines compare against the bit-identical
+    double.  Scale: the 1-row average broadcasts (BroadcastNestedLoop
+    on a single row is free); the NOT EXISTS is a left-anti shuffle
+    join on c_custkey; the final agg is 5 groups.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("a")
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9/A1 — per-priority EXISTS probe (TPC-H Q4 shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_order_priority",
+    tags=("J9", "A1", "O1"),
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority
+""",
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one slow lineitem, counted per priority
+    class (TPC-H Q4 shape; "slow" = shipped more than 60 days after
+    the order date).
+
+    The correlated EXISTS with a cross-table predicate (l_shipdate vs
+    o_orderdate) can't pre-reduce the lineitem side alone, so it is a
+    left-semi join on l_orderkey with the date comparison in the join
+    condition — semi stops probing an order at its first match, and
+    the 5-group aggregate is partial-aggregable.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

@@ -165,3 +165,78 @@ def running_counts_tws(events: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+EWMA_OUTPUT_SCHEMA = "user_id long, event_id long, ewma_e6 long"
+EWMA_STATE_SCHEMA = "vals array<double>"
+
+
+def ewma_with_state(
+    events: DataFrame, w: float = 0.6, depth: int = 8
+) -> DataFrame:
+    """Streaming twin of plans/analytics.q_ewma: bounded-depth EWMA of
+    purchase values per user via explicit keyed state.
+
+    State per user is just the last ``depth-1`` values (newest first) —
+    O(depth) per key, the property that makes the BOUNDED smoother
+    streamable; the unbounded-recursion EWMA would need exact replay.
+    Each micro-batch processes its rows in (ts, event_id) order,
+    computes the weighted mean over the weights present, emits one row
+    per event, and parks the updated tail back in state.
+
+    Determinism contract: the weighted sum accumulates in the same
+    k-ascending IEEE order as the batch query's expression chain, so a
+    chronological replay reproduces the batch output bit-for-bit
+    (proven in tests/test_streaming.py).  No timers: state is a fixed
+    ring per key, so there is nothing to expire (at production scale
+    you would still arm a TTL timer to reap dormant keys).
+    """
+    weights = [w**k for k in range(depth)]
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        import pandas as pd  # local import keeps the worker pickle lean
+
+        if state.exists:
+            (prev,) = state.get
+            tail = list(prev)
+        else:
+            tail = []
+        rows = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                lags = [float(val)] + tail
+                num = 0.0
+                den = 0.0
+                for k, wk in enumerate(weights):
+                    if k < len(lags):
+                        num = num + lags[k] * wk
+                        den = den + wk
+                ewma = num / den
+                # HALF_UP in micro-units, matching Spark's round()
+                import math
+
+                rows.append(
+                    (int(user_id), int(eid), int(math.floor(ewma * 1000000.0 + 0.5)))
+                )
+                tail = ([float(val)] + tail)[: depth - 1]
+        state.update((tail,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "event_id", "ewma_e6"])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=_GST.NoTimeout,
+        )
+    )

@@ -1133,3 +1133,26 @@ def test_state_store_reader_exposes_watermark_frontier(spark, sf_dir, tmp_path):
     assert meta[0].numPartitions == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_ewma_with_state_matches_batch(spark, sf_dir, replay_dir, tmp_path):
+    """T4: the stateful streaming EWMA (bounded last-K ring per user in
+    applyInPandasWithState) over a chronological replay equals the
+    batch q_ewma window query bit-for-bit — the prefix-integrity
+    contract extended to a custom stateful operator with real
+    cross-batch state (the K-value tail crosses micro-batch
+    boundaries)."""
+    from spark_streaming_join_example_spark.plans.registry import queries_dict
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        ewma_with_state,
+    )
+
+    stream = read_event_stream(spark, replay_dir)
+    got = run_to_memory(
+        ewma_with_state(stream),
+        str(tmp_path / "ckpt"),
+        output_mode="update",
+        name="ewma_state_probe",
+    )
+    expected = queries_dict()["q_ewma"](spark, sf_dir)
+    assert collect_sorted(got) == collect_sorted(expected)

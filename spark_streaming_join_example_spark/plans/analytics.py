@@ -97,7 +97,7 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# J5/A1 (iterative) — fixed-point PageRank on the co-supplier graph.
+# J5/A1 (iterative) — fixed-point PageRank on the part co-purchase graph.
 # ---------------------------------------------------------------------------
 
 _PR_SCALE = 1_000_000_000_000  # rank unit = 1e-12
@@ -108,12 +108,12 @@ _PR_SCALE = 1_000_000_000_000  # rank unit = 1e-12
     tags=("J5", "A1", "X2"),
     oracle=f"""
 WITH li AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
 edges AS MATERIALIZED (
-  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
 ),
 nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
 nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
@@ -145,13 +145,16 @@ r2 AS (
            + (85 * COALESCE(c2.c, 0)) // 100 AS r
   FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nodes.node
 )
-SELECT node AS s_suppkey, CAST(r AS BIGINT) AS rank_e12
+SELECT node AS p_partkey, CAST(r AS BIGINT) AS rank_e12
 FROM r2 ORDER BY r DESC, node LIMIT 20
 """,
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two fixed iterations of PageRank (d=0.85) over the co-supplier
-    graph (suppliers sharing an order), in pure INTEGER fixed-point
+    """Two fixed iterations of PageRank (d=0.85) over the co-purchase
+    part graph (parts sharing an order — suppliers were tried first but
+    their co-order graph is COMPLETE on these fixtures, which collapses
+    PageRank to uniform ranks; the 2000-node part graph has a 42..206
+    degree spread), in pure INTEGER fixed-point
     (rank unit 1e-12) so the result is bit-identical at any partition
     count and in any engine — floating-point PageRank is famously
     non-reproducible because contribution sums reorder.
@@ -178,7 +181,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = (
         _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
+        .select("l_orderkey", "l_partkey")
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
@@ -186,10 +189,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
         )
         .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
         .persist()
@@ -222,7 +225,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r.orderBy(F.col("r").desc(), "node")
         .limit(20)
-        .select(F.col("node").alias("s_suppkey"), F.col("r").alias("rank_e12"))
+        .select(F.col("node").alias("p_partkey"), F.col("r").alias("rank_e12"))
     )
 
 
@@ -983,4 +986,93 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, cond, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/X2 — local triangle counting (node-iterator on oriented edges).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_triangle_count",
+    tags=("J5", "X2", "O2"),
+    oracle="""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pernode AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT node AS p_partkey, n_tri
+FROM pernode ORDER BY n_tri DESC, node LIMIT 20
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local triangle counts on the part co-purchase graph (top-20
+    vertices) — the clustering-coefficient numerator, and the classic
+    distributed graph benchmark after PageRank.
+
+    Node-iterator formulation on ID-ORIENTED edges (u < v): each
+    triangle a<b<c is found exactly once as wedge (a,b)+(b,c) closed
+    by (a,c), so no post-hoc dedup.  Both joins are equi-joins keyed
+    on a vertex — shuffle cost tracks Σ deg², the known bound; at
+    skewed web scale you'd orient edges low-degree→high-degree
+    instead of by id (same algorithm, provably O(m^1.5) wedges).  The
+    oriented edge list is persisted — it feeds three join sides.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .orderBy(F.col("n_tri").desc(), "node")
+        .limit(20)
+        .select(F.col("node").alias("p_partkey"), "n_tri")
     )

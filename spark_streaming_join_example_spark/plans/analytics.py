@@ -1076,3 +1076,140 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("node").alias("p_partkey"), "n_tri")
     )
+
+
+# ---------------------------------------------------------------------------
+# W1/O2 — reciprocal-rank fusion of two rankings.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000
+
+
+@register(
+    "q_rrf_fusion",
+    tags=("W1", "O2", "X3"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT p_partkey,
+         row_number() OVER (ORDER BY p_retailprice, p_partkey) AS r_price,
+         row_number() OVER (ORDER BY p_size DESC, p_partkey) AS r_size
+  FROM part
+)
+SELECT p_partkey,
+       CAST(r_price AS BIGINT) AS r_price,
+       CAST(r_size AS BIGINT) AS r_size,
+       CAST({_RRF_SCALE} // ({_RRF_K} + r_price)
+            + {_RRF_SCALE} // ({_RRF_K} + r_size) AS BIGINT) AS rrf_e9
+FROM ranked
+ORDER BY rrf_e9 DESC, p_partkey
+LIMIT 20
+""",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two independent rankings (cheapest
+    price, largest size): score = Σ 1/(60+rank), the standard
+    hybrid-retrieval combiner (e.g. lexical + vector hit lists) — in
+    INTEGER 1e-9 units (floor division) so the fused ordering is
+    engine- and partitioning-exact.
+
+    Scale: RRF needs global ranks, but in a retrieval setting each
+    ranking is already a top-k list — the window here would run over
+    k·lists rows, not the corpus; ties broken by key make row_number
+    total.  One window pass producing both ranks (two sort specs over
+    the same exchange), then TakeOrderedAndProject.
+    """
+    p = _t(spark, sf_dir, "part")
+    w_price = Window.orderBy("p_retailprice", "p_partkey")
+    w_size = Window.orderBy(F.col("p_size").desc(), "p_partkey")
+    ranked = p.select(
+        "p_partkey",
+        F.row_number().over(w_price).cast("long").alias("r_price"),
+        F.row_number().over(w_size).cast("long").alias("r_size"),
+    )
+    return (
+        ranked.select(
+            "p_partkey",
+            "r_price",
+            "r_size",
+            F.expr(
+                f"CAST({_RRF_SCALE} div ({_RRF_K} + r_price)"
+                f" + {_RRF_SCALE} div ({_RRF_K} + r_size) AS BIGINT)"
+            ).alias("rrf_e9"),
+        )
+        .orderBy(F.col("rrf_e9").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/P1 — column profiling (the data-quality ANALYZE pass).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_column_profile",
+    tags=("A1", "P1", "X5"),
+    oracle="""
+SELECT 'event_type' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(value) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'props', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(props) AS BIGINT),
+       CAST(COUNT(DISTINCT props) AS BIGINT)
+FROM events
+""",
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the events table (count / nulls / distinct per
+    column) — the data-quality pass every ingestion pipeline runs
+    before training on a new source.
+
+    Spark-first: ONE scan computes all per-column aggregates side by
+    side (count + conditional-null count + count(distinct col) each),
+    then the wide 1-row result unpivots to the (col_name, stats) grain
+    with a stack() expression — no per-column re-scan (the naive
+    UNION-of-scans shape the oracle uses is fine for DuckDB but reads
+    the table four times; at 100 TB single-scan profiling is the only
+    viable form).  Distinct counts expand to two-phase aggregates
+    under one shuffle each.
+    """
+    e = _t(spark, sf_dir, "events")
+    wide = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            c
+            for col in ("event_type", "user_id", "value", "props")
+            for c in (
+                (F.count(F.lit(1)) - F.count(col)).alias(f"null_{col}"),
+                F.countDistinct(col).alias(f"dist_{col}"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"'{col}', null_{col}, dist_{col}"
+        for col in ("event_type", "user_id", "value", "props")
+    )
+    return wide.select(
+        "n",
+        F.expr(
+            f"stack(4, {stack}) AS (col_name, n_null, n_distinct)"
+        ),
+    ).select(
+        "col_name",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )

@@ -1213,3 +1213,78 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_null").cast("long").alias("n_null"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §3.2/T5 — optimizer hints through the SQL front door.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hints_battery",
+    tags=("J4", "T5", "A1"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_hints_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-hint surface through spark.sql(): REBALANCE the scan
+    (AQE splits output partitions to target size — the pre-write
+    small-file killer), then aggregate.  Hints steer the PHYSICAL plan
+    only, so the result is identical to the plain aggregate — which is
+    exactly what the oracle checks.
+
+    At 100 TB, `/*+ REBALANCE */` (or REPARTITION(n, col)) before a
+    write is how you bound output file counts without a hard
+    repartition that fights AQE; the result-identity proven here is
+    the property that makes hints safe to sprinkle.
+    """
+    e = _t(spark, sf_dir, "orders")
+    e.createOrReplaceTempView("orders_hintdemo")
+    return spark.sql(
+        """
+        SELECT /*+ REBALANCE */ o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total
+        FROM orders_hintdemo
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1/P1 — hidden _metadata columns (file-level lineage).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_file_lineage",
+    tags=("S1", "P1"),
+    oracle="""
+SELECT 'events.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+""",
+)
+def q_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance via the hidden `_metadata` struct of file-based
+    sources: every row knows which file it came from — the lineage
+    primitive a 100 TB pipeline uses to trace a bad record back to its
+    source shard, quarantine one file, or incremental-reprocess.
+
+    The fixture is a single file, so the profile collapses to one row
+    (the oracle pins the same literal); on a sharded table the same
+    query yields per-file row counts.  `_metadata` is populated at
+    scan time from the file split — no extra I/O.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

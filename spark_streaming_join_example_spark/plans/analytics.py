@@ -1288,3 +1288,44 @@ def q_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# §3.2 — SQL pipe syntax front door (Spark 4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sql_pipe",
+    tags=("A1", "P2"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total
+FROM orders
+WHERE o_totalprice > 1000.0
+GROUP BY o_orderstatus
+""",
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 SQL *pipe syntax* front door (`FROM t |> WHERE …
+    |> AGGREGATE … GROUP BY …`) — the composable query form, checked
+    for exact equality with its classic-SQL twin.  Pipe operators
+    lower to the same logical plan, so filters still push down and
+    aggregates still split partial/final; this query pins that
+    contract.
+    """
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_pipedemo")
+    return spark.sql(
+        """
+FROM orders_pipedemo
+|> WHERE o_totalprice > 1000.0
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total
+   GROUP BY o_orderstatus
+|> SELECT o_orderstatus, n, total
+"""
+    )

@@ -25,9 +25,12 @@ def asof_join(
     right_ts: str,
     how: str = "left",
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` for the same key.
+    ``right.ts <= left.ts`` for the same key (``direction="backward"``,
+    the default), or the EARLIEST right row with ``right.ts >=
+    left.ts`` (``direction="forward"``).
 
     Column names must not collide between ``left`` and ``right``
     (rename before calling).  ``how`` is ``left`` (keep unmatched left
@@ -42,6 +45,10 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be left|inner, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be backward|forward, got {direction!r}"
+        )
 
     lcols, rcols = left.columns, right.columns
     overlap = set(lcols) & set(rcols)
@@ -66,24 +73,37 @@ def asof_join(
         ),
         F.struct(*lcols).alias("__lpay"),
     )
-    # right rows sort before left rows at equal ts → `<=` semantics.
-    w = (
-        Window.partitionBy("__key")
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort before left rows at equal ts → `<=` semantics;
+        # carry the last right payload seen so far.
+        w = (
+            Window.partitionBy("__key")
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("__rpay", ignorenulls=True).over(w)
+    else:
+        # forward: left rows sort before right rows at equal ts →
+        # `>=` semantics; take the first right payload still to come.
+        w = (
+            Window.partitionBy("__key")
+            .orderBy("__ts", F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("__rpay", ignorenulls=True).over(w)
     merged = (
         r.unionByName(l)
-        .withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
+        .withColumn("__match", carry)
         .filter(F.col("__side") == 1)
     )
     if tolerance is not None:
+        bound_ok = (
+            F.col(f"__match.{right_ts}") >= F.col("__ts") - tolerance
+            if direction == "backward"
+            else F.col(f"__match.{right_ts}") <= F.col("__ts") + tolerance
+        )
         merged = merged.withColumn(
-            "__match",
-            F.when(
-                F.col(f"__match.{right_ts}") >= F.col("__ts") - tolerance,
-                F.col("__match"),
-            ),
+            "__match", F.when(bound_ok, F.col("__match"))
         )
     if how == "inner":
         merged = merged.filter(F.col("__match").isNotNull())

@@ -1329,3 +1329,68 @@ FROM orders_pipedemo
 |> SELECT o_orderstatus, n, total
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# J8 — forward as-of join (next-event attribution).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_asof_forward",
+    tags=("J8", "J7"),
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM c ASOF JOIN p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+""",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click attributed to the user's NEXT purchase
+    (earliest purchase at-or-after the click) — the attribution twin of
+    the backward as-of quote lookup, matching DuckDB's `ASOF JOIN ON
+    l.ts <= r.ts`.
+
+    Same union-sort-carry kernel as the backward direction (one
+    shuffle on the key, a first-ignorenulls over the FOLLOWING frame,
+    zero joins) — operators/joins.asof_join(direction="forward").
+    Fixture (user_id, ts) pairs are unique, so the match is total-
+    ordered and the hash gate is deterministic.
+    """
+    from ..operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = asof_join(
+        clicks,
+        buys,
+        left_on="c_user",
+        right_on="p_user",
+        left_ts="c_ts",
+        right_ts="p_ts",
+        how="inner",
+        direction="forward",
+    )
+    return j.select(
+        "click_id",
+        "purchase_id",
+        F.expr("unix_micros(p_ts) - unix_micros(c_ts)").alias("gap_us"),
+    )

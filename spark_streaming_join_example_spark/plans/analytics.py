@@ -1394,3 +1394,63 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.expr("unix_micros(p_ts) - unix_micros(c_ts)").alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W3/FN-math — running maximum drawdown (integer window algebra).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_max_drawdown",
+    tags=("W3", "W2", "FN-math"),
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(round(value * 100.0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+  FROM events WHERE event_type = 'purchase'
+),
+d AS (
+  SELECT user_id, cum_c,
+         MAX(cum_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cum_c AS dd_c
+  FROM s
+)
+SELECT user_id,
+       CAST(MAX(dd_c) AS BIGINT) AS max_drawdown_c,
+       CAST(MAX(cum_c) AS BIGINT) AS peak_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY user_id
+""",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative purchase series:
+    running sum → running max → max(peak − current) — the
+    path-dependent risk statistic, in exact centi-units so the chained
+    windows are partitioning-independent (float cumsums would drift
+    at every re-partition).
+
+    Scale: both windows share ONE shuffle and sort (same partition/
+    order spec — Spark plans a single Window operator for them); the
+    final per-user reduce is partial-aggregable.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).over(w).alias("cum_c"),
+    ).withColumn("dd_c", F.max("cum_c").over(w) - F.col("cum_c"))
+    return s.groupBy("user_id").agg(
+        F.max("dd_c").cast("long").alias("max_drawdown_c"),
+        F.max("cum_c").cast("long").alias("peak_c"),
+        F.count(F.lit(1)).alias("n"),
+    )

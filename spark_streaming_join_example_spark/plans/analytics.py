@@ -1454,3 +1454,158 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cum_c").cast("long").alias("peak_c"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X5/FN-array — LM context windowing (fixed window, fixed stride).
+# ---------------------------------------------------------------------------
+
+_CTX_W = 32
+_CTX_S = 16
+
+
+@register(
+    "q_context_windows",
+    tags=("X5", "FN-array", "P1"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS win_start,
+         array_to_string(t[i : i + {_CTX_W - 1}], ' ') AS win_text
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(
+                  1, GREATEST(len(t) - {_CTX_W - 1}, 1), {_CTX_S})) AS i) u
+)
+SELECT doc_id, win_start,
+       CAST(len(string_split(win_text, ' ')) AS INT) AS n_tokens,
+       md5(win_text) AS win_md5
+FROM w
+""",
+)
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context windows (32 tokens, stride 16) per document —
+    the LM training-sample cutter: overlapping windows preserve
+    cross-boundary context, the md5 is the sample's dedup/provenance
+    key downstream.
+
+    Pure JVM array algebra: sequence() for the stride starts, explode,
+    slice + concat_ws for the window — no Python, no shuffle at all
+    until a downstream consumer groups (the plan is scan → generate →
+    project, embarrassingly parallel).  Window text is hashed so the
+    oracle compares fixed-width keys, not megabyte strings.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t") - (_CTX_W - 1), F.lit(1)), F.lit(_CTX_S)
+    )
+    w = toks.select(
+        "doc_id", F.explode(starts).alias("i"), "t"
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("win_start"),
+        F.concat_ws(" ", F.slice("t", F.col("i"), _CTX_W)).alias("win_text"),
+    )
+    return w.select(
+        "doc_id",
+        "win_start",
+        F.size(F.split("win_text", " ")).alias("n_tokens"),
+        F.md5("win_text").alias("win_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FN-array — arrays_zip / posexplode battery.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_arrays_zip",
+    tags=("FN-array", "P1"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+z AS (
+  SELECT doc_id,
+         CAST(i - 1 AS INT) AS pos,
+         t[i] AS token,
+         len(t[i]) AS tok_len
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u
+  WHERE i <= 5
+)
+SELECT doc_id, pos, token, CAST(tok_len AS INT) AS tok_len
+FROM z
+""",
+)
+def q_arrays_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrays_zip + posexplode: pair each of a document's first five
+    tokens with its position and length in one generate pass — the
+    parallel-array flattening idiom (Spark's posexplode emits 0-based
+    positions; the oracle subtracts 1 from its 1-based series).
+
+    arrays_zip aligns the token array with its per-element lengths
+    JVM-side (transform), posexplode adds the ordinal — no join
+    against a generated index table, which is the slow relational
+    spelling of the same thing.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr("slice(split(text, ' '), 1, 5)").alias("t"))
+    zipped = toks.select(
+        "doc_id",
+        F.arrays_zip(
+            F.col("t"), F.expr("transform(t, x -> length(x))")
+        ).alias("z"),
+    )
+    return zipped.select(
+        "doc_id", F.posexplode("z")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col.t").alias("token"),
+        F.col("col.1").cast("int").alias("tok_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 (double grouping) — customer order-count distribution (TPC-H Q13).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_order_count_dist",
+    tags=("A1", "J10", "O1"),
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+""",
+)
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of orders-per-customer (TPC-H Q13): left join so
+    zero-order customers appear in the c_count=0 bucket, then a second
+    aggregate over the first — the canonical double-grouping.
+
+    Scale: the first aggregate co-partitions with the join key (one
+    shuffle serves both); the second groups on a low-cardinality count
+    value — a classic AQE-coalesce target.  COUNT(o_orderkey) (not
+    COUNT(*)) makes the unmatched-left rows count 0, preserving Q13's
+    semantics without a CASE.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )

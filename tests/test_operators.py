@@ -142,3 +142,73 @@ def test_connected_components_chain_clique_pair(spark):
         r.node: r.component for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_asof_join_forward(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join(
+        left,
+        right,
+        left_on="lkey",
+        right_on="rkey",
+        left_ts="lts",
+        right_ts="rts",
+        direction="forward",
+    )
+    rows = {r.lid: (r.rid, r.rv) for r in out.collect()}
+    assert rows[1] == (11, 2.0)  # >= semantics: equal ts matches
+    assert rows[2] is not None and rows[2] == (None, None)  # nothing after 11:00
+    assert rows[3] == (None, None)  # k2's only right row is earlier
+    assert rows[4] is not None  # k3 unmatched but kept (left join)
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    """Reference check against pandas merge_asof on seeded data, both
+    directions — the same library the cogrouped applyInPandas as-of
+    recipe would use, so this pins our kernel to the ecosystem
+    semantics (nearest-at-or-{before,after}, ties by key)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    lpdf = pd.DataFrame(
+        {
+            "lkey": rng.integers(0, 5, 200).astype("int64"),
+            "lts": rng.integers(0, 10_000, 200).astype("int64"),
+        }
+    ).drop_duplicates(["lkey", "lts"])
+    lpdf["lid"] = range(len(lpdf))
+    rpdf = pd.DataFrame(
+        {
+            "rkey": rng.integers(0, 5, 150).astype("int64"),
+            "rts": rng.integers(0, 10_000, 150).astype("int64"),
+        }
+    ).drop_duplicates(["rkey", "rts"])
+    rpdf["rv"] = rpdf["rts"] * 10
+
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(
+                spark.createDataFrame(lpdf),
+                spark.createDataFrame(rpdf),
+                left_on="lkey",
+                right_on="rkey",
+                left_ts="lts",
+                right_ts="rts",
+                direction=direction,
+            )
+            .select("lid", "rv")
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            lpdf.sort_values("lts"),
+            rpdf.sort_values("rts"),
+            left_on="lts",
+            right_on="rts",
+            left_by="lkey",
+            right_by="rkey",
+            direction=direction,
+        )[["lid", "rv"]].sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)

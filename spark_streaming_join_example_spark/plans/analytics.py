@@ -1609,3 +1609,68 @@ def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+# ---------------------------------------------------------------------------
+# A1/W1 — leave-one-out target encoding (leakage-free categorical feature).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_target_encoding",
+    tags=("A1", "W1", "FN-math"),
+    oracle="""
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 1000000.0) AS BIGINT) AS x_e6
+  FROM events
+),
+m AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_e6) AS BIGINT) AS s
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id,
+       c.event_type,
+       CAST(round(CAST(m.s - c.x_e6 AS DOUBLE)
+                  / CAST(m.n - 1 AS DOUBLE)) AS BIGINT) AS loo_mean_e6
+FROM c JOIN m ON m.event_type = c.event_type
+WHERE m.n > 1
+""",
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type: each row gets the
+    mean target value of its OWN category computed WITHOUT itself,
+    (S − x)/(n − 1) — the leakage-free categorical encoder every
+    tabular-ML feature pipeline ships (plain category means leak the
+    row's own label into its feature).
+
+    Determinism: S and x are exact micro-unit integers, so both
+    engines divide bit-identical doubles; singleton categories are
+    excluded (n−1 = 0).  Scale: ONE partial-aggregable moment pass and
+    a tiny broadcast back — no per-row window, no second shuffle; the
+    encoded table is the same size as the input, never wider.
+    """
+    e = _t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1000000.0).cast("long").alias("x_e6"),
+    )
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_e6").cast("long").alias("s"),
+    )
+    return (
+        c.join(F.broadcast(m.filter(F.col("n") > 1)), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.expr("CAST(s - x_e6 AS DOUBLE)") / F.expr("CAST(n - 1 AS DOUBLE)")
+            )
+            .cast("long")
+            .alias("loo_mean_e6"),
+        )
+    )

@@ -1674,3 +1674,54 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loo_mean_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J9 (null-aware) — NOT IN subquery (TPC-H Q16 shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_supplier_shortlist",
+    tags=("J9", "A2", "O2"),
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 25
+""",
+)
+def q_supplier_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct eligible suppliers per (brand, type, size) (TPC-H Q16
+    shape): supplier NOT IN a denylist subquery — exercising the
+    NULL-AWARE anti join, the semantics that silently differ from NOT
+    EXISTS the moment the subquery can yield NULL (here it can't, so
+    Catalyst may degrade to a plain anti join; the denylist is a
+    broadcastable 6-row set either way).
+
+    Written through spark.sql() because NOT IN's null-aware semantics
+    ARE the SQL front door's contract; the aggregate is
+    COUNT(DISTINCT) over the shuffled (brand,type,size) grain with an
+    explicit total-order LIMIT.
+    """
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_q16")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q16")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q16")
+    return spark.sql(
+        """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part_q16 p JOIN lineitem_q16 l ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier_q16 WHERE s_acctbal < 0
+)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 25
+"""
+    )

@@ -272,3 +272,38 @@ def test_analyze_table_stats_feed_cbo(spark, sf_dir, tmp_path):
         assert int(cdesc.get("distinct_count", "0")) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_stats")
+
+
+def test_context_windows_no_shuffle(spark, sf_dir, qd):
+    """X5: the LM context-window cutter is scan → generate → project —
+    zero exchanges, embarrassingly parallel at any scale."""
+    p = plan_of(qd["q_context_windows"](spark, sf_dir))
+    assert "Exchange" not in p
+    assert "Generate" in p
+
+
+def test_pagerank_persists_and_broadcasts(spark, sf_dir, qd):
+    """J5 iterative hygiene: the loop-invariant edge list serves from
+    cache (InMemoryTableScan / InMemoryRelation), rank/degree sides
+    broadcast — no sort-merge join anywhere in the 2-iteration plan."""
+    p = plan_of(qd["q_pagerank"](spark, sf_dir), mode="simple")
+    assert "InMemory" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_target_encoding_is_broadcast_not_window(spark, sf_dir, qd):
+    """A1: leave-one-out encoding must be a moment pass + broadcast
+    join back — NOT a per-row window (which would re-sort the whole
+    fact table)."""
+    p = plan_of(qd["q_target_encoding"](spark, sf_dir))
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_winsorize_bounds_broadcast(spark, sf_dir, qd):
+    """A1/W1: the 5-row percentile-bounds table joins back as a
+    broadcast — the fact side is never shuffled a second time for the
+    clip."""
+    p = plan_of(qd["q_winsorized_agg"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p

@@ -256,3 +256,33 @@ def test_star_components_high_diameter(spark):
     got = {r.node: r.component for r in connected_components_star(df, max_iter=12).collect()}
     assert all(got[n] == 100 for n in range(100, 161))
     assert all(got[n] == 200 for n in range(200, 210))
+
+
+def test_morton_interleave_is_bijective(spark):
+    """The Z-order interleave (plans/analytics._morton_sql) must be a
+    BIJECTION 16×16 → 0..255 — any collision would silently merge
+    z-cells and corrupt the layout statistics."""
+    from spark_streaming_join_example_spark.plans.analytics import _morton_sql
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("bx"), (F.col("id") / 16).cast("int").alias("by")
+    )
+    z = df.select(
+        F.expr(_morton_sql("bx", "by").format(d="div")).alias("z")
+    )
+    vals = sorted(r.z for r in z.collect())
+    assert vals == list(range(256))
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=3, max_size=40),
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winsorize_index_formula_is_ceil(xs):
+    """(p·n+99)//100 must equal ceil(p·n/100) for every group size —
+    the discrete-percentile index backbone of q_winsorized_agg."""
+    import math
+
+    n = len(xs)
+    for p in (5, 95):
+        assert (p * n + 99) // 100 == math.ceil(p * n / 100)

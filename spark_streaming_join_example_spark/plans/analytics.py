@@ -1725,3 +1725,77 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 LIMIT 25
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# A1/FN-string — Benford first-digit audit (data-forensics primitive).
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d), emitted via repr so both engines parse the same double.
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def _benford_case(engine_cast: str) -> str:
+    return (
+        "CASE digit "
+        + " ".join(f"WHEN '{d}' THEN {p!r}" for d, p in _BENFORD_P.items())
+        + " END"
+    )
+
+
+@register(
+    "q_benford",
+    tags=("A1", "FN-string", "P5"),
+    oracle=f"""
+WITH d AS (
+  SELECT substr(CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS VARCHAR),
+                1, 1) AS digit
+  FROM orders WHERE o_totalprice > 0.0
+),
+c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT digit, n,
+       CAST(round(CAST(total AS DOUBLE) * ({_benford_case('duckdb')}))
+            AS BIGINT) AS expected_n
+FROM c CROSS JOIN t
+""",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    data-forensics screen (fabricated or truncated monetary data
+    deviates from the log10(1+1/d) digit law).
+
+    The first significant digit is extracted from the EXACT integer
+    cents as a string head — no float log10, no precision cliff; the
+    expected counts multiply the exact total by repr-emitted double
+    literals, so both engines round the identical product.  Scale: one
+    hash aggregate over nine groups; the digit projection is
+    whole-stage-codegen string arithmetic on the scan.
+    """
+    o = _t(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") > 0.0).select(
+        F.expr(
+            "substr(CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS STRING), 1, 1)"
+        ).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    return c.crossJoin(t).select(
+        "digit",
+        "n",
+        F.expr(
+            f"CAST(round(CAST(total AS DOUBLE) * ({_benford_case('spark')})) AS BIGINT)"
+        ).alias("expected_n"),
+    )

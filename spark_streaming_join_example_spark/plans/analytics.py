@@ -1745,7 +1745,7 @@ _BENFORD_P = {
 }
 
 
-def _benford_case(engine_cast: str) -> str:
+def _benford_case() -> str:
     return (
         "CASE digit "
         + " ".join(f"WHEN '{d}' THEN {p!r}" for d, p in _BENFORD_P.items())
@@ -1767,7 +1767,7 @@ c AS (
 ),
 t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
 SELECT digit, n,
-       CAST(round(CAST(total AS DOUBLE) * ({_benford_case('duckdb')}))
+       CAST(round(CAST(total AS DOUBLE) * ({_benford_case()}))
             AS BIGINT) AS expected_n
 FROM c CROSS JOIN t
 """,
@@ -1796,6 +1796,159 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit",
         "n",
         F.expr(
-            f"CAST(round(CAST(total AS DOUBLE) * ({_benford_case('spark')})) AS BIGINT)"
+            f"CAST(round(CAST(total AS DOUBLE) * ({_benford_case()})) AS BIGINT)"
         ).alias("expected_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FN-math/W2 — lag-1 autocorrelation of the hourly event-count series.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_autocorr",
+    tags=("FN-math", "W2", "A1"),
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT x, lag(x) OVER (ORDER BY hr) AS y FROM h
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM p WHERE y IS NOT NULL
+)
+SELECT n,
+       CAST(round(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         * 1000000.0) AS BIGINT) AS autocorr_e6
+FROM m
+""",
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series — the
+    seasonality/burstiness diagnostic a stream-health monitor tracks.
+
+    Hourly counts are exact integers, so all five correlation moments
+    (Σx, Σy, Σxy, Σx², Σy²) are EXACT BIGINT sums; the Pearson formula
+    then runs on doubles converted from those identical integers —
+    same bits, same sqrt, same rounding in both engines (the recipe
+    from q_anomaly_zscore extended to a two-variable statistic).
+    Scale: the hourly rollup is the only data-sized aggregate; the
+    lag window runs over hours, not events.
+    """
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    p = h.select("x", F.lag("x").over(Window.orderBy("hr")).alias("y")).filter(
+        F.col("y").isNotNull()
+    )
+    m = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return m.select(
+        "n",
+        F.expr(
+            """CAST(round(
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * 1000000.0) AS BIGINT)"""
+        ).alias("autocorr_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3/A1 — revenue concentration (Pareto 80/20 audit).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_revenue_concentration",
+    tags=("W3", "A1", "O1"),
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS total_c,
+             CAST(COUNT(*) AS BIGINT) AS n_cust FROM per_cust),
+r AS (
+  SELECT rev_c,
+         row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rk,
+         SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c
+  FROM per_cust
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(MAX(cum_ppm) AS BIGINT) AS cum_rev_ppm
+FROM (
+  SELECT ((rk - 1) * 10) // n_cust AS decile,
+         (cum_c * 1000000) // total_c AS cum_ppm
+  FROM r CROSS JOIN t
+) GROUP BY decile
+""",
+)
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration curve: customers ranked by revenue, the
+    cumulative revenue share (ppm) at each decile boundary — the
+    Pareto/Lorenz 80-20 audit every revenue dashboard carries.
+
+    All-integer: per-customer revenue in exact cents, cumulative sums
+    over a total-ordered window (revenue desc, key), decile and ppm by
+    integer division.  Scale: the per-customer rollup carries the data
+    volume; the ranking window runs over customers.  Same
+    global-window caveat as q_vocab_coverage: at extreme cardinality,
+    pre-aggregate to revenue bands before the window.
+    """
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    t = per_cust.agg(
+        F.sum("rev_c").cast("long").alias("total_c"),
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+    )
+    w = Window.orderBy(F.col("rev_c").desc(), "o_custkey")
+    r = per_cust.select(
+        "rev_c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("rev_c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_c"),
+    )
+    return (
+        r.crossJoin(t)
+        .select(
+            F.expr("CAST(((rk - 1) * 10) div n_cust AS INT)").alias("decile"),
+            F.expr("(cum_c * 1000000) div total_c").alias("cum_ppm"),
+        )
+        .groupBy("decile")
+        .agg(F.max("cum_ppm").cast("long").alias("cum_rev_ppm"))
     )

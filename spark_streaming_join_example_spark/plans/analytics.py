@@ -1952,3 +1952,97 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(F.max("cum_ppm").cast("long").alias("cum_rev_ppm"))
     )
+
+
+# ---------------------------------------------------------------------------
+# §3.2 — SQL scripting front door (Spark 4: BEGIN/DECLARE/SET blocks).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sql_scripting",
+    tags=("A1", "P2"),
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_totalprice > 2000.0
+GROUP BY o_orderstatus
+""",
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL *scripting* front door: a BEGIN…END block with a
+    DECLAREd session variable, procedural SET arithmetic, and a final
+    SELECT whose result is the block's value — the stored-procedure-
+    style interface for parameterized report logic, checked for exact
+    equality with the equivalent constant-folded query.
+
+    Variables resolve at analysis time, so the data-path plan is
+    IDENTICAL to the literal query (pushed filter and all) — scripting
+    adds control flow, not execution overhead.
+    """
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
+    return spark.sql(
+        """
+BEGIN
+  DECLARE threshold DOUBLE DEFAULT 1000.0;
+  SET threshold = threshold * 2;
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders_script WHERE o_totalprice > threshold
+  GROUP BY o_orderstatus;
+END
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2/FN-datetime — period-over-period change (the dashboard delta).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_period_over_period",
+    tags=("W2", "FN-datetime", "A1"),
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT mon, rev_c, lag(rev_c) OVER (ORDER BY mon) AS prev_c FROM m
+)
+SELECT mon, rev_c,
+       CAST(round(CAST(rev_c - prev_c AS DOUBLE)
+                  / CAST(prev_c AS DOUBLE) * 1000000.0) AS BIGINT)
+         AS delta_ppm
+FROM p WHERE prev_c IS NOT NULL
+""",
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta in ppm — the canonical dashboard
+    statistic.  Monthly revenue in exact cents, the relative change
+    computed in doubles converted from those exact integers and
+    rounded half-away in both engines (safe for negative deltas, where
+    integer floor-vs-trunc division would diverge cross-engine).
+    Scale: the monthly rollup carries the volume; the lag window runs
+    over months.
+    """
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    p = m.select(
+        "mon", "rev_c", F.lag("rev_c").over(Window.orderBy("mon")).alias("prev_c")
+    ).filter(F.col("prev_c").isNotNull())
+    return p.select(
+        "mon",
+        "rev_c",
+        F.expr(
+            "CAST(round(CAST(rev_c - prev_c AS DOUBLE)"
+            " / CAST(prev_c AS DOUBLE) * 1000000.0) AS BIGINT)"
+        ).alias("delta_ppm"),
+    )

@@ -2046,3 +2046,117 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(prev_c AS DOUBLE) * 1000000.0) AS BIGINT)"
         ).alias("delta_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A1/W3 — weighted median (cumulative-weight selection).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_weighted_median",
+    tags=("A1", "W3", "FN-math"),
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+         CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS qty_c
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, price_c, qty_c,
+         SUM(qty_c) OVER (PARTITION BY l_returnflag
+                          ORDER BY price_c, qty_c
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_w,
+         SUM(qty_c) OVER (PARTITION BY l_returnflag) AS tot_w
+  FROM w
+)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cum_w >= tot_w THEN price_c END) AS BIGINT)
+         AS wmedian_price_c,
+       CAST(MAX(tot_w) AS BIGINT) AS total_qty_c
+FROM c GROUP BY l_returnflag
+""",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the first price
+    (in cumulative-weight order) whose running weight reaches half the
+    total — the robust center for volume-weighted data, where the
+    plain median over-counts penny lots.
+
+    All weights and prices are exact integer centi-units; the
+    selection rule 2·cum ≥ tot avoids any division.  Both window
+    passes share the per-flag partition; the cum-weight sort is the
+    only per-row cost — the same shape Spark's own percentile uses.
+    Ties on price are broken by weight, making the running sum (and
+    therefore the selected row) a total order in both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100.0).cast("long").alias("price_c"),
+        F.round(F.col("l_quantity") * 100.0).cast("long").alias("qty_c"),
+    )
+    cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c", "qty_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = w.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("qty_c").over(cum).alias("cum_w"),
+        F.sum("qty_c").over(Window.partitionBy("l_returnflag")).alias("tot_w"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.lit(2) * F.col("cum_w") >= F.col("tot_w"), F.col("price_c"))
+        )
+        .cast("long")
+        .alias("wmedian_price_c"),
+        F.max("tot_w").cast("long").alias("total_qty_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/FN-datetime — seasonal activity profile (day-of-week × hour grid).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_seasonal_profile",
+    tags=("A1", "FN-datetime"),
+    oracle="""
+WITH h AS (
+  SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS INT) AS hod FROM events
+),
+c AS (
+  SELECT dow, hod, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY dow, hod
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT CAST(dow AS INT) AS dow, hod, n,
+       CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+FROM c CROSS JOIN t
+""",
+)
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity grid with each cell's traffic
+    share in ppm — the seasonality fingerprint capacity planning and
+    anomaly baselines start from.
+
+    Convention check: Spark's dayofweek() is 1=Sunday..7=Saturday and
+    DuckDB's dayofweek() is 0=Sunday..6 — the Spark side subtracts 1
+    to meet DuckDB's numbering (the same trap q_calendar_battery2
+    documents).  Integer shares; one hash aggregate over ≤168 cells.
+    """
+    e = _t(spark, sf_dir, "events")
+    c = e.select(
+        (F.dayofweek("ts") - F.lit(1)).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).groupBy("dow", "hod").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    return c.crossJoin(t).select(
+        "dow", "hod", "n",
+        F.expr("CAST((n * 1000000) div total AS BIGINT)").alias("share_ppm"),
+    )

@@ -2160,3 +2160,107 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow", "hod", "n",
         F.expr("CAST((n * 1000000) div total AS BIGINT)").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FN-string — LIKE-family pattern battery.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_like_battery",
+    tags=("FN-string", "P2"),
+    oracle="""
+SELECT
+  CAST(COUNT(CASE WHEN p_type LIKE '%BRUSHED%' THEN 1 END) AS BIGINT)
+    AS n_brushed,
+  CAST(COUNT(CASE WHEN p_type ILIKE '%steel' THEN 1 END) AS BIGINT)
+    AS n_steel_suffix,
+  CAST(COUNT(CASE WHEN p_name LIKE '__a%' THEN 1 END) AS BIGINT)
+    AS n_third_a,
+  CAST(COUNT(CASE WHEN p_type LIKE '%PLATED%' OR p_type LIKE '%POLISHED%'
+             THEN 1 END) AS BIGINT) AS n_finish,
+  CAST(COUNT(CASE WHEN p_type NOT LIKE '%STEEL%'
+              AND p_type NOT LIKE '%BRASS%' THEN 1 END) AS BIGINT)
+    AS n_other_metal
+FROM part
+""",
+)
+def q_like_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-family semantics battery over part attributes: % and _
+    wildcards, case-insensitive ILIKE, the LIKE ANY disjunction
+    (spelled as OR in the oracle — DuckDB has no LIKE ANY), and NOT
+    LIKE conjunctions.
+
+    LIKE compiles to JVM string matching inside codegen — for
+    prefix/suffix shapes Catalyst rewrites to StartsWith/EndsWith/
+    Contains, which parquet can push as filters; the battery pins the
+    SEMANTICS so those rewrites stay behavior-preserving.
+    """
+    p = _t(spark, sf_dir, "part")
+    return p.agg(
+        F.count(F.when(F.col("p_type").like("%BRUSHED%"), 1)).alias("n_brushed"),
+        F.count(F.when(F.col("p_type").ilike("%steel"), 1)).alias(
+            "n_steel_suffix"
+        ),
+        F.count(F.when(F.col("p_name").like("__a%"), 1)).alias("n_third_a"),
+        F.count(
+            F.when(
+                F.expr("p_type LIKE ANY ('%PLATED%', '%POLISHED%')"), 1
+            )
+        ).alias("n_finish"),
+        F.count(
+            F.when(
+                ~F.col("p_type").like("%STEEL%") & ~F.col("p_type").like("%BRASS%"),
+                1,
+            )
+        ).alias("n_other_metal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A1 — conditional distinct counts (one-pass cohort reporting).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_conditional_distinct",
+    tags=("A2", "A1", "P5"),
+    oracle="""
+SELECT
+  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+       AS BIGINT) AS buyers,
+  CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+       AS BIGINT) AS clickers,
+  CAST(COUNT(DISTINCT CASE WHEN event_type IN ('error', 'signup')
+             THEN user_id END) AS BIGINT) AS edge_users,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS all_users
+FROM events
+""",
+)
+def q_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user cohorts under different predicates in ONE
+    aggregate — COUNT(DISTINCT CASE WHEN …) — the reporting idiom that
+    replaces N separate filtered queries with one pass.
+
+    Catalyst expands multiple distinct aggregates with an expand+
+    double-aggregate plan (one row per distinct spec per input row,
+    then two-phase dedup) — one scan regardless of cohort count; at
+    extreme scale swap each to approx_count_distinct and keep the
+    shape.
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("buyers"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("clickers"),
+        F.countDistinct(
+            F.when(
+                F.col("event_type").isin("error", "signup"), F.col("user_id")
+            )
+        ).alias("edge_users"),
+        F.countDistinct("user_id").alias("all_users"),
+    )

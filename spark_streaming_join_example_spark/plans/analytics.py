@@ -2264,3 +2264,49 @@ def q_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("edge_users"),
         F.countDistinct("user_id").alias("all_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W1/A1 — equi-depth histogram (ntile bucketing).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_equi_depth_histogram",
+    tags=("W1", "A1", "FN-math"),
+    oracle="""
+WITH b AS (
+  SELECT ntile(8) OVER (ORDER BY value, event_id) AS bucket,
+         CAST(round(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(v_e6) AS BIGINT) AS lo_e6,
+       CAST(MAX(v_e6) AS BIGINT) AS hi_e6
+FROM b GROUP BY bucket
+""",
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of event values (8 ntile buckets, equal
+    row counts, data-driven boundaries) — the complement of
+    q_histogram's equi-WIDTH width_bucket, and the shape optimizers
+    build for selectivity estimation (bucket bounds ARE the octile
+    values).
+
+    ntile's SQL-standard distribution (first n%8 buckets get the extra
+    rows) is identical in both engines once the ORDER BY is a total
+    order (value, event_id tie-break).  The global sort is the known
+    cost — at corpus scale, sample first or use approx quantile
+    boundaries (q_approx_quantiles) and width_bucket against them.
+    """
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        F.ntile(8).over(Window.orderBy("value", "event_id")).alias("bucket"),
+        F.round(F.col("value") * 1000000.0).cast("long").alias("v_e6"),
+    )
+    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v_e6").cast("long").alias("lo_e6"),
+        F.max("v_e6").cast("long").alias("hi_e6"),
+    )

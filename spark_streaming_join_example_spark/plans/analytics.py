@@ -2310,3 +2310,39 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v_e6").cast("long").alias("lo_e6"),
         F.max("v_e6").cast("long").alias("hi_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O1/P5 — explicit NULL ordering (cross-engine portability pin).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_null_ordering",
+    tags=("O1", "P5"),
+    oracle="""
+SELECT o_orderkey,
+       nullif(o_orderpriority, '3-MEDIUM') AS pri
+FROM orders
+ORDER BY pri ASC NULLS FIRST, o_orderkey
+LIMIT 15
+""",
+)
+def q_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST ordering over a column with manufactured
+    NULLs — pinned because the DEFAULTS diverge: Spark sorts ASC
+    NULLS FIRST, DuckDB (and Postgres) ASC NULLS LAST, so any query
+    that orders a nullable key without an explicit modifier is
+    silently non-portable.  The registry rule is therefore: always
+    spell the null position when a sort key can be NULL (every other
+    ordered query here has non-nullable keys).
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.expr("nullif(o_orderpriority, '3-MEDIUM')").alias("pri"),
+        )
+        .orderBy(F.col("pri").asc_nulls_first(), "o_orderkey")
+        .limit(15)
+    )

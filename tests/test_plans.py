@@ -292,6 +292,28 @@ def test_pagerank_persists_and_broadcasts(spark, sf_dir, qd):
     assert "BroadcastHashJoin" in p
 
 
+def test_triangle_count_degree_oriented_single_pass(spark, sf_dir, qd):
+    """J5/X2: triangle counting must (a) close wedges via broadcast
+    hash joins of the node-bounded edge list (probe stream never
+    shuffled at fixture scale), and (b) count the three corners with
+    one Generate (explode) pass — NOT a 3-way unionAll that re-runs
+    the wedge-close joins per branch.  Degree orientation itself is
+    pinned by the differential oracle (orientation changes plan cost,
+    not results)."""
+    df = qd["q_triangle_count"](spark, sf_dir)
+    try:
+        p = plan_of(df, mode="simple")
+        assert "BroadcastHashJoin" in p
+        assert "Generate explode" in p
+        # one wedge-close semi join feeding one explode — the rejected
+        # 3-way corner unionAll would print three LeftSemi joins (one
+        # per re-derived branch; InMemoryRelation blocks inline their
+        # cached child plan, so counting Unions is not meaningful)
+        assert p.count("LeftSemi") == 1
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_target_encoding_is_broadcast_not_window(spark, sf_dir, qd):
     """A1: leave-one-out encoding must be a moment pass + broadcast
     join back — NOT a per-row window (which would re-sort the whole

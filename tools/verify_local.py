@@ -82,6 +82,11 @@ def main() -> int:
             sdf = qd[name](spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            # A few iterative/graph queries persist loop-invariant
+            # relations (q_pagerank edges, q_triangle_count oriented
+            # edges); drop them so 200+ queries don't accumulate
+            # executor storage across the sweep.
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1

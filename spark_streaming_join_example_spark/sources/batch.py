@@ -39,7 +39,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def _events_footer_file(path: str) -> str | None:
+    """The one file whose footer we sniff for the ts encoding."""
+    if os.path.isdir(path):
+        candidates = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        return candidates[0] if candidates else None
+    return path
+
+
 @functools.lru_cache(maxsize=64)
+def _sniff_ts_unit(footer_file: str, mtime_ns: int, size: int) -> bool | None:
+    # mtime_ns/size are part of the cache key only — a fixture refresh
+    # at the same path (the exact scenario this sniff exists for)
+    # changes them and forces a re-read instead of serving the stale
+    # verdict inside a long-lived process.
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(footer_file).field("ts").type
+        if pa.types.is_timestamp(t):
+            return t.unit == "ns"
+        return True  # plain integer column = raw nanos convention
+    except Exception:
+        return None
+
+
 def _events_ts_is_raw_nanos(path: str) -> bool | None:
     """Sniff the parquet footer: is ``ts`` stored as nanoseconds?
 
@@ -48,22 +73,19 @@ def _events_ts_is_raw_nanos(path: str) -> bool | None:
     False → TIMESTAMP(MICROS/MILLIS) (Spark reads TimestampType).
     None  → footer unreadable here; caller falls back to Spark schema
             inference.
-    """
-    try:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        candidates = [path]
-        if os.path.isdir(path):
-            candidates = sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if not candidates:
-                return None
-        t = pq.read_schema(candidates[0]).field("ts").type
-        if pa.types.is_timestamp(t):
-            return t.unit == "ns"
-        return True  # plain integer column = raw nanos convention
-    except Exception:
+    Cached per (file, mtime, size) — one driver-side metadata read per
+    fixture generation, and regenerating the fixture in-place
+    invalidates the entry automatically.
+    """
+    footer_file = _events_footer_file(path)
+    if footer_file is None:
         return None
+    try:
+        st = os.stat(footer_file)
+    except OSError:
+        return None
+    return _sniff_ts_unit(footer_file, st.st_mtime_ns, st.st_size)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -195,6 +195,7 @@ def ewma_with_state(
 
     def update(key, pdfs, state):
         (user_id,) = key
+        import math
         import pandas as pd  # local import keeps the worker pickle lean
 
         if state.exists:
@@ -203,10 +204,17 @@ def ewma_with_state(
         else:
             tail = []
         rows = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Concatenate ALL Arrow chunks for the key before sorting:
+        # applyInPandasWithState splits a large group into multiple
+        # chunks (arrow maxRecordsPerBatch, default 10k) in no
+        # particular order — sorting each chunk independently would
+        # process a >10k-row key out of (ts, event_id) order and break
+        # the documented batch-parity contract at production scale.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for eid, val in zip(pdf["event_id"], pdf["value"]):
                 lags = [float(val)] + tail
                 num = 0.0
@@ -216,12 +224,13 @@ def ewma_with_state(
                         num = num + lags[k] * wk
                         den = den + wk
                 ewma = num / den
-                # HALF_UP in micro-units, matching Spark's round()
-                import math
-
-                rows.append(
-                    (int(user_id), int(eid), int(math.floor(ewma * 1000000.0 + 0.5)))
+                # HALF_UP (round half AWAY FROM ZERO) in micro-units,
+                # matching Spark round() / DuckDB for negative values
+                # too — floor(x+0.5) alone would round -2.5e-6 up.
+                e6 = math.copysign(
+                    math.floor(abs(ewma * 1000000.0) + 0.5), ewma
                 )
+                rows.append((int(user_id), int(eid), int(e6)))
                 tail = ([float(val)] + tail)[: depth - 1]
         state.update((tail,))
         if rows:

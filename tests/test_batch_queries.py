@@ -85,6 +85,9 @@ def test_all_queries_execute_at_smoke_scale(spark, sf_dir):
     for name, fn in queries_dict().items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+    # graph queries persist loop-invariant edge lists; don't carry
+    # their cached relations into the rest of the test session
+    spark.catalog.clearCache()
 
 
 def test_approx_aggregates_within_epsilon(spark, sf_dir):

@@ -69,6 +69,37 @@ def main() -> None:
         times[name] = round(statistics.median(samples), 4)
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
+    # ------------------------------------------------------------------
+    # Heavy kernels: the expensive distributed paths (graph joins,
+    # connected components, O(n²) vector top-k) whose regressions the
+    # cheap headline set cannot see.  Reported separately — NOT added
+    # to `value`, keeping the headline metric comparable across rounds.
+    # These queries persist loop-invariant relations, so each timed run
+    # rebuilds the DataFrame from the DSL after clearing the cache:
+    # what's measured is the full session-warm kernel, not a cache hit.
+    # ------------------------------------------------------------------
+    heavy_names = [
+        n
+        for n in ("q_pagerank", "q_triangle_count", "q_dup_clusters", "q_cosine_topk")
+        if n in qd
+    ]
+    n_heavy_runs = int(os.environ.get("SPARK_GRAFT_HEAVY_RUNS", "3"))
+    heavy: dict[str, float] = {}
+    heavy_spread: dict[str, list[float]] = {}
+    for name in heavy_names:
+        spark.catalog.clearCache()
+        qd[name](spark, sf_dir).collect()  # warm code paths once
+        samples = []
+        for _ in range(n_heavy_runs):
+            spark.catalog.clearCache()
+            df = qd[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.collect()
+            samples.append(time.perf_counter() - t0)
+        heavy[name] = round(statistics.median(samples), 4)
+        heavy_spread[name] = [round(min(samples), 4), round(max(samples), 4)]
+    spark.catalog.clearCache()
+
     out = {
         "metric": "warm_total_headline_queries",
         "value": round(sum(times.values()), 4),
@@ -76,6 +107,9 @@ def main() -> None:
         "queries": times,
         "spread": spread,
         "runs": n_runs,
+        "heavy": heavy,
+        "heavy_spread": heavy_spread,
+        "heavy_runs": n_heavy_runs,
         "sf": sf,
     }
     print(json.dumps(out))

@@ -33,7 +33,7 @@ from ..operators.text import (
     rolling_fingerprint,
     tokenize,
 )
-from ..sources.batch import load_table
+from ..sources.batch import load_table, parquet_num_rows
 from .registry import register
 
 
@@ -346,7 +346,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 most-cosine-similar embedding pairs (f64 math,
     6dp rounding, id tiebreaks)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_pairs(emb, k=10)
+    return cosine_topk_pairs(emb, k=10, n_rows=parquet_num_rows(sf_dir, "embeddings"))
 
 
 @register("q_ann_topk", tags=("X3",))
@@ -354,7 +354,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 cosine pairs (rows-only;
     recall vs exact asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_topk_pairs(emb, k=10)
+    return ann_topk_pairs(emb, k=10, n_rows=parquet_num_rows(sf_dir, "embeddings"))
 
 
 @register(
@@ -457,7 +457,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_pairs_above
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_above(emb, threshold=0.4)
+    return cosine_pairs_above(
+        emb, threshold=0.4, n_rows=parquet_num_rows(sf_dir, "embeddings")
+    )
 
 
 @register("q_ivf_topk", tags=("X3",))

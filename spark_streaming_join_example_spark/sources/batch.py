@@ -88,6 +88,42 @@ def _events_ts_is_raw_nanos(path: str) -> bool | None:
     return _sniff_ts_unit(footer_file, st.st_mtime_ns, st.st_size)
 
 
+@functools.lru_cache(maxsize=256)
+def _num_rows_cached(footer_file: str, mtime_ns: int, size: int) -> int | None:
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(footer_file).metadata.num_rows
+    except Exception:
+        return None
+
+
+def parquet_num_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a fixture table from parquet footer metadata —
+    one driver-side metadata read (cached per file generation), no Spark
+    job.  Used to pre-size the vector kernels' block grids so
+    ``_auto_blocks`` never pays a count() action inside a registered
+    query.  Returns None if the footer is unreadable (callers fall back
+    to counting)."""
+    path = table_path(sf_dir, name)
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return None
+    total = 0
+    for f in files:
+        try:
+            st = os.stat(f)
+        except OSError:
+            return None
+        n = _num_rows_cached(f, st.st_mtime_ns, st.st_size)
+        if n is None:
+            return None
+        total += n
+    return total
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a fixture table with its canonical logical schema."""
     ensure_runtime_confs(spark)

@@ -292,6 +292,21 @@ def test_pagerank_persists_and_broadcasts(spark, sf_dir, qd):
     assert "BroadcastHashJoin" in p
 
 
+def test_vector_kernels_build_without_driver_jobs(spark, sf_dir, qd):
+    """X3: registered vector queries must pre-size their block grids
+    from parquet footer metadata (parquet_num_rows) — building the
+    DataFrame must NOT launch a count() job.  First build warms the
+    file-listing; the asserted second build must be job-free."""
+    for name in ("q_cosine_topk", "q_ann_topk", "q_embedding_neardup"):
+        qd[name](spark, sf_dir)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    for name in ("q_cosine_topk", "q_ann_topk", "q_embedding_neardup"):
+        qd[name](spark, sf_dir)
+    after = tracker.getJobIdsForGroup(None)
+    assert sorted(after) == sorted(before)
+
+
 def test_triangle_count_degree_oriented_single_pass(spark, sf_dir, qd):
     """J5/X2: triangle counting must (a) close wedges via broadcast
     hash joins of the node-bounded edge list (probe stream never

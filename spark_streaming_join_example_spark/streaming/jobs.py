@@ -82,6 +82,24 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """A6 sliding (hopping) windowed streaming aggregation: each event
+    lands in size/slide overlapping windows; append mode emits a window
+    once the watermark passes its end.  State per key is the set of
+    open windows — bounded by size/slide × |keys|."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
 def sessionize(
     events: DataFrame, watermark: str = "10 minutes", gap: str = "5 minutes"
 ) -> DataFrame:

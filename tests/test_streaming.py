@@ -417,10 +417,20 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
 
 
 def test_agg_state_survives_restart(spark, sf_dir, tmp_path):
-    """S7/T1: a windowed agg stopped mid-stream and restarted on the
-    same checkpoint must pick up its window state and end with exactly
-    the rows a single uninterrupted run produces (memory sinks cannot
-    recover a checkpoint; the parquet sink is the durable path)."""
+    """S7/T1/A5: a tumbling-window agg stopped mid-stream and restarted
+    on the same checkpoint must pick up its window state and end with
+    exactly the rows a single uninterrupted run produces (memory sinks
+    cannot recover a checkpoint; the parquet sink is the durable
+    path)."""
+    _restart_equals_uninterrupted(
+        spark, sf_dir, tmp_path, lambda s: jobs.tumbling_counts(s)
+    )
+
+
+def _restart_equals_uninterrupted(spark, sf_dir, tmp_path, job):
+    """2-run checkpoint-restart harness: drain 3 of 6 chunks, restart
+    on the same checkpoint with the rest, and require the union of
+    emitted rows to equal a single uninterrupted run's output."""
     import shutil
 
     full_replay = tmp_path / "full"
@@ -436,7 +446,7 @@ def test_agg_state_survives_restart(spark, sf_dir, tmp_path):
 
     def drain(replay, out, ck):
         stream = read_event_stream(spark, str(replay))
-        q = to_parquet(jobs.tumbling_counts(stream), out, ck)
+        q = to_parquet(job(stream), out, ck)
         q.awaitTermination(180)
 
     drain(part_replay, out_dir, ckpt)  # phase 1: first 3 chunks
@@ -451,7 +461,26 @@ def test_agg_state_survives_restart(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out_dir)
     ref = spark.read.parquet(ref_out)
     assert collect_sorted(got) == collect_sorted(ref)
-    assert n1 > 0 and got.count() > n1
+    assert n1 > 0 and got.count() > n1  # both phases emitted rows
+
+
+def test_sliding_agg_state_survives_restart(spark, sf_dir, tmp_path):
+    """S7/A6: a sliding-window agg stopped mid-stream and restarted on
+    the same checkpoint recovers every open (overlapping) window and
+    ends with exactly the single-run output."""
+    _restart_equals_uninterrupted(
+        spark, sf_dir, tmp_path, lambda s: jobs.sliding_counts(s)
+    )
+
+
+def test_session_window_state_survives_restart(spark, sf_dir, tmp_path):
+    """S7/A7: session windows (dynamic gap) must merge correctly across
+    a restart — a session whose first half was buffered before the stop
+    and second half after must still emit as ONE merged session,
+    identical to the uninterrupted run."""
+    _restart_equals_uninterrupted(
+        spark, sf_dir, tmp_path, lambda s: jobs.sessionize(s)
+    )
 
 
 def test_stream_static_left_outer(spark, sf_dir, replay_dir, tmp_path):

@@ -251,6 +251,7 @@ def ann_topk_pairs(
     bands: int = 4,
     round_to: int = 6,
     n_rows: int | None = None,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Approximate top-k cosine pairs via banded hyperplane LSH with a
     per-bucket BLAS kernel.
@@ -271,6 +272,22 @@ def ann_topk_pairs(
     action (metadata-only on a bare scan; a real pass on derived
     inputs — pass `n_planes` or `n_rows` to skip it). Recall vs the
     exact kernel is asserted in tests/test_extensions.py.
+
+    Skew guard (``max_bucket``): auto-scaled bits bound the AVERAGE
+    bucket, but a hot bucket (near-duplicate pile-ups: boilerplate
+    docs, zero vectors) concentrates B rows in ONE applyInPandas group
+    — O(B²·d) flops in a single task that AQE cannot split (group
+    semantics are opaque to it; skew-join splitting only helps the
+    join-shaped MinHash candidate path).  So any bucket larger than
+    ``max_bucket`` is salted within the bucket: rows hash into
+    P = ceil(B/max_bucket) sub-blocks and each triangular sub-block
+    pair (gi ≤ gj) becomes its own group — every within-bucket pair
+    still meets exactly once, tasks are bounded at 2·max_bucket rows,
+    and sub-blocking only widens the set of surviving local winners
+    (recall can only improve).  Cost when no bucket is hot: one extra
+    window count over the already-shuffled (band, bucket) partitions;
+    P=1 buckets explode to a single group exactly as before.  Pinned
+    by tests/test_extensions.py::test_ann_hot_bucket_salting.
     """
     import math
 
@@ -303,18 +320,53 @@ def ann_topk_pairs(
         ).alias("bb"),
     ).select("vec_id", "vec", "bb.band", "bb.bucket")
 
+    # Salt-within-bucket: P sub-blocks per bucket (P=1 when not hot),
+    # triangular sub-block pair groups, each row replicated P times
+    # within its bucket only.
+    w_bucket = Window.partitionBy("band", "bucket")
+    salted = (
+        banded.withColumn(
+            "p",
+            F.ceil(F.count(F.lit(1)).over(w_bucket) / F.lit(max_bucket)).cast(
+                "int"
+            ),
+        )
+        .withColumn("sb", F.pmod(F.xxhash64("vec_id"), F.col("p")).cast("int"))
+        .withColumn(
+            "g",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("p") - 1),
+                    lambda j: F.struct(
+                        F.least(F.col("sb"), j).alias("gi"),
+                        F.greatest(F.col("sb"), j).alias("gj"),
+                    ),
+                )
+            ),
+        )
+        .select("vec_id", "vec", "band", "bucket", "sb", "g.gi", "g.gj")
+    )
+
     def bucket_topk(pdf):
         import numpy as np
 
+        gi = int(pdf["gi"].iloc[0])
+        gj = int(pdf["gj"].iloc[0])
+        sb = pdf["sb"].to_numpy()
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["vec"]), dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        mask = ids[:, None] < ids[None, :]
-        return _pairs_topk_frame(ids, ids, sims, mask, keep)
+        a_sel, b_sel = sb == gi, sb == gj
+        a_ids, b_ids = ids[a_sel], ids[b_sel]
+        sims = mat[a_sel] @ mat[b_sel].T
+        if gi == gj:
+            mask = a_ids[:, None] < b_ids[None, :]
+        else:
+            mask = np.ones_like(sims, dtype=bool)
+        return _pairs_topk_frame(a_ids, b_ids, sims, mask, keep, reorient=True)
 
     cand = (
-        banded.groupBy("band", "bucket")
+        salted.groupBy("band", "bucket", "gi", "gj")
         .applyInPandas(bucket_topk, "a_id long, b_id long, cos_sim double")
         .dropDuplicates(["a_id", "b_id"])
     )

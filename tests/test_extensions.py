@@ -55,6 +55,53 @@ def test_ann_recall_against_exact(spark, sf_dir):
     assert overlap >= 0.5, f"ANN top-10 overlap {overlap:.1%}"
 
 
+def test_ann_hot_bucket_salting(spark, sf_dir):
+    """X2/X3 skew guard: a near-duplicate pile-up (300 tiny
+    perturbations of one vector) lands every row in ONE (band, bucket)
+    — the worst-case hot group AQE cannot split.  With max_bucket=50
+    the kernel must salt the bucket into triangular sub-block groups
+    and STILL return the exact top-10: every within-bucket pair meets
+    in exactly one sub-group, and a global top-k pair is necessarily
+    inside its group's local top-keep.  Also pins salted ≡ unsalted on
+    the same input (sub-blocking changes task bounds, not results, for
+    distinct similarities)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    rows = [
+        (int(i), (base + 0.001 * rng.normal(size=16)).tolist())
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # brute-force exact top-10 (numpy, independent of the kernels)
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(rows), k=1)
+    order = np.lexsort((ids[iu[1]], ids[iu[0]], -sims[iu]))[:10]
+    exact = [(int(ids[iu[0]][j]), int(ids[iu[1]][j])) for j in order]
+
+    # round_to=12: at 0.001 perturbation scale all pair sims collapse
+    # to one value at the default 6dp — ordering would degenerate to
+    # tie-breaks over a truncation-dependent candidate set.  Full
+    # precision keeps the top-10 strictly ordered, which the exactness
+    # argument above needs.
+    kwargs = dict(k=10, dim=16, n_planes=8, n_rows=300, round_to=12)
+    salted = [
+        (r.a_id, r.b_id)
+        for r in ann_topk_pairs(emb, max_bucket=50, **kwargs).collect()
+    ]
+    unsalted = [
+        (r.a_id, r.b_id)
+        for r in ann_topk_pairs(emb, max_bucket=10**9, **kwargs).collect()
+    ]
+    assert salted == exact
+    assert unsalted == exact
+
+
 def test_simhash_near_duplicates_have_close_fingerprints(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", distinct_tokens("text").alias("toks")).limit(200)

@@ -60,6 +60,39 @@ def main() -> None:
     }
     res["exact_ratio"] = round(res["exact_kx"] / res["exact_1x"], 2)
     res["ann_ratio"] = round(res["ann_kx"] / res["ann_1x"], 2)
+
+    # Skew probe: a near-duplicate pile-up — half the corpus becomes
+    # copies of ONE vector (tiny per-copy jitter via vec_id so rows
+    # stay distinct), which lands every copy in the same (band, bucket)
+    # of every band.  Unsalted (max_bucket=inf) that is ONE
+    # applyInPandas task doing O((n/2)²·d) flops; the default
+    # max_bucket salts it into bounded sub-block tasks.
+    first = emb.limit(1).select(F.col("embedding").alias("hot")).crossJoin(
+        emb.limit(n // 2).select("vec_id")
+    )
+    hot = first.select(
+        (F.col("vec_id") + F.lit(10 * shift)).alias("vec_id"),
+        F.transform(
+            "hot", lambda x: x + F.pmod(F.col("vec_id"), F.lit(997)) / 1e7
+        ).alias("embedding"),
+    )
+    skewed = emb.select("vec_id", "embedding").unionByName(hot).localCheckpoint(
+        eager=True
+    )
+    res["skew_n"] = skewed.count()
+    res["skew_hot_rows"] = n // 2
+    res["ann_skew_unsalted"] = best_of(
+        lambda: ann_topk_pairs(skewed, k=10, max_bucket=10**9).collect()
+    )
+    # fixture pile (n/2 ≈ 1-4k rows) sits under the production default
+    # max_bucket=4096, so force salting with a proportionally small cap
+    # — same code path a 100k-row pile would hit at the default.
+    res["ann_skew_salted"] = best_of(
+        lambda: ann_topk_pairs(skewed, k=10, max_bucket=256).collect()
+    )
+    res["skew_speedup"] = round(
+        res["ann_skew_unsalted"] / max(res["ann_skew_salted"], 1e-9), 2
+    )
     print(json.dumps(res))
 
 

@@ -1,0 +1,361 @@
+"""Round-5 surface: recursive hierarchy traversal (WITH RECURSIVE over
+a data-derived edge table — the date-spine variant lives in
+advanced.q_recursive_cte), gaps-and-islands runs, CUSUM changepoint
+scan, frequency-sketch top-k with an exact small-domain twin, and BFS
+shortest-path hops (iterative DataFrame loop cross-checked against the
+oracle's recursive CTE).
+
+Determinism doctrine (unchanged from the rest of the registry): both
+formulations compute arithmetic-identical results — integer math across
+shuffle boundaries, explicit tie-breaks on every top-k/limit, and
+column aliases identical on both sides.  Every query states its 100 TB
+plan rationale in the docstring.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.numeric import VALUE, exact_sum, oracle_exact_sum
+from ..sources.batch import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+#: µs-truncated events CTE — identical to events_queries.EV_CTE (kept
+#: local so this module reads standalone).
+_EV = """
+WITH ev AS (
+  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+         user_id, event_type, value, props
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE) — hierarchy traversal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_recursive_tree",
+    tags=("P5", "J5"),
+    oracle="""
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT p_partkey % 128 AS node FROM part
+),
+edges AS (
+  SELECT node AS child, (node - 1) // 2 AS parent FROM nodes WHERE node > 0
+),
+t(node, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.child, t.depth + 1 FROM edges e JOIN t ON e.parent = t.node
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_node
+FROM t GROUP BY depth
+""",
+)
+def q_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy walk: project part keys onto a 128-node
+    binary-heap tree (child i → parent (i-1)//2) and compute each
+    node's depth by iterating from the root, then aggregate per level.
+
+    Scale rationale: Spark 4's recursive CTE executes as an iterative
+    union of joins — exactly the same physical shape as the hand-rolled
+    label-propagation loops in operators/graph.py, but declared in SQL.
+    The per-step join is child-edges ⋈ frontier; with the frontier
+    always ≪ edges, Catalyst broadcasts it, so each of the O(depth)
+    steps is a scan + broadcast join, no shuffle of the big side.  The
+    heap parent function is pure integer arithmetic ((node-1) div 2 ≡
+    DuckDB // for node ≥ 1), so both engines walk the identical tree.
+    """
+    _t(spark, sf_dir, "part").createOrReplaceTempView("r5_part")
+    return spark.sql(
+        """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT p_partkey % 128 AS node FROM r5_part
+),
+edges AS (
+  SELECT node AS child, (node - 1) div 2 AS parent FROM nodes WHERE node > 0
+),
+t(node, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.child, t.depth + 1 FROM edges e JOIN t ON e.parent = t.node
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_node
+FROM t GROUP BY depth
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands — consecutive-day runs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_islands",
+    tags=("W2", "A1"),
+    oracle=f"""
+{_EV}
+, d AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM ev
+),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+)
+SELECT user_id, CAST(MIN(day) AS BIGINT) AS start_day,
+       CAST(MAX(day) AS BIGINT) AS end_day,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM r GROUP BY user_id, grp
+""",
+)
+def q_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: for each user, collapse their distinct active
+    days into maximal runs of consecutive days (day − row_number is
+    constant within a run — the classic islands key), reporting each
+    island's start/end/length — the streak/churn primitive.
+
+    Scale rationale: one distinct (partial-aggregable) + one window
+    sort per user partition + one groupBy — two shuffles total, all
+    on the same (user) key, so AQE reuses the partitioning and no data
+    moves twice.  Days are pure integers (µs-epoch div 86400000000 —
+    both engines truncate toward zero for these positive epochs), so
+    the island key is engine-exact with no interval arithmetic.
+    """
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    return (
+        r.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("user_id", "start_day", "end_day", "n_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan over each user's event stream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cusum_changepoint",
+    tags=("W3", "A1", "X5"),
+    oracle=f"""
+{_EV}
+, m AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+  FROM ev
+),
+s AS (
+  SELECT user_id, event_id, v,
+         SUM(v) OVER w AS s_k,
+         row_number() OVER w AS k,
+         SUM(v) OVER (PARTITION BY user_id) AS s_n,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM m
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT user_id, k, n, ABS(n * s_k - k * s_n) AS dev,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ABS(n * s_k - k * s_n) DESC, k) AS rn
+  FROM s
+)
+SELECT user_id, CAST(k AS BIGINT) AS change_at, CAST(n AS BIGINT) AS n_events,
+       CAST(dev AS BIGINT) AS max_dev
+FROM d WHERE rn = 1 AND n >= 20
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan: for each user with ≥20 events, find the
+    prefix k maximizing |n·S_k − k·S_n| (the scaled cumulative
+    deviation from the user's own mean — the classic CUSUM statistic
+    with the mean division cleared to stay in integers).
+
+    Scale rationale: one window sort per user partition computes the
+    running sum, count, and per-user totals in a single exchange; the
+    argmax is a group-limit rank over the same partitioning, so the
+    whole scan is ONE shuffle of events by user_id.  All arithmetic is
+    BIGINT on micro-unit values (|n·S_k| ≤ cnt²·3.3e8 — safe under
+    2^63 up to ~5M events/user), so the changepoint position is
+    identical in any engine at any partitioning.
+    """
+    e = _t(spark, sf_dir, "events")
+    m = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wu = Window.partitionBy("user_id")
+    s = m.select(
+        "user_id",
+        F.sum("v").over(w).alias("s_k"),
+        F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id")).alias("k"),
+        F.sum("v").over(wu).alias("s_n"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+    )
+    d = s.select(
+        "user_id",
+        "k",
+        "n",
+        F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n")).alias("dev"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("dev").desc(), F.col("k"))
+    return (
+        d.withColumn("rn", F.row_number().over(wr))
+        .filter((F.col("rn") == 1) & (F.col("n") >= 20))
+        .select(
+            "user_id",
+            F.col("k").alias("change_at"),
+            F.col("n").alias("n_events"),
+            F.col("dev").alias("max_dev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch top-k with an exact small-domain twin.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_approx_topk_events",
+    tags=("A3", "O2"),
+    oracle=f"""
+{_EV}
+, c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1
+)
+SELECT event_type, cnt FROM c
+ORDER BY cnt DESC, event_type LIMIT 3
+""",
+)
+def q_approx_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via the ``approx_top_k`` frequency sketch, with
+    the returned (item, count) pairs re-ranked under a total order.
+    The event-type domain is far below the sketch's tracked-item
+    capacity (10⁴), so the sketch counts are provably exact and the
+    plain GROUP BY top-3 oracle must match bit-for-bit.
+
+    Scale rationale: approx_top_k is the single-pass, fixed-memory
+    answer to "top sellers over 100 TB" — a partial-aggregable sketch
+    per partition merged at the driver, no full groupBy shuffle of
+    high-cardinality keys.  Registering it with an exact twin on a
+    bounded domain keeps it inside the hash-compare gate instead of
+    the weaker rows-only lane.
+    """
+    e = _t(spark, sf_dir, "events")
+    # Ask the sketch for more items than the domain holds (5 types) so a
+    # count tie AT the k-boundary is resolved by our explicit re-rank,
+    # not by the sketch's unspecified tie order.
+    sk = e.agg(F.expr("approx_top_k(event_type, 10)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("x"))
+        .select(
+            F.col("x.item").alias("event_type"),
+            F.col("x.count").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), "event_type")
+        .limit(3)
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path hops — iterative DataFrame loop vs recursive-CTE oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bfs_hops",
+    tags=("J5", "A1", "X2"),
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+walk(node, d) AS (
+  SELECT (SELECT MIN(u) FROM e), 0
+  UNION
+  SELECT e.v, walk.d + 1 FROM e JOIN walk ON e.u = walk.node WHERE walk.d < 3
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS INT) AS dist
+FROM walk GROUP BY node
+""",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path hops (≤3) from the smallest part key over the
+    co-purchase graph (parts sharing an order).  The Spark side runs
+    the textbook distributed BFS — per-level frontier expansion with an
+    anti-join against the visited set — while the oracle declares the
+    same traversal as a recursive CTE with set semantics; min-hop
+    distances are traversal-order-independent, so both agree exactly.
+
+    Scale rationale: the edge list is built once and persisted across
+    the 3 expansion rounds (loop-invariant, same discipline as
+    q_pagerank — the sweep driver clears the cache between queries).
+    Each round shuffles only edges ⋈ frontier on the join key; the
+    frontier and visited sets are ≤ |V| rows — broadcast-sized here and
+    partitioned-join-sized at 100 TB, where this exact loop is how
+    GraphFrames' BFS runs on 1000 executors.  The anti-join keeps the
+    frontier minimal, so work per round tracks the UNVISITED boundary,
+    not paths (the naive path-recursion blows up as deg^k).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.toDF("ok", "u")
+    b = li.toDF("ok", "v")
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    src = edges.agg(F.min("u").alias("node"))
+    frontier = src.withColumn("dist", F.lit(0))
+    visited = frontier
+    for d in range(1, 4):
+        nxt = (
+            edges.join(frontier.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+    )

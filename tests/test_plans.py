@@ -344,3 +344,27 @@ def test_winsorize_bounds_broadcast(spark, sf_dir, qd):
     clip."""
     p = plan_of(qd["q_winsorized_agg"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
+
+
+def test_cusum_single_exchange(spark, sf_dir, qd):
+    # every window and the rank filter partition by user_id, so the
+    # whole changepoint scan shuffles events exactly once
+    p = plan_of(qd["q_cusum_changepoint"](spark, sf_dir))
+    # formatted mode prints each node twice (tree + detail): 2 hits = 1 node
+    assert p.count("Exchange") == 2, p
+
+
+def test_bfs_edges_cached_and_frontier_checkpointed(spark, sf_dir, qd):
+    # the loop-invariant edge list must come from cache, and each BFS
+    # level is cut at a localCheckpoint — the final plan joins scan
+    # results, it does not replay 3 rounds of self-joins from parquet
+    df = qd["q_bfs_hops"](spark, sf_dir)
+    p = plan_of(df)
+    # the three expansion levels arrive as materialized checkpoint RDDs
+    assert p.count("Scan ExistingRDD") >= 3, p
+    # and the edge list reads from cache where it appears
+    assert "InMemoryTableScan" in p, p
+    # re-planning depth-3 BFS from scratch would stack ~8 lineitem
+    # scans (2 per level + source); the checkpointed plan has at most
+    # the cached-build pair (formatted mode prints nodes twice)
+    assert p.count("Scan parquet") <= 6, p

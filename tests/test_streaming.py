@@ -1185,3 +1185,23 @@ def test_ewma_with_state_matches_batch(spark, sf_dir, replay_dir, tmp_path):
     )
     expected = queries_dict()["q_ewma"](spark, sf_dir)
     assert collect_sorted(got) == collect_sorted(expected)
+
+
+def test_stream_stream_join_survives_restart(spark, sf_dir, tmp_path):
+    """S7/J2: the symmetric-hash-join state (unmatched rows buffered on
+    BOTH sides) must survive a checkpoint restart — a click buffered
+    before the stop whose within-horizon purchase only arrives after
+    the restart must still emit the joined row, and the final output
+    must equal a single uninterrupted run."""
+    _restart_equals_uninterrupted(
+        spark,
+        sf_dir,
+        tmp_path,
+        lambda s: jobs.stream_stream_join(
+            s.filter(F.col("event_type") == "click"),
+            s.filter(F.col("event_type") == "purchase"),
+            # 30min finds no matches in the first-half prefix at this
+            # scale; 4h yields matches on both sides of the restart
+            horizon_minutes=240,
+        ),
+    )

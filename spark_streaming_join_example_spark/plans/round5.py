@@ -359,3 +359,131 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("int").alias("dist"),
     )
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert — full-outer reconciliation of a change set into a target.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_merge_upsert",
+    tags=("J10", "P5", "U1"),
+    oracle="""
+WITH cents AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+src AS (
+  SELECT o_orderkey AS k,
+         CAST((c * 11 + 5) // 10 AS DOUBLE) / 100.0 AS new_price
+  FROM cents WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS k,
+         CAST((c + 1) // 2 AS DOUBLE) / 100.0 AS new_price
+  FROM cents WHERE o_orderkey % 100 = 7
+)
+SELECT COALESCE(t.o_orderkey, s.k) AS o_orderkey,
+       COALESCE(s.new_price, t.o_totalprice) AS final_price,
+       CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+            WHEN s.k IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM orders t FULL JOIN src s ON t.o_orderkey = s.k
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert as a full-outer reconciliation: a change set
+    (10% of orders re-priced, plus brand-new keys) merges into the
+    target — matched rows take the source price (`update`), unmatched
+    source rows append (`insert`), everything else carries through
+    (`keep`).
+
+    Scale rationale: this is the engine-agnostic core of MERGE INTO —
+    one full-outer equi-join on the key.  On a cluster, target and
+    change set shuffle on the same key (or skip the shuffle entirely
+    when the target is bucketed by it — see the bucketing plan test);
+    per-row resolution is pure COALESCE/CASE, codegen'd, no UDF.  The
+    re-pricing is integer cent math — (cents·11+5) div 10 is half-up
+    ×1.1 — because ROUND(double, 2) is NOT cross-engine exact on ties
+    (Spark rounds the full decimal expansion, DuckDB the scaled
+    double); integer half-up is.
+    """
+    o = _t(spark, sf_dir, "orders")
+    _cents = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    upd = o.filter(F.expr("o_orderkey % 10 = 3")).select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(f"CAST(({_cents} * 11 + 5) div 10 AS DOUBLE) / 100.0").alias(
+            "new_price"
+        ),
+    )
+    ins = o.filter(F.expr("o_orderkey % 100 = 7")).select(
+        (F.col("o_orderkey") + 10_000_000).alias("k"),
+        F.expr(f"CAST(({_cents} + 1) div 2 AS DOUBLE) / 100.0").alias("new_price"),
+    )
+    src = upd.unionByName(ins)
+    t = o.select("o_orderkey", "o_totalprice")
+    return t.join(src, t["o_orderkey"] == src["k"], "full_outer").select(
+        F.coalesce(t["o_orderkey"], src["k"]).alias("o_orderkey"),
+        F.coalesce(src["new_price"], t["o_totalprice"]).alias("final_price"),
+        F.when(t["o_orderkey"].isNull(), F.lit("insert"))
+        .when(src["k"].isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval versioning from a change log.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scd2_intervals",
+    tags=("W2", "P5", "FN-datetime"),
+    oracle=f"""
+{_EV}
+, chg AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 1000000.0) AS BIGINT) // 50000000 AS tier
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT user_id, CAST(tier AS BIGINT) AS tier, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NULL AS BOOLEAN) AS is_current
+FROM chg
+""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn each user's purchase
+    change log into versioned rows — every change opens a version at
+    its timestamp and the next change closes it (``lead`` over the
+    per-user timeline); the open-ended row is the current version.
+
+    Scale rationale: SCD2 from a change log is ONE window pass
+    partitioned by the dimension key — no self-join, no driver state.
+    The tier derivation is integer division on micro-units (both
+    engines truncate toward zero on non-negative values), so version
+    boundaries are engine-exact.  At 100 TB the change log shuffles
+    once on user_id; AQE handles hot keys, and the output is
+    partition-local — the standard warehouse pattern for dimension
+    history rebuilds.
+    """
+    e = _t(spark, sf_dir, "events")
+    chg = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CAST(ROUND(value * 1000000.0) AS BIGINT) div 50000000"
+        ).alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return chg.select(
+        "user_id",
+        "tier",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -80,7 +80,13 @@ def main() -> None:
     # ------------------------------------------------------------------
     heavy_names = [
         n
-        for n in ("q_pagerank", "q_triangle_count", "q_dup_clusters", "q_cosine_topk")
+        for n in (
+            "q_pagerank",
+            "q_triangle_count",
+            "q_dup_clusters",
+            "q_cosine_topk",
+            "q_bfs_hops",
+        )
         if n in qd
     ]
     n_heavy_runs = int(os.environ.get("SPARK_GRAFT_HEAVY_RUNS", "3"))

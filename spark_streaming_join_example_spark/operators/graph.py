@@ -195,3 +195,45 @@ def connected_components_star(
         all_nodes.join(spokes, "node", "left")
         .select("node", F.coalesce("comp", "node").alias("component"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    max_depth: int = 3,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed BFS over a directed edge list ``(u, v)``: per-level
+    frontier expansion with an anti-join against the visited set,
+    returning ``(node, dist)`` for every node within ``max_depth`` hops
+    of the source (default: the smallest ``u``).
+
+    The edge list is persisted across rounds (loop-invariant, same
+    discipline as the connected-components loops above) and each level
+    is cut at an eager ``localCheckpoint`` so the final plan unions
+    materialized levels instead of replaying k rounds of self-joins.
+    Work per round tracks the UNVISITED boundary — never the path
+    count, which grows as deg^k.  Min-hop distances are traversal-
+    order independent, so the result is deterministic at any partition
+    count; on a cluster the frontier/visited sets stay partitioned on
+    the node key (this loop is the shape GraphFrames ships as BFS).
+    """
+    edges = edges.select("u", "v").persist()
+    src = (
+        source
+        if source is not None
+        else edges.agg(F.min("u").alias("node"))
+    )
+    frontier = src.withColumn("dist", F.lit(0))
+    visited = frontier
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

@@ -331,6 +331,8 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier minimal, so work per round tracks the UNVISITED boundary,
     not paths (the naive path-recursion blows up as deg^k).
     """
+    from ..operators.graph import bfs_hops
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.toDF("ok", "u")
     b = li.toDF("ok", "v")
@@ -339,23 +341,8 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .persist()
     )
-    src = edges.agg(F.min("u").alias("node"))
-    frontier = src.withColumn("dist", F.lit(0))
-    visited = frontier
-    for d in range(1, 4):
-        nxt = (
-            edges.join(frontier.select(F.col("node").alias("u")), "u")
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("dist", F.lit(d))
-        )
-        nxt = nxt.localCheckpoint(eager=True)
-        visited = visited.unionByName(nxt)
-        frontier = nxt
-    return visited.select(
+    return bfs_hops(edges, max_depth=3).select(
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("int").alias("dist"),
     )

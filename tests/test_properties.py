@@ -286,3 +286,38 @@ def test_winsorize_index_formula_is_ceil(xs):
     n = len(xs)
     for p in (5, 95):
         assert (p * n + 99) // 100 == math.ceil(p * n / 100)
+
+
+EDGE_ROWS = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=EDGE_ROWS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bfs_hops_matches_model(spark, edges):
+    """operators.graph.bfs_hops vs a plain-Python BFS from min(u):
+    every reachable node within 3 hops appears exactly once with its
+    min-hop distance, at a forced multi-partition layout."""
+    from spark_streaming_join_example_spark.operators.graph import bfs_hops
+
+    df = spark.createDataFrame(
+        [tuple(e) for e in edges], schema="u int, v int"
+    ).repartition(3)
+    got = {(r.node, r.dist) for r in bfs_hops(df, max_depth=3).collect()}
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    src = min(u for u, _ in edges)
+    dist = {src: 0}
+    frontier = {src}
+    for d in range(1, 4):
+        nxt = {v for u in frontier for v in adj.get(u, ()) if v not in dist}
+        for v in nxt:
+            dist[v] = d
+        frontier = nxt
+    assert got == set(dist.items())

@@ -474,3 +474,270 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+# ---------------------------------------------------------------------------
+# Share-of-total contribution analysis (window over aggregate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_share_of_total",
+    tags=("A1", "W3", "A4"),
+    oracle="""
+WITH agg AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev_c * 1000000 // SUM(rev_c) OVER (PARTITION BY r_name)
+            AS BIGINT) AS ppm_of_region,
+       CAST(rev_c * 1000000 // SUM(rev_c) OVER () AS BIGINT) AS ppm_of_total
+FROM agg
+""",
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: each nation's revenue as parts-per-million
+    of its region and of the grand total — the share-of-parent /
+    share-of-total pattern behind every OLAP drill-down report.
+
+    Scale rationale: the heavy work is one partial-aggregated groupBy
+    over the fact join (dims broadcast); the shares are windows over
+    the tiny AGGREGATE (25 rows), not over facts — the pattern that
+    stays cheap at 100 TB because the window input is group-cardinality.
+    Shares are integer ppm via BIGINT floor-division on exact cent
+    sums: both engines truncate identically, no float ratio crosses
+    the compare gate.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("r5_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("r5_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("r5_nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("r5_region")
+    # BIGINT envelope: rev_c·1e6 ≤ ~2e18 at sf0.1 — fits int64 with
+    # ~4× headroom; past ~sf0.3 drop to basis points (1e4) like the
+    # other documented ppm envelopes.
+    return spark.sql(
+        """
+WITH agg AS (
+  SELECT r_name, n_name,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM r5_orders
+  JOIN r5_customer ON o_custkey = c_custkey
+  JOIN r5_nation ON c_nationkey = n_nationkey
+  JOIN r5_region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev_c * 1000000 div SUM(rev_c) OVER (PARTITION BY r_name)
+            AS BIGINT) AS ppm_of_region,
+       CAST(rev_c * 1000000 div SUM(rev_c) OVER () AS BIGINT) AS ppm_of_total
+FROM agg
+"""
+    )
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join: facts → dimension version valid at fact time.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_point_in_time_join",
+    tags=("J7", "J8", "W2"),
+    oracle=f"""
+{_EV}
+, raw AS (
+  SELECT user_id, ts AS valid_from, event_id,
+         CAST(ROUND(value * 1000000.0) AS BIGINT) // 50000000 AS tier,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS dup
+  FROM ev WHERE event_type = 'purchase'
+),
+ver AS (SELECT user_id, valid_from, tier FROM raw WHERE dup = 1),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts FROM ev
+  WHERE event_type = 'click'
+),
+m AS (
+  SELECT c.click_id, c.user_id, c.ts, v.tier, v.valid_from,
+         row_number() OVER (PARTITION BY c.click_id
+                            ORDER BY v.valid_from DESC) AS rn
+  FROM clicks c JOIN ver v
+    ON c.user_id = v.user_id AND v.valid_from <= c.ts
+)
+SELECT click_id, user_id, ts, CAST(tier AS BIGINT) AS tier_at_click
+FROM m WHERE rn = 1
+""",
+)
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click picks up the dimension version
+    (the user's purchase-derived spend tier, cf. q_scd2_intervals)
+    valid AT the click's event time — the temporal-correctness join
+    every feature store and SCD2 lookup needs (joining the CURRENT
+    version instead leaks future information into training data).
+
+    Implemented with the repo's as-of join operator (backward
+    direction: latest version with valid_from ≤ click ts, ties broken
+    by version id).  Scale rationale: the as-of kernel is a
+    union-tagged single sort per user partition — one shuffle of both
+    inputs on the entity key, no interval explosion; the oracle's
+    row_number-over-candidates formulation is the O(clicks×versions)
+    shape this operator avoids.
+    """
+    from ..operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    raw = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.expr(
+            "CAST(ROUND(value * 1000000.0) AS BIGINT) div 50000000"
+        ).alias("tier"),
+    )
+    # one version per (user, instant): the as-of kernel's tie order on
+    # equal right timestamps is unspecified, so collapse ties upstream
+    w_dup = Window.partitionBy("user_id", "valid_from").orderBy(
+        F.col("event_id").desc()
+    )
+    ver = (
+        raw.withColumn("dup", F.row_number().over(w_dup))
+        .filter(F.col("dup") == 1)
+        .select(F.col("user_id").alias("v_user"), "valid_from", "tier")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    j = asof_join(
+        clicks,
+        ver,
+        left_on="user_id",
+        right_on="v_user",
+        left_ts="ts",
+        right_ts="valid_from",
+        how="inner",
+        direction="backward",
+    )
+    return j.select("click_id", "user_id", "ts", F.col("tier").alias("tier_at_click"))
+
+# ---------------------------------------------------------------------------
+# Graph degree profile + degree assortativity (integer-moment Pearson).
+# ---------------------------------------------------------------------------
+
+_CO_EDGES_SQL = """
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+
+
+@register(
+    "q_graph_degrees",
+    tags=("A1", "J5", "X2"),
+    oracle=f"""
+WITH e AS ({_CO_EDGES_SQL}),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY u)
+SELECT CAST(deg // 32 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(deg) AS BIGINT) AS min_deg,
+       CAST(MAX(deg) AS BIGINT) AS max_deg,
+       CAST(SUM(deg) AS BIGINT) AS sum_deg
+FROM deg GROUP BY 1
+""",
+)
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the co-purchase graph: per 32-degree bucket,
+    how many nodes and their degree mass — the first diagnostic run on
+    any production graph (it is what tells you whether triangle/join
+    kernels need skew handling).
+
+    Scale rationale: degrees are one partial-aggregated groupBy over
+    the distinct edge list; the histogram is a second groupBy over
+    node-cardinality data.  Everything is BIGINT (deg div 32 ≡ DuckDB
+    // on non-negatives), so the histogram is partition-count exact.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.toDF("ok", "u")
+    b = li.toDF("ok", "v")
+    e = a.join(b, "ok").filter(F.col("u") != F.col("v")).select("u", "v").distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.groupBy(F.expr("CAST(deg div 32 AS BIGINT)").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+            F.sum("deg").alias("sum_deg"),
+        )
+    )
+
+
+@register(
+    "q_assortativity",
+    tags=("A1", "J5", "FN-math"),
+    oracle=f"""
+WITH e AS ({_CO_EDGES_SQL}),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY u),
+pairs AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT n AS n_edges,
+       round(CAST(n*sxy - sx*sy AS DOUBLE)
+             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+             / sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 8) AS assortativity
+FROM mom
+""",
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity: the Pearson correlation of endpoint
+    degrees over every directed edge — do hubs link to hubs?  Computed
+    from exact BIGINT moments with the final expression written
+    term-for-term identically in both engines (the doubles are built
+    FROM exact integers right before the one divide/sqrt chain, the
+    round-4 anomaly-zscore recipe).
+
+    Scale rationale: two broadcast joins of the node-cardinality degree
+    table onto the edge list, then a single 6-sum partial aggregate —
+    one pass over edges, constant state.  BIGINT envelope: n·Σxy ≤
+    ~4e18 at sf0.1 (documented; past that, scale degrees by div 4
+    first like the other fixed-point envelopes).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.toDF("ok", "u")
+    b = li.toDF("ok", "v")
+    e = a.join(b, "ok").filter(F.col("u") != F.col("v")).select("u", "v").distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.toDF("u", "x")
+    dv = deg.toDF("v", "y")
+    pairs = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v").select("x", "y")
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return mom.select(
+        F.col("n").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+            8,
+        ).alias("assortativity"),
+    )

@@ -197,6 +197,70 @@ def connected_components_star(
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Nodes of the k-core — the (unique) maximal subgraph in which
+    every node has degree ≥ k — via iterative peeling: drop nodes with
+    degree < k, recompute degrees on the induced subgraph, repeat to
+    fixpoint.  Returns ``(node, core_deg)`` with each survivor's degree
+    inside the core.
+
+    The k-core is a unique fixpoint, so the result is deterministic at
+    any partition count and independent of peel order.  Each round is
+    one groupBy (degrees) + two semi-joins (induce the subgraph) over
+    the shrinking edge set; lineage is cut per round with an eager
+    ``localCheckpoint`` (same discipline as the components loops
+    above).  Convergence probe: the edge count is strictly decreasing
+    until the fixpoint, so one cheap ``count()`` per round detects it —
+    work per round is O(|E_round|) and the edge set only shrinks, which
+    is what makes this loop safe at 100 TB (the classic degeneracy-
+    ordering sequential algorithm is not distributable; this peel is
+    the standard Pregel/MapReduce formulation).
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Undirected: carry both orientations so degree = count per "s".
+    e = sym.union(
+        sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct().localCheckpoint(eager=True)
+    prev_n = e.count()
+    converged = prev_n == 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("s")
+        e = (
+            e.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n = e.count()
+        if n == prev_n or n == 0:
+            converged = True
+        prev_n = n
+    if not converged:
+        warnings.warn(
+            f"kcore: max_iter={max_iter} exhausted before the peel "
+            "stabilized — returned core may still contain sub-k nodes "
+            "(raise max_iter)",
+            ConvergenceWarning,
+            stacklevel=2,
+        )
+    return e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     max_depth: int = 3,

@@ -1,0 +1,586 @@
+"""Round-5 second wave: marketing/feature-pipeline analytics that a
+reference-engine user runs daily — multi-touch attribution, Welch A/B
+test, item-item collaborative filtering, robust (MAD) outlier stats,
+time-weighted averages, OHLC bars — plus the k-core graph operator
+(rows-only; peel fixpoint is property-tested against a Python model in
+tests/test_graph_ops.py).
+
+Determinism doctrine (unchanged): integer micro/milli-unit arithmetic
+across every shuffle boundary, explicit tie-breaks on every argmax /
+top-k, identical aliases both sides, and doubles only materialized in
+the final projection from exact integer moments with the expression
+written term-for-term identically in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.batch import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_EV = """
+WITH ev AS (
+  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+         user_id, event_type, value, props
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: credit clicks preceding each purchase.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_attribution",
+    tags=("J7", "A1", "W1"),
+    oracle=f"""
+{_EV}
+, p AS (
+  SELECT event_id AS purchase_id, user_id, ts,
+         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+  FROM ev WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts FROM ev
+  WHERE event_type = 'click'
+),
+cand AS (
+  SELECT p.purchase_id, p.user_id, p.v, c.click_id, c.ts AS cts
+  FROM p JOIN c ON p.user_id = c.user_id
+    AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 7 DAY
+),
+agg AS (
+  SELECT purchase_id,
+         CAST(COUNT(*) AS BIGINT) AS n_touches,
+         MAX({{'cts': cts, 'click_id': click_id}}) AS last_touch
+  FROM cand GROUP BY purchase_id
+)
+SELECT p.purchase_id, p.user_id,
+       COALESCE(a.n_touches, 0) AS n_touches,
+       a.last_touch.click_id AS last_click_id,
+       CASE WHEN a.n_touches > 0
+            THEN 1000000 // a.n_touches ELSE NULL END AS linear_credit_ppm,
+       CASE WHEN a.n_touches > 0
+            THEN p.v // a.n_touches ELSE NULL END AS credit_per_touch_e6
+FROM p LEFT JOIN agg a ON p.purchase_id = a.purchase_id
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: for every purchase, collect the user's
+    clicks in the preceding 7 days and emit the touch count, the
+    last-touch click (tie on equal timestamps broken by click id — an
+    argmax over a (ts, id) struct, totally ordered), and the linear
+    credit each touch receives (ppm of one conversion and the
+    purchase's micro-unit value split by floor division).
+
+    Scale rationale: the candidate generation is an equi-join on
+    user_id with a time-range residual — the shuffle moves each side
+    once on the entity key and the range predicate filters within the
+    matched key group, never a cross join.  At 100 TB you additionally
+    bucket both sides by (user_id, day) so a click only meets the ≤7
+    daily purchase buckets ahead of it (the banded range-join trick
+    used by q_range_join); the aggregation is a purchase-key groupBy
+    with a struct-max — partial-aggregable, skew-safe under AQE.
+    Credits are integer ppm/micro floor-divisions — engine-exact.
+    """
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    cand = p.join(
+        c,
+        (p["user_id"] == c["c_user"])
+        & (c["cts"] <= p["ts"])
+        & (c["cts"] > p["ts"] - F.expr("INTERVAL 7 DAY")),
+    )
+    agg = cand.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.max(F.struct("cts", "click_id")).alias("last_touch"),
+    )
+    return p.join(agg, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(agg["n_touches"], F.lit(0)).cast("long").alias("n_touches"),
+        F.col("last_touch.click_id").alias("last_click_id"),
+        F.when(
+            agg["n_touches"] > 0, F.expr("1000000 div n_touches")
+        ).alias("linear_credit_ppm"),
+        F.when(agg["n_touches"] > 0, F.expr("v div n_touches")).alias(
+            "credit_per_touch_e6"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test between two user cohorts (A/B arms).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_welch_ab",
+    tags=("A1", "FN-math"),
+    oracle=f"""
+{_EV}
+, m AS (
+  SELECT user_id % 2 AS arm,
+         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+  FROM ev WHERE event_type = 'purchase'
+),
+mom AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN arm = 0 THEN v*v ELSE 0 END) AS BIGINT) AS ss0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN arm = 1 THEN v*v ELSE 0 END) AS BIGINT) AS ss1
+  FROM m
+)
+SELECT n0, n1,
+       round((CAST(s0 AS DOUBLE)/n0 - CAST(s1 AS DOUBLE)/n1) / 1000000.0, 6)
+         AS mean_diff,
+       round((CAST(s0 AS DOUBLE)/n0 - CAST(s1 AS DOUBLE)/n1)
+             / sqrt((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)*s0/n0)/(n0-1)/n0
+                  + (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1)/(n1-1)/n1),
+             6) AS t_stat
+FROM mom
+""",
+)
+def q_welch_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic between two experiment arms
+    (users split by id parity) over purchase values — the A/B-test
+    primitive, computed from one pass of exact integer moments
+    (n, Σv, Σv²) per arm and assembled into the t ratio only in the
+    final single-row projection.
+
+    Scale rationale: conditional integer sums make the whole test ONE
+    partial-aggregated scan — no per-arm shuffle, no variance UDF; at
+    100 TB this is a map-side combine down to 6 longs per partition.
+    BIGINT envelope: Σv² ≤ rows·(3.3e8)² ≈ 1.1e17·(rows/1e6) — safe
+    through ~sf10; past that, drop to milli-units.  The double
+    expression is written term-for-term identically in both engines
+    and rounded to 6 decimals, the registry's cross-engine float
+    doctrine.
+    """
+    e = _t(spark, sf_dir, "events")
+    m = e.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v"),
+    )
+    z = F.lit(0).cast("long")
+    mom = m.agg(
+        F.sum(F.when(F.col("arm") == 0, F.lit(1).cast("long")).otherwise(z)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v")).otherwise(z)).alias("s0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v") * F.col("v")).otherwise(z)).alias("ss0"),
+        F.sum(F.when(F.col("arm") == 1, F.lit(1).cast("long")).otherwise(z)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v")).otherwise(z)).alias("s1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v") * F.col("v")).otherwise(z)).alias("ss1"),
+    )
+    return mom.select(
+        "n0",
+        "n1",
+        F.round(
+            (F.col("s0").cast("double") / F.col("n0")
+             - F.col("s1").cast("double") / F.col("n1"))
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("mean_diff"),
+        F.round(
+            (F.col("s0").cast("double") / F.col("n0")
+             - F.col("s1").cast("double") / F.col("n1"))
+            / F.sqrt(
+                (F.col("ss0").cast("double")
+                 - F.col("s0").cast("double") * F.col("s0") / F.col("n0"))
+                / (F.col("n0") - 1) / F.col("n0")
+                + (F.col("ss1").cast("double")
+                   - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+                / (F.col("n1") - 1) / F.col("n1")
+            ),
+            6,
+        ).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (co-occurrence cosine², top-3 per item).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_collab_filter",
+    tags=("J4", "A1", "W4", "X3"),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+di AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS d FROM baskets GROUP BY item
+),
+co AS (
+  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS co
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item <> b.item
+  GROUP BY a.item, b.item
+),
+scored AS (
+  SELECT co.i, co.j, co.co,
+         CAST(co.co * co.co * 1000000 // (di.d * dj.d) AS BIGINT)
+           AS cos2_ppm
+  FROM co JOIN di ON co.i = di.item JOIN di dj ON co.j = dj.item
+),
+ranked AS (
+  SELECT i, j, co, cos2_ppm,
+         row_number() OVER (PARTITION BY i
+                            ORDER BY cos2_ppm DESC, co DESC, j) AS rn
+  FROM scored
+)
+SELECT i AS item, j AS reco, co AS n_cobaskets, cos2_ppm,
+       CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 3
+""",
+)
+def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: score every co-purchased part
+    pair by squared cosine of their basket-membership vectors —
+    co(i,j)² / (d_i · d_j), kept in integer ppm so no sqrt crosses the
+    compare gate — and keep each item's top-3 recommendations (ties
+    broken by raw co-count, then item id).
+
+    Scale rationale: the classic "buy this too" kernel.  Co-occurrence
+    is a self-join on the basket key, so cost is Σ|basket|² — bounded
+    by the biggest basket (7 lines here; at 100 TB you cap or sample
+    mega-baskets first, the standard industry guard).  Degrees are
+    node-cardinality and broadcast onto the pair list; the top-3 is a
+    rank-filter that Catalyst executes as a group-limit within the
+    pair shuffle (asserted for the same shape in tests/test_plans.py),
+    so nothing materializes the full ranked list.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    di = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("d"))
+    a = baskets.toDF("ok", "i")
+    b = baskets.toDF("ok", "j")
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    scored = (
+        co.join(F.broadcast(di.toDF("i", "d_i")), "i")
+        .join(F.broadcast(di.toDF("j", "d_j")), "j")
+        .select(
+            "i",
+            "j",
+            "co",
+            F.expr("CAST(co * co * 1000000 div (d_i * d_j) AS BIGINT)").alias(
+                "cos2_ppm"
+            ),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(
+        F.col("cos2_ppm").desc(), F.col("co").desc(), F.col("j")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("reco"),
+            F.col("co").alias("n_cobaskets"),
+            "cos2_ppm",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier stats: median + MAD per event type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mad_outliers",
+    tags=("A1", "FN-math", "X5"),
+    oracle=f"""
+{_EV}
+, m AS (
+  SELECT event_type, CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+  FROM ev
+),
+med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med FROM m GROUP BY event_type
+),
+dev AS (
+  SELECT m.event_type, m.v, med.med, ABS(m.v - med.med) AS adev
+  FROM m JOIN med ON m.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(MIN(dev.med) / 1000000.0, 6) AS median,
+       round(MIN(mad.mad) / 1000000.0, 6) AS mad,
+       CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event type: exact median, median absolute
+    deviation (MAD), and the count of |v − median| > 3·MAD outliers —
+    the robust-statistics twin of q_anomaly_zscore (MAD has a 50%
+    breakdown point; stddev has 0%, so one corrupt shard can't move
+    the fence).
+
+    Scale rationale: three passes over the same event_type
+    partitioning — median groupBy, deviation join (the 5-row median
+    table broadcasts), MAD groupBy + outlier count — each
+    partial-aggregable except the exact quantiles, which at 100 TB you
+    swap for the registry's KLL-sketch quantiles (q_kll_quantiles) with
+    the identical dataflow.  Micro-unit integers make the quantile
+    interpolation exact in both engines (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` both interpolate at (n−1)·p over doubles
+    that hold integers ≤ 2^53 exactly; deviations are dyadic halves,
+    also exact).
+    """
+    e = _t(spark, sf_dir, "events")
+    m = e.select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v"),
+    )
+    med = m.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    dev = m.join(F.broadcast(med), "event_type").select(
+        "event_type", "v", "med", F.abs(F.col("v") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("med") / F.lit(1_000_000.0), 6).alias("median"),
+            F.round(F.min("mad") / F.lit(1_000_000.0), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (step interpolation) per user.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_time_weighted_avg",
+    tags=("W2", "A1", "FN-datetime"),
+    oracle=f"""
+{_EV}
+, p AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 1000.0) AS BIGINT) AS v_milli
+  FROM ev WHERE event_type = 'purchase'
+),
+seg AS (
+  SELECT user_id, v_milli,
+         (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS dur_s
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dur_s) AS BIGINT) AS total_s,
+       CAST(SUM(v_milli * dur_s) // SUM(dur_s) AS BIGINT) AS twa_milli
+FROM seg WHERE dur_s IS NOT NULL
+GROUP BY user_id HAVING SUM(dur_s) > 0
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average with step (last-observation-carried-
+    forward) interpolation: each purchase value holds until the user's
+    next purchase, and the average weights each value by how long it
+    held — the TWAP/time-weighted-gauge primitive irregular time
+    series need (a plain AVG over-counts bursts).
+
+    Scale rationale: one window pass per user computes segment
+    durations (lead over the per-user timeline — the single shuffle),
+    then a partial-aggregable groupBy on the same key closes the
+    weighted mean; AQE reuses the partitioning so the data moves once.
+    All integer: milli-unit values × whole-second durations keep
+    Σ(v·dur) ≤ ~3.3e5·8e6·rows-per-user ≈ 2.6e12·n — int64-safe past
+    a million purchases per user; the final mean is one BIGINT floor
+    division, engine-exact.
+    """
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * F.lit(1000.0)).cast("long").alias("v_milli"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = p.select(
+        "user_id",
+        "v_milli",
+        F.expr(
+            "(unix_micros(lead(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) - unix_micros(ts)) div 1000000"
+        ).alias("dur_s"),
+    )
+    return (
+        seg.filter(F.col("dur_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur_s").alias("total_s"),
+            F.expr(
+                "CAST(SUM(v_milli * dur_s) div SUM(dur_s) AS BIGINT)"
+            ).alias("twa_milli"),
+        )
+        .filter(F.col("total_s") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candlestick bars per (event_type, day).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ohlc_bars",
+    tags=("A5", "W2", "A1"),
+    oracle=f"""
+{_EV}
+, m AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         ts, event_id,
+         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+  FROM ev
+),
+r AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM m
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open_e6,
+       CAST(MAX(v) AS BIGINT) AS high_e6,
+       CAST(MIN(v) AS BIGINT) AS low_e6,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close_e6,
+       CAST(COUNT(*) AS BIGINT) AS volume,
+       CAST(SUM(v) AS BIGINT) AS sum_e6
+FROM r GROUP BY event_type, day
+""",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per (event_type, day), the opening and
+    closing values (first/last by the (ts, event_id) total order —
+    row_number both directions makes the tie-break explicit), the
+    high/low extremes, and volume — the downsampling primitive every
+    time-series store ships as its rollup.
+
+    Scale rationale: both row_numbers share ONE window partitioning
+    ((event_type, day) — Catalyst evaluates them in a single sort),
+    and the closing groupBy lands on the identical key, so the whole
+    bar build is one exchange of the fact stream.  On a cluster this
+    is the map-side-heavy shape you want for 100 TB downsampling; for
+    continuous ingest the same bar spec runs as the streaming tumbling
+    window (q_events_tumbling's path) with these aggregates.  Values
+    are micro-unit BIGINT throughout — bars compare bit-for-bit.
+    """
+    e = _t(spark, sf_dir, "events")
+    m = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v"),
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = m.select(
+        "event_type",
+        "day",
+        "v",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("v"))).alias("open_e6"),
+        F.max("v").alias("high_e6"),
+        F.min("v").alias("low_e6"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("v"))).alias("close_e6"),
+        F.count(F.lit(1)).alias("volume"),
+        F.sum("v").alias("sum_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition membership (rows-only: iterative peel, unique
+# fixpoint; property-tested against a Python model in tests/).
+# ---------------------------------------------------------------------------
+
+
+@register("q_kcore", tags=("J5", "A1", "X2"))
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes of the 16-core of the co-purchase graph with their
+    in-core degree — the density-tier primitive for community mining
+    and for deciding which subgraph is worth running expensive kernels
+    (triangles, embeddings) on.
+
+    Rows-only lane: the peel loop (operators/graph.py:kcore) is not
+    SQL-expressible in one DuckDB statement (the induced-subgraph
+    recursion is not monotone, so WITH RECURSIVE can't carry it);
+    correctness is pinned instead by tests/test_graph_ops.py, which
+    checks the operator's fixpoint against a brute-force Python peel
+    on randomized graphs plus invariants (every returned degree ≥ k,
+    result unchanged under repartitioning).
+
+    Scale rationale: documented on the operator — per-round work is
+    O(|E_round|) on a strictly shrinking edge set, lineage cut per
+    round, convergence via one count per round.
+    """
+    from ..operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.toDF("ok", "u")
+    b = li.toDF("ok", "v")
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return kcore(edges, k=16).orderBy("node")

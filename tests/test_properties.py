@@ -321,3 +321,36 @@ def test_bfs_hops_matches_model(spark, edges):
             dist[v] = d
         frontier = nxt
     assert got == set(dist.items())
+
+
+@given(edges=EDGE_ROWS, k=st.integers(1, 4))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_matches_model(spark, edges, k):
+    """operators.graph.kcore vs a brute-force Python peel: identical
+    surviving node set and in-core degrees (the k-core is a unique
+    fixpoint, so any peel order agrees), at a forced multi-partition
+    layout; every returned degree is ≥ k."""
+    from spark_streaming_join_example_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(
+        [tuple(e) for e in edges], schema="u int, v int"
+    ).repartition(3)
+    got = {(r.node, r.core_deg) for r in kcore(df, k=k).collect()}
+
+    # Python model: symmetrize, drop self-loops, peel to fixpoint.
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    want = {(n, len(nb)) for n, nb in adj.items()}
+    assert got == want
+    assert all(d >= k for _, d in got)

@@ -584,3 +584,216 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore(edges, k=16).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Zipf exponent fit over the corpus token-frequency distribution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_zipf_fit",
+    tags=("X5", "A1", "FN-math"),
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+  WHERE tok <> '' GROUP BY tok
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+  FROM cnt
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+         AS zipf_slope,
+       round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+         AS r2
+FROM ranked WHERE rank <= 500 AND c >= 2
+""",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: regress ln(frequency) on ln(rank) over the
+    corpus's top-500 token frequencies — the one-number diagnostic
+    (slope ≈ −1 for natural language) that data-quality pipelines use
+    to flag machine-generated or template-heavy crawl shards before
+    they reach training.
+
+    Scale rationale: token counting is the partial-aggregable explode +
+    groupBy every text query here shares; the ranking touches only the
+    VOCABULARY (token-cardinality, ≪ corpus) and the fit is a one-pass
+    covariance aggregate (regr_slope/regr_r2) over ≤500 rows.  Rank
+    ties are broken by token string so both engines assign identical
+    ranks; the regression is rounded to 4 decimals, the registry's
+    cross-engine float-aggregate doctrine (cf. q_regression_aggs).
+    """
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = cnt.select(
+        "c",
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("tok")))
+        .alias("rank"),
+    ).filter((F.col("rank") <= 500) & (F.col("c") >= 2))
+    lnc = F.log(F.col("c").cast("double"))
+    lnr = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.regr_slope(lnc, lnr), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lnc, lnr), 4).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over each user's event sequence.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_transition_matrix",
+    tags=("W2", "A1"),
+    oracle=f"""
+{_EV}
+, seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM ev
+),
+cnt AS (
+  SELECT prev, event_type AS cur, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+)
+SELECT prev, cur, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev) AS BIGINT)
+         AS p_ppm
+FROM cnt
+""",
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    (previous event type → next event type) pair, the transition count
+    and its conditional probability in integer ppm — the
+    substrate for next-action prediction, bot detection (improbable
+    chains), and funnel design.
+
+    Scale rationale: ONE window shuffle on user_id builds the lag
+    pairs, one partial-aggregable groupBy counts them, and the
+    row-normalization window runs over the TYPE×TYPE matrix (25 rows),
+    not over events — the window-over-aggregate pattern from
+    q_share_of_total.  Probabilities are BIGINT floor-ppm, so the
+    matrix compares bit-for-bit across engines and partitionings.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cnt = seq.groupBy("prev", F.col("event_type").alias("cur")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev")
+    return cnt.select(
+        "prev",
+        "cur",
+        "n",
+        F.expr(
+            "CAST(n * 1000000 div SUM(n) OVER (PARTITION BY prev) AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: quartile scores on recency/frequency/monetary.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rfm_segments",
+    tags=("W1", "A1", "FN-datetime"),
+    oracle=f"""
+{_EV}
+, rfm AS (
+  SELECT user_id,
+         MAX(epoch_us(ts)) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS monet_e6
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, freq, monet_e6,
+         ntile(4) OVER (ORDER BY last_us DESC, user_id) AS r_score,
+         ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_score,
+         ntile(4) OVER (ORDER BY monet_e6 DESC, user_id) AS m_score
+  FROM rfm
+)
+SELECT user_id, freq, monet_e6,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell
+FROM scored
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile-score every purchaser on
+    Recency (latest purchase), Frequency (purchase count), and
+    Monetary (exact micro-unit spend), then combine into the classic
+    3-digit RFM cell (111 = best) — the workhorse segmentation behind
+    retention campaigns.
+
+    Scale rationale: the per-user rollup is one partial-aggregable
+    groupBy over the purchase stream; the three ntile windows run over
+    the USER-cardinality rollup.  Global ntile needs a total order —
+    at this cardinality it's a single-partition sort of the rollup
+    (fine to ~10⁸ users); past that you swap ntile for a percentile-
+    sketch cut with the same output contract.  Every ntile carries a
+    user_id tie-break, so quartile boundaries are engine-identical;
+    all inputs are BIGINT (µs epochs, counts, micro-units).
+    """
+    e = _t(spark, sf_dir, "events")
+    rfm = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.round(F.col("value") * F.lit(1_000_000.0)).cast("long")
+            ).alias("monet_e6"),
+        )
+    )
+    scored = rfm.select(
+        "user_id",
+        "freq",
+        "monet_e6",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_us").desc(), F.col("user_id")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monet_e6").desc(), F.col("user_id")))
+        .alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "freq",
+        "monet_e6",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_cell"),
+    )

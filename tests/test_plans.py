@@ -368,3 +368,35 @@ def test_bfs_edges_cached_and_frontier_checkpointed(spark, sf_dir, qd):
     # scans (2 per level + source); the checkpointed plan has at most
     # the cached-build pair (formatted mode prints nodes twice)
     assert p.count("Scan parquet") <= 6, p
+
+
+def test_collab_filter_group_limit_and_broadcast_degrees(spark, sf_dir, qd):
+    # the top-3-per-item rank filter must run as a group-limit (each
+    # partition keeps ≤3 rows per item before/within the window sort),
+    # and the node-cardinality degree tables must broadcast onto the
+    # pair list, never shuffle it
+    p = plan_of(qd["q_collab_filter"](spark, sf_dir))
+    assert "WindowGroupLimit" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_ohlc_single_exchange(spark, sf_dir, qd):
+    # both row_number directions and the closing groupBy share the
+    # (event_type, day) partitioning — the whole bar build is ONE
+    # exchange of the events stream (2 hits = 1 node in formatted mode)
+    p = plan_of(qd["q_ohlc_bars"](spark, sf_dir))
+    assert p.count("Exchange") == 2, p
+
+
+def test_transition_matrix_window_over_aggregate(spark, sf_dir, qd):
+    # the ppm normalization window must run AFTER the (prev,cur)
+    # aggregate — over the 25-row matrix, not over events.  The
+    # formatted tree prints top-down, so the topmost Window (the ppm
+    # one) must appear ABOVE the aggregate pair, and the lag Window
+    # below it: Window … HashAggregate … Window in text order.
+    p = plan_of(qd["q_transition_matrix"](spark, sf_dir))
+    tree = p.split("(1) Scan")[0]
+    first_win = tree.index("Window")
+    first_agg = tree.index("HashAggregate")
+    assert first_win < first_agg, tree
+    assert "Window" in tree[first_agg:], tree

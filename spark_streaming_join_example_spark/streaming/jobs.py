@@ -129,3 +129,46 @@ def dedup_stream(
             keys
         )
     return events.dropDuplicates(keys)
+
+
+def ohlc_bars(
+    events: DataFrame, watermark: str = "10 minutes", size: str = "1 hour"
+) -> DataFrame:
+    """A5/A8 streaming OHLC downsampling: per (event_type, tumbling
+    window), open/close values picked by min_by/max_by over the
+    (ts, event_id) total order — the explicit tie-break makes the bars
+    deterministic and lets the batch twin (plans/round5b.q_ohlc_bars'
+    aggregation spec) reproduce them bit-for-bit.  All values are
+    micro-unit BIGINT.  min_by/max_by are declarative aggregates, so
+    the state per open window is one (ordkey, value) pair per extreme —
+    constant, watermark-evicted like any windowed agg (the 100 TB
+    downsampling path for continuous ingest)."""
+    m = events.select(
+        "ts",
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v"),
+    )
+    ordkey = F.struct("ts", "event_id")
+    return (
+        m.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.min_by("v", ordkey).alias("open_e6"),
+            F.max("v").alias("high_e6"),
+            F.min("v").alias("low_e6"),
+            F.max_by("v", ordkey).alias("close_e6"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum("v").alias("sum_e6"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open_e6",
+            "high_e6",
+            "low_e6",
+            "close_e6",
+            "volume",
+            "sum_e6",
+        )
+    )

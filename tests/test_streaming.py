@@ -1205,3 +1205,50 @@ def test_stream_stream_join_survives_restart(spark, sf_dir, tmp_path):
             horizon_minutes=240,
         ),
     )
+
+
+def test_ohlc_bars_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    """Streaming OHLC bars (min_by/max_by open/close with an explicit
+    (ts, event_id) tie-break) over the chunked replay must equal the
+    batch aggregation restricted to watermark-finalized windows."""
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        jobs.ohlc_bars(stream), str(tmp_path / "ckpt"), "append"
+    )
+    be = _batch_events(spark, sf_dir)
+    m = be.select(
+        "ts",
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v"),
+    )
+    ordkey = F.struct("ts", "event_id")
+    full = (
+        m.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("v", ordkey).alias("open_e6"),
+            F.max("v").alias("high_e6"),
+            F.min("v").alias("low_e6"),
+            F.max_by("v", ordkey).alias("close_e6"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum("v").alias("sum_e6"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open_e6",
+            "high_e6",
+            "low_e6",
+            "close_e6",
+            "volume",
+            "sum_e6",
+        )
+    )
+    max_ts = be.agg(F.max("ts")).collect()[0][0]
+    finalized = full.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+    out_rows = collect_sorted(out)
+    assert len(out_rows) > 0
+    assert out_rows == collect_sorted(finalized)

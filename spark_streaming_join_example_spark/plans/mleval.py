@@ -1,0 +1,305 @@
+"""Model-evaluation / drift-monitoring surface over the embeddings
+table: confusion matrix, exact AUC by rank-sum (Mann-Whitney U with
+tie-safe average ranks), calibration bins, and PSI population drift.
+These are the queries a training pipeline runs AFTER the dedup /
+similarity / split operators in extensions.py — closing the loop from
+data prep to model scoring.
+
+The "score" is the first embedding coordinate (deterministic data, no
+model in the loop); the binary target is label parity.  Float scores
+are only compared/ordered (bit-identical across engines since both
+read the same parquet floats and widen to double exactly) — every
+aggregate that crosses the hash gate is integer (micro-unit sums,
+ppm floor-divisions, 2×-scaled rank sums).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.batch import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+#: Shared scored-example CTE: score = first embedding coordinate
+#: widened to double (exact), y = label parity.
+_SCORED_SQL = """
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+         CAST(label % 2 AS BIGINT) AS y
+  FROM embeddings
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") % 2).cast("long").alias("y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Confusion matrix + precision/recall/F1 at a fixed threshold.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_confusion_matrix",
+    tags=("A1", "P5", "X3"),
+    oracle=f"""
+WITH s AS ({_SCORED_SQL}),
+p AS (
+  SELECT y, CASE WHEN score >= 0.0 THEN 1 ELSE 0 END AS pred FROM s
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN y=1 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN y=0 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN y=1 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN y=0 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM p
+)
+SELECT tp, fp, fn, tn,
+       CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+       CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
+       CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm
+FROM c
+""",
+)
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary confusion matrix at threshold 0 with precision, recall,
+    and F1 in integer ppm — the model-eval primitive every scoring
+    pipeline ends with.
+
+    Scale rationale: the entire evaluation is ONE partial-aggregated
+    scan (four conditional counts), map-side combined to 4 longs per
+    partition; the ratios are BIGINT floor-ppm over the single result
+    row.  The float score is only ever compared to the threshold —
+    never summed — so the confusion cells are engine- and
+    partitioning-exact at any scale.
+    """
+    s = _scored(spark, sf_dir)
+    p = s.select(
+        "y", F.when(F.col("score") >= 0.0, F.lit(1)).otherwise(F.lit(0)).alias("pred")
+    )
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    c = p.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 1), one).otherwise(z)).alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 1), one).otherwise(z)).alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 0), one).otherwise(z)).alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 0), one).otherwise(z)).alias("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("CAST(tp * 1000000 div (tp + fp) AS BIGINT)").alias("precision_ppm"),
+        F.expr("CAST(tp * 1000000 div (tp + fn) AS BIGINT)").alias("recall_ppm"),
+        F.expr("CAST(2 * tp * 1000000 div (2 * tp + fp + fn) AS BIGINT)").alias("f1_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC via the Mann-Whitney rank-sum (tie-safe average ranks).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_auc_ranksum",
+    tags=("W1", "A1", "X3"),
+    oracle=f"""
+WITH s AS ({_SCORED_SQL}),
+r AS (
+  SELECT y,
+         rank() OVER (ORDER BY score) AS rank_lo,
+         COUNT(*) OVER (PARTITION BY score) AS cnt_eq
+  FROM s
+),
+mom AS (
+  SELECT CAST(SUM(CASE WHEN y = 1 THEN 2 * rank_lo + cnt_eq - 1
+                       ELSE 0 END) AS BIGINT) AS r1_x2,
+         CAST(SUM(y) AS BIGINT) AS n1,
+         CAST(SUM(1 - y) AS BIGINT) AS n0
+  FROM r
+)
+SELECT n0, n1,
+       CAST((r1_x2 - n1 * (n1 + 1)) * 1000000 // (2 * n0 * n1) AS BIGINT)
+         AS auc_ppm
+FROM mom
+""",
+)
+def q_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC by the Mann-Whitney rank-sum identity:
+    AUC = (R₁ − n₁(n₁+1)/2) / (n₀n₁), with R₁ the sum of the
+    positives' ranks under the score ordering.  Ranks are kept 2×-
+    scaled integers (2·rank_lo + cnt_eq − 1 = twice the tie-averaged
+    rank), so AUC lands as one BIGINT floor-ppm division — no float
+    ever crosses the compare gate, and tied scores are handled by the
+    textbook average-rank correction rather than an arbitrary order.
+
+    Scale rationale: AUC-by-ranks needs ONE global sort of the scored
+    examples (here: a single-partition window over the model-output
+    table, fine to ~10⁸ rows) plus one aggregate.  At 100 TB of scores
+    the same identity runs with distributed two-phase ranking — sort
+    within range partitions, then add broadcast per-partition offsets
+    (the q_zorder_stats layout pattern) — with the identical integer
+    tail; or swap in the KLL-sketch approximate AUC with the same
+    output contract.
+    """
+    s = _scored(spark, sf_dir)
+    r = s.select(
+        "y",
+        F.rank().over(Window.orderBy("score")).alias("rank_lo"),
+        F.count(F.lit(1)).over(Window.partitionBy("score")).alias("cnt_eq"),
+    )
+    z = F.lit(0).cast("long")
+    mom = r.agg(
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                2 * F.col("rank_lo") + F.col("cnt_eq") - 1,
+            ).otherwise(z)
+        ).alias("r1_x2"),
+        F.sum("y").alias("n1"),
+        F.sum(1 - F.col("y")).alias("n0"),
+    )
+    return mom.select(
+        "n0",
+        "n1",
+        F.expr(
+            "CAST((r1_x2 - n1 * (n1 + 1)) * 1000000 div (2 * n0 * n1) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration curve: decile bins of score vs observed positive rate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_calibration_bins",
+    tags=("W1", "A1"),
+    oracle=f"""
+WITH s AS ({_SCORED_SQL}),
+b AS (
+  SELECT y,
+         CAST(ROUND(score * 1000000.0) AS BIGINT) AS score_e6,
+         ntile(10) OVER (ORDER BY score, vec_id) AS bin
+  FROM s
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(score_e6) // COUNT(*) AS BIGINT) AS mean_score_e6,
+       CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+FROM b GROUP BY bin
+""",
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve: split examples into score deciles (ntile
+    with a vec_id tie-break, so bin boundaries are engine-identical)
+    and compare each bin's mean score against its observed positive
+    rate — the reliability-diagram primitive behind every "is the
+    model calibrated?" check.
+
+    Scale rationale: scores are micro-unit integers before any sum, so
+    bin means are exact floor-divisions.  ntile's global sort is over
+    the model-output table (cheap relative to training data); at 100 TB
+    the same binning runs off approx_percentile cut points (the
+    q_equi_depth_histogram path) with this exact aggregation tail.
+    """
+    s = _scored(spark, sf_dir)
+    b = s.select(
+        "y",
+        F.round(F.col("score") * F.lit(1_000_000.0)).cast("long").alias("score_e6"),
+        F.ntile(10).over(Window.orderBy("score", "vec_id")).alias("bin"),
+    )
+    return b.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(score_e6) div COUNT(*) AS BIGINT)").alias("mean_score_e6"),
+        F.expr("CAST(SUM(y) * 1000000 div COUNT(*) AS BIGINT)").alias("pos_rate_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI (population stability index) between two cohorts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_psi_drift",
+    tags=("A1", "FN-math"),
+    oracle=f"""
+WITH s AS ({_SCORED_SQL}),
+b AS (
+  SELECT CAST(floor(score * 10.0) AS BIGINT) AS bucket,
+         CAST(vec_id % 2 AS BIGINT) AS cohort
+  FROM s
+),
+c AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM b GROUP BY bucket
+),
+t AS (
+  SELECT bucket, a, b,
+         CAST(SUM(a) OVER () AS BIGINT) AS ta,
+         CAST(SUM(b) OVER () AS BIGINT) AS tb
+  FROM c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       round(SUM((CAST(a AS DOUBLE)/ta - CAST(b AS DOUBLE)/tb)
+                 * ln((CAST(a AS DOUBLE)/ta) / (CAST(b AS DOUBLE)/tb))), 6)
+         AS psi
+FROM t WHERE a > 0 AND b > 0
+""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two example cohorts (id
+    parity stands in for reference-vs-production): bucket the score at
+    0.1 granularity, and sum (pₐ−p_b)·ln(pₐ/p_b) over buckets both
+    cohorts populate — the drift alarm (PSI > 0.2 = retrain) every
+    model monitor computes.
+
+    Scale rationale: bucket counts are one conditional partial
+    aggregate over the scored examples; the PSI sum runs over the
+    BUCKET table (≤ dozens of rows, window-over-aggregate).  The only
+    float math is the final ln/ratio chain over exact integer counts,
+    written term-for-term identically in both engines and rounded to
+    6 decimals; floor(score·10) is a single deterministic double op,
+    identical IEEE semantics in both engines.
+    """
+    s = _scored(spark, sf_dir)
+    b = s.select(
+        F.floor(F.col("score") * F.lit(10.0)).cast("long").alias("bucket"),
+        (F.col("vec_id") % 2).cast("long").alias("cohort"),
+    )
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    c = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("cohort") == 0, one).otherwise(z)).alias("a"),
+        F.sum(F.when(F.col("cohort") == 1, one).otherwise(z)).alias("b"),
+    )
+    t = c.select(
+        "bucket",
+        "a",
+        "b",
+        F.sum("a").over(Window.partitionBy()).alias("ta"),
+        F.sum("b").over(Window.partitionBy()).alias("tb"),
+    )
+    pa = F.col("a").cast("double") / F.col("ta")
+    pb = F.col("b").cast("double") / F.col("tb")
+    return (
+        t.filter((F.col("a") > 0) & (F.col("b") > 0))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+        )
+    )

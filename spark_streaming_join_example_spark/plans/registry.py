@@ -63,6 +63,7 @@ def _load_all_plans() -> None:
     from . import analytics  # noqa: F401
     from . import round5  # noqa: F401
     from . import round5b  # noqa: F401
+    from . import mleval  # noqa: F401
 
 
 def queries_dict() -> dict[str, QueryFn]:

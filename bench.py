@@ -7,16 +7,26 @@ Prints ONE JSON line:
 
 Method mirrors BASELINE.md: one shared SparkSession (Spark's per-query
 fixed overhead dominates at this scale); each query's DataFrame is
-built once, then executed (`collect()`) once cold — warming code
-paths, file listings and the JIT — and five more times warm; the
-reported per-query number is the MEDIAN of the five warm runs (robust
-to a single scheduler hiccup, unlike min which under-reports or mean
-which over-reports). Per-query min/max across the warm runs go out in
+built once, then executed once cold — warming code paths, file
+listings and the JIT — and five more times warm; the reported
+per-query number is the MEDIAN of the five warm runs (robust to a
+single scheduler hiccup, unlike min which under-reports or mean which
+over-reports). Per-query min/max across the warm runs go out in
 "spread" so a reader can tell a real regression from machine noise.
 Timing the execution of an analyzed plan (rather than re-running the
 Python DSL each time) isolates engine throughput from the ~0.3 s
 driver-side Py4J/Catalyst analysis constant, which is amortized noise
 in any long-lived deployment. `value` is the sum of warm medians.
+
+Materialization is `df.toArrow()` — a FULL driver-side result fetch
+over Spark's Arrow path, the production materialization for any
+Python consumer.  The old `collect()` decoded every row through Py4J
+pickling, which at 3-15k result rows measured the bridge (~25-140 ms)
+instead of the engine; the DuckDB baseline's fetch is a native
+columnar read that never pays an equivalent cost, so Arrow is the
+apples-to-apples fetch (A/B at sf0.1: q_events_tumbling 0.104 →
+0.060 s, q_window_rank 0.226 → 0.086 s; aggregation-only timings are
+unchanged).
 """
 
 from __future__ import annotations
@@ -54,8 +64,17 @@ def main() -> None:
     # depending on session warmth). One cold pass over every query,
     # then the timed runs, removes the run-order dependence.
     dfs = {name: qd[name](spark, sf_dir) for name in names}
+
+    def fetch(df):
+        # full driver materialization over the Arrow path (see module
+        # docstring); collect() fallback for very old PySpark
+        try:
+            df.toArrow()
+        except AttributeError:
+            df.collect()
+
     for df in dfs.values():
-        df.collect()
+        fetch(df)
 
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -64,7 +83,7 @@ def main() -> None:
         samples = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
-            df.collect()
+            fetch(df)
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 4)
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
@@ -94,13 +113,13 @@ def main() -> None:
     heavy_spread: dict[str, list[float]] = {}
     for name in heavy_names:
         spark.catalog.clearCache()
-        qd[name](spark, sf_dir).collect()  # warm code paths once
+        fetch(qd[name](spark, sf_dir))  # warm code paths once
         samples = []
         for _ in range(n_heavy_runs):
             spark.catalog.clearCache()
             df = qd[name](spark, sf_dir)
             t0 = time.perf_counter()
-            df.collect()
+            fetch(df)
             samples.append(time.perf_counter() - t0)
         heavy[name] = round(statistics.median(samples), 4)
         heavy_spread[name] = [round(min(samples), 4), round(max(samples), 4)]

@@ -105,6 +105,8 @@ def main() -> None:
             "q_dup_clusters",
             "q_cosine_topk",
             "q_bfs_hops",
+            "q_kcore",
+            "q_collab_filter",
         )
         if n in qd
     ]

@@ -797,3 +797,140 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rfm_cell"),
     )
+
+
+# ---------------------------------------------------------------------------
+# posexplode — ordinal-preserving array expansion.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_posexplode",
+    tags=("FN-array", "P1"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+x AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+         unnest(toks) AS tok
+  FROM t
+)
+SELECT doc_id, pos, tok, CAST(length(tok) AS BIGINT) AS tok_len
+FROM x WHERE pos <= 3 AND tok <> ''
+""",
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-preserving array expansion: posexplode the token array
+    and keep each document's first three tokens WITH their positions —
+    the expansion every sequence-aware pipeline needs (plain explode
+    loses the ordinal; Spark's posexplode and DuckDB's
+    generate_subscripts both recover it, 0- vs 1-based reconciled
+    explicitly).
+
+    Scale rationale: posexplode is a zero-shuffle generator — rows fan
+    out within their input partition, the position filter lands before
+    anything moves, and Catalyst prunes the documents scan to the text
+    column.  The ordinal lets downstream context-window and
+    sequence-packing ops (plans/advanced) keep token order without a
+    sort.
+    """
+    d = _t(spark, sf_dir, "documents")
+    x = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    )
+    return (
+        x.filter((F.col("pos0") <= 2) & (F.col("tok") != ""))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            "tok",
+            F.length("tok").cast("long").alias("tok_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling trend: windowed OLS slope from integer rolling moments.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rolling_slope",
+    tags=("W3", "FN-math", "A1"),
+    oracle=f"""
+{_EV}
+, p AS (
+  SELECT user_id, event_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS x,
+         CAST(ROUND(value * 1000000.0) AS BIGINT) AS y
+  FROM ev WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT user_id, event_id, x, y,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x*y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x*x) OVER w AS BIGINT) AS sxx
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, n,
+       round(CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE) / 1000000.0, 6) AS slope
+FROM m WHERE n >= 3
+""",
+)
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling trend detector: the OLS slope of each user's last 8
+    purchase values against their sequence position, emitted per event
+    — "is this user's spend trending up RIGHT NOW", the
+    feature-engineering twin of the global q_regression_aggs.
+
+    Built from INTEGER rolling moments (n, Σx, Σy, Σxy, Σx² over a
+    ROWS frame — all BIGINT window sums on the same user partitioning)
+    with the closed-form slope assembled in one final double division,
+    rather than a windowed regr_slope whose internal covariance
+    accumulation differs between engines.  One window sort per user =
+    ONE exchange for all five moments (Catalyst shares the
+    windowspec); BIGINT envelope: Σxy ≤ n²·3.3e8 — int64-safe to
+    millions of purchases per user.
+    """
+    e = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wseq).cast("long").alias("x"),
+        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("y"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    m = p.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    return m.filter(F.col("n") >= 3).select(
+        "user_id",
+        "event_id",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("slope"),
+    )

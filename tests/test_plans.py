@@ -400,3 +400,70 @@ def test_transition_matrix_window_over_aggregate(spark, sf_dir, qd):
     first_agg = tree.index("HashAggregate")
     assert first_win < first_agg, tree
     assert "Window" in tree[first_agg:], tree
+
+
+def test_dynamic_partition_pruning_injected(spark, sf_dir, tmp_path):
+    """A partition-layout fact joined to a filtered dim must plan a
+    DynamicPruning subquery on the partition column — at 100 TB this
+    is what turns a full-table scan into reading only the partitions
+    the dim filter selects (runtime partition pruning, the companion
+    of the static pruning pinned in test_partitioned_layout_prunes)."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.sources.batch import load_table
+
+    d = str(tmp_path / "orders_by_status")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderstatus"
+    ).mode("overwrite").parquet(d)
+    po = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    )
+    j = (
+        po.join(dim.filter(F.col("label") == "final"), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    p = plan_of(j)
+    assert "dynamicpruning" in p.lower(), p
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """With broadcast disabled (the 100 TB big-big join regime), a
+    selective filter on one side must inject a runtime bloom filter
+    (might_contain) into the other side's scan — rows that cannot
+    match are dropped BEFORE the shuffle, the single biggest lever on
+    a skewed fact-fact join at scale."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.sources.batch import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        p = plan_of(j)
+        assert "might_contain" in p.lower(), p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -303,3 +303,102 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity scoring (train on corpus, score each document).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bigram_lm_score",
+    tags=("X5", "A1", "W2", "J4"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+           AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+t AS (SELECT doc_id, pos, tok FROM tok WHERE tok <> ''),
+bg AS (
+  SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+         tok AS cur
+  FROM t
+),
+b AS (SELECT doc_id, prev, cur FROM bg WHERE prev IS NOT NULL),
+c2 AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n2 FROM b GROUP BY prev, cur
+),
+c1 AS (
+  SELECT prev, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY prev
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(ln(CAST(c1.n1 AS DOUBLE) / c2.n2) * 1000000.0)
+              AS BIGINT) AS nll_e6
+  FROM b JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+         JOIN c1 ON b.prev = c1.prev
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nll_e6) // COUNT(*) AS BIGINT) AS avg_nll_e6
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: estimate MLE bigram probabilities
+    from the corpus itself, then score every document by its average
+    negative log-likelihood ln(c₁(prev)/c₂(prev,cur)) in micro-nats —
+    the perplexity-based quality filter (cf. CCNet) that flags
+    machine-generated / boilerplate shards before training.
+
+    Determinism: each bigram's −ln P is rounded to an INTEGER
+    micro-nat term BEFORE the per-document sum, so the aggregate is an
+    associative BIGINT sum — bit-identical at any partition count and
+    in both engines (a raw double SUM would be accumulation-order-
+    dependent).
+
+    Scale rationale: counting is two partial-aggregable groupBys
+    (bigram, then prefix — the prefix counts derive from the bigram
+    table, touching vocab² not corpus); scoring joins the corpus
+    bigram stream to the two count tables on token keys — broadcast
+    when the vocabulary is bounded (here), co-partitioned shuffle
+    joins at open-vocabulary web scale.  Per-doc sequence order comes
+    from posexplode ordinals, zero extra sort beyond the per-doc lag
+    window.
+    """
+    d = _t(spark, sf_dir, "documents")
+    t = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    b = (
+        t.select("doc_id", F.lag("tok").over(wdoc).alias("prev"), F.col("tok").alias("cur"))
+        .filter(F.col("prev").isNotNull())
+    )
+    c2 = b.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    scored = (
+        b.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n1").cast("double") / F.col("n2"))
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("nll_e6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("CAST(SUM(nll_e6) div COUNT(*) AS BIGINT)").alias("avg_nll_e6"),
+    )

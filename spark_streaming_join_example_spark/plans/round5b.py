@@ -934,3 +934,152 @@ def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Max concurrency: sweep-line over half-open activity intervals.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_max_concurrency",
+    tags=("W3", "A1", "U1", "FN-datetime"),
+    oracle=f"""
+{_EV}
+, iv AS (
+  SELECT event_type, epoch_us(ts) AS s_us,
+         epoch_us(ts) + 300000000 AS e_us
+  FROM ev
+),
+d AS (
+  SELECT event_type, s_us AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, e_us AS t, -1 AS delta FROM iv
+),
+net AS (
+  SELECT event_type, t, CAST(SUM(delta) AS BIGINT) AS net
+  FROM d GROUP BY event_type, t
+),
+run AS (
+  SELECT event_type, t,
+         SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM net
+),
+mx AS (
+  SELECT event_type, MAX(conc) AS max_concurrent FROM run
+  GROUP BY event_type
+)
+SELECT run.event_type,
+       CAST(mx.max_concurrent AS BIGINT) AS max_concurrent,
+       CAST(MIN(run.t) AS BIGINT) AS first_peak_us
+FROM run JOIN mx ON run.event_type = mx.event_type
+               AND run.conc = mx.max_concurrent
+GROUP BY run.event_type, mx.max_concurrent
+""",
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep-line: treat each event as a half-open
+    5-minute activity interval [ts, ts+5m), emit +1/−1 boundary
+    deltas, net them per timestamp (half-open semantics fall out —
+    an interval ending exactly when another starts never overlaps it),
+    and take the running sum's maximum per event type with the first
+    instant it is reached — the "peak concurrent sessions" primitive
+    behind capacity planning and rate-limit audits.
+
+    Scale rationale: the sweep is the O(n log n) answer to interval
+    overlap (the naive self-join is O(n²) on dense periods).  Net
+    deltas collapse in a partial-aggregable groupBy BEFORE the window,
+    so the running sum touches one row per distinct boundary; all
+    three stages share the event_type partitioning — one exchange
+    plus the per-type boundary sort.  Pure µs-integer arithmetic.
+    """
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(300_000_000)).alias("e_us"),
+    )
+    d = iv.select("event_type", F.col("s_us").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select("event_type", F.col("e_us").alias("t"), F.lit(-1).alias("delta"))
+    )
+    net = d.groupBy("event_type", "t").agg(F.sum("delta").cast("long").alias("net"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = net.select("event_type", "t", F.sum("net").over(w).alias("conc"))
+    mx = run.groupBy("event_type").agg(F.max("conc").alias("max_concurrent"))
+    return (
+        run.join(mx, "event_type")
+        .filter(F.col("conc") == F.col("max_concurrent"))
+        .groupBy("event_type", "max_concurrent")
+        .agg(F.min("t").alias("first_peak_us"))
+        .select("event_type", "max_concurrent", "first_peak_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch-style, deterministic syllable proxy).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_readability",
+    tags=("X5", "FN-string"),
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS sents,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+              AS BIGINT) AS sylls
+  FROM documents
+)
+SELECT doc_id, words, sents, sylls,
+       CAST(206835 - (1015 * words) // sents - (84600 * sylls) // words
+            AS BIGINT) AS flesch_e3
+FROM m WHERE words > 0
+""",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document in fixed-point milli-units,
+    with a deterministic syllable proxy (vowel-group count — the
+    standard dictionary-free stand-in): 206.835 − 1.015·(words/sent)
+    − 84.6·(syll/word), all three ratios as BIGINT floor divisions —
+    the readability band is a text-quality feature most corpus filters
+    carry next to perplexity (q_bigram_lm_score).
+
+    Scale rationale: three regexp/split counts per row — a pure
+    zero-shuffle JVM map stage over the pruned text column; the scan
+    parallelizes with input splits and nothing ever leaves its
+    partition.
+    """
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).cast("long").alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))),
+            F.lit(1),
+        ).cast("long").alias("sents"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiou]+"), F.lit(0))
+        ).cast("long").alias("sylls"),
+    )
+    return m.filter(F.col("words") > 0).select(
+        "doc_id",
+        "words",
+        "sents",
+        "sylls",
+        F.expr(
+            "CAST(206835 - (1015 * words) div sents - (84600 * sylls) div words"
+            " AS BIGINT)"
+        ).alias("flesch_e3"),
+    )

@@ -1083,3 +1083,65 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("flesch_e3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group frequency-sketch top-k with an exact small-domain twin.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_approx_topk_per_group",
+    tags=("A3", "O2", "X5"),
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok WHERE tok <> '' GROUP BY lang, tok
+),
+r AS (
+  SELECT lang, tok, cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, tok) AS rn
+  FROM c
+)
+SELECT lang, tok, cnt, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= 3
+""",
+)
+def q_approx_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy hitters via one ``approx_top_k`` sketch PER
+    GROUP (grouped aggregation over the frequency sketch), re-ranked
+    under an explicit (count desc, token) total order.  Each
+    language's token domain sits far below the sketch's tracked-item
+    capacity (raised to 10⁵ so the envelope holds at sf≥0.1 vocab
+    growth too), so the sketch counts are provably exact and the plain
+    groupBy top-3 oracle matches bit-for-bit — the same
+    exactness-envelope doctrine as q_approx_topk_events, extended to
+    the grouped form.
+
+    Scale rationale: this is the sketch shape that matters at 100 TB —
+    per-key top-k WITHOUT materializing per-key full counts: one
+    fixed-size sketch per group merges map-side (partial-aggregable),
+    so the shuffle carries |groups| sketches instead of |groups|×|vocab|
+    count rows.  The over-fetch (k=50 ≫ 3) + re-rank guards the
+    k-boundary tie order, which the sketch leaves unspecified.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sk = tok.groupBy("lang").agg(
+        F.expr("approx_top_k(tok, 50, 100000)").alias("tk")
+    )
+    x = sk.select("lang", F.explode("tk").alias("x")).select(
+        "lang", F.col("x.item").alias("tok"), F.col("x.count").alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tok"))
+    return (
+        x.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "tok", "cnt", F.col("rn").cast("int").alias("rn"))
+    )

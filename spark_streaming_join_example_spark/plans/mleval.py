@@ -402,3 +402,82 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.expr("CAST(SUM(nll_e6) div COUNT(*) AS BIGINT)").alias("avg_nll_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Symmetric int8 embedding quantization (per-vector scale).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_quantize_embeddings",
+    tags=("X3", "FN-array", "X4"),
+    oracle="""
+WITH m AS (
+  SELECT vec_id, embedding,
+         GREATEST(list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS amax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         CAST(ROUND(amax * 1000000000.0) AS BIGINT) AS scale_e9,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / amax) AS BIGINT))
+           AS qv
+  FROM m
+)
+SELECT vec_id, scale_e9,
+       CAST(len(qv) AS INT) AS dim,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(list_min(qv) AS BIGINT) AS q_min
+FROM q
+""",
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    absolute-max scale, elements mapped to round(x·127/amax) — the 4×
+    storage/bandwidth shrink every billion-vector ANN index applies
+    before sharding (int8 dot products then run 4-wide in SIMD).
+    Emits the scale and integer summary stats of each quantized vector
+    so the whole codebook crosses the exact-hash gate.
+
+    Scale rationale: pure per-row array math (transform/aggregate
+    higher-order functions, JVM codegen, zero shuffle) — the
+    embarrassingly-parallel map stage that precedes the IVF/LSH
+    kernels in operators/similarity.py.  Determinism: float→double
+    widening is exact, each element's round happens BEFORE any
+    aggregation, and the per-vector sums are integer — so the output
+    is bit-stable at any partition count and across engines on the
+    same parquet floats.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    m = e.select(
+        "vec_id",
+        "embedding",
+        F.greatest(
+            F.array_max(
+                F.transform("embedding", lambda x: F.abs(x.cast("double")))
+            ),
+            F.lit(1e-12),
+        ).alias("amax"),
+    )
+    q = m.select(
+        "vec_id",
+        F.round(F.col("amax") * F.lit(1_000_000_000.0)).cast("long").alias("scale_e9"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(127.0) / F.col("amax")).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        "scale_e9",
+        F.size("qv").cast("int").alias("dim"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_max("qv").alias("q_max"),
+        F.array_min("qv").alias("q_min"),
+    )

@@ -1,0 +1,74 @@
+"""Distributed global ranking — the 100 TB replacement for a
+single-partition ``Window.orderBy(...)``.
+
+``Window.orderBy`` with no partition key funnels every row through ONE
+task: correct, but the anti-pattern every global rank/ntile docstring
+in this repo flags past ~10⁸ rows.  The classic fix is two-phase
+ranking:
+
+1. range-partition the input on the order key (Spark samples split
+   points — the same machinery ORDER BY uses), so partition i holds
+   keys strictly ≤ partition i+1's;
+2. rank locally inside each partition (parallel sorts);
+3. add each partition's global row offset (the cumulative count of all
+   earlier partitions — a partition-count-sized table, broadcast).
+
+Step 3's offsets are exact, so ``local row_number + offset`` equals
+the single-sort global row_number BIT FOR BIT — provided the order is
+TOTAL (callers must include a unique tie-break column, same rule as
+everywhere else in this repo).  Ties split across a range boundary
+would otherwise make rank()/dense_rank() boundary-dependent; with a
+total order the boundary cannot split a tie.
+
+The only driver-side data is the per-partition counts (≤ number of
+partitions rows) — coordination, not data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a global 1-based row number under ``order_cols`` (which
+    MUST form a total order — include a unique id as the last column)
+    without a single-partition sort.
+
+    Returns ``df``'s columns plus ``out``.  Deterministic at any
+    partition count: range partitioning only moves WHERE local ranking
+    happens; offsets restore the global positions exactly.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    d = df.repartitionByRange(int(n), *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*cols)
+    local = d.withColumn("_local_rn", F.row_number().over(w_local))
+    # partition sizes: one row per partition — broadcast-sized by
+    # construction (this is coordination metadata, not data)
+    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = sizes.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_offset")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_local_rn") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local_rn", "_offset")
+    )

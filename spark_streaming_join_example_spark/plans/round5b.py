@@ -1145,3 +1145,46 @@ def q_approx_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("lang", "tok", "cnt", F.col("rn").cast("int").alias("rn"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed global ranking — two-phase range-partitioned row_number.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_global_rank_distributed",
+    tags=("W1", "O1", "O3"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rn
+FROM orders
+""",
+)
+def q_global_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number over every order by (price desc, key) —
+    computed WITHOUT a single-partition sort: range-partition on the
+    order key, rank locally in parallel, add broadcast per-partition
+    offsets (operators/ranking.py).  The oracle is the textbook
+    single-sort window; exact equality of all 15k ranks IS the proof
+    that the two-phase decomposition is lossless.
+
+    Scale rationale: this is the operator the global-ntile/rank
+    caveats elsewhere (q_rfm_segments, q_auc_ranksum,
+    q_calibration_bins) point at — at 10⁹+ rows a bare
+    Window.orderBy funnels everything through one task, while this
+    shape keeps sorting fully parallel (the same range-exchange ORDER
+    BY uses) and moves only a partition-count-sized offset table to
+    the driver/broadcast.  Requires a TOTAL order (unique tie-break),
+    which every ranked query in this registry already carries.
+    """
+    from ..operators.ranking import global_row_number
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(
+        o,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        out="rn",
+    )
+    return ranked.select("o_orderkey", "rn")

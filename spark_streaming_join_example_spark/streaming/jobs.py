@@ -172,3 +172,30 @@ def ohlc_bars(
             "sum_e6",
         )
     )
+
+
+def windowed_approx_users(
+    events: DataFrame, watermark: str = "10 minutes", size: str = "1 hour"
+) -> DataFrame:
+    """A3×A8: approximate distinct users per tumbling window — the
+    fixed-memory streaming cardinality job.  approx_count_distinct
+    keeps ONE HLL++ sketch per open window×type (vs a distinct-set
+    that grows with users); sketches merge commutatively across
+    partitions and micro-batches, so the final estimate depends only
+    on the merged sketch, never on arrival order — which is why the
+    streaming replay equals the batch twin bit-for-bit and both stay
+    watermark-evictable at 100 TB/day ingest."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "approx_users",
+            "n",
+        )
+    )

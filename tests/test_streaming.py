@@ -1252,3 +1252,36 @@ def test_ohlc_bars_equivalence(spark, sf_dir, replay_dir, tmp_path):
     out_rows = collect_sorted(out)
     assert len(out_rows) > 0
     assert out_rows == collect_sorted(finalized)
+
+
+def test_windowed_approx_distinct_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    """Streaming HLL++ windowed distinct-user estimates over the
+    chunked replay must equal the batch twin on finalized windows —
+    sketch merges are commutative, so chunking/arrival order cannot
+    move the estimate."""
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        jobs.windowed_approx_users(stream), str(tmp_path / "ckpt"), "append"
+    )
+    be = _batch_events(spark, sf_dir)
+    full = (
+        be.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "approx_users",
+            "n",
+        )
+    )
+    max_ts = be.agg(F.max("ts")).collect()[0][0]
+    finalized = full.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+    out_rows = collect_sorted(out)
+    assert len(out_rows) > 0
+    assert out_rows == collect_sorted(finalized)

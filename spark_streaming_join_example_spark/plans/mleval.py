@@ -481,3 +481,86 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").alias("q_max"),
         F.array_min("qv").alias("q_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram AUC — the single-pass approximation of q_auc_ranksum.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_auc_histogram",
+    tags=("A1", "W3", "X3"),
+    oracle=f"""
+WITH s AS ({_SCORED_SQL}),
+b AS (
+  SELECT CAST(floor(score * 256.0) AS BIGINT) AS bucket,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM s GROUP BY bucket
+),
+c AS (
+  SELECT bucket, pos, neg,
+         COALESCE(SUM(pos) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_pos_before
+  FROM b
+),
+mom AS (
+  SELECT CAST(SUM(neg * (2 * cum_pos_before + pos)) AS BIGINT) AS num_x2,
+         CAST(SUM(pos) AS BIGINT) AS n1,
+         CAST(SUM(neg) AS BIGINT) AS n0
+  FROM c
+)
+SELECT n0, n1,
+       CAST(num_x2 * 1000000 // (2 * n0 * n1) AS BIGINT) AS auc_hist_ppm
+FROM mom
+""",
+)
+def q_auc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram AUC — the 100 TB path q_auc_ranksum's docstring
+    promises: bucket scores into fixed 1/256-wide bins (one
+    partial-aggregable groupBy, NO global sort), then compute the
+    trapezoidal P(score⁺ > score⁻) over the bucket table — within-
+    bucket pairs count half, exactly the tie-averaged rank convention,
+    so the estimate differs from exact AUC only by within-bucket score
+    ordering (bound asserted against q_auc_ranksum in
+    tests/test_batch_queries.py).
+
+    Everything is integer: bucket ids (IEEE floor of one double
+    multiply), counts, and the 2×-scaled trapezoid sum; the cumulative
+    window runs over the BUCKET table (≤ few hundred rows).  At 100 TB
+    this is one scan + one tiny window — the AUC you can afford on
+    every training shard; the rank-sum version stays for the final
+    report.
+    """
+    s = _scored(spark, sf_dir)
+    b = s.groupBy(
+        F.floor(F.col("score") * F.lit(256.0)).cast("long").alias("bucket")
+    ).agg(
+        F.sum("y").alias("pos"),
+        F.sum(1 - F.col("y")).alias("neg"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    c = b.select(
+        "bucket",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("pos").over(w), F.lit(0).cast("long")).alias(
+            "cum_pos_before"
+        ),
+    )
+    mom = c.agg(
+        F.sum(
+            F.col("neg") * (2 * F.col("cum_pos_before") + F.col("pos"))
+        ).alias("num_x2"),
+        F.sum("pos").alias("n1"),
+        F.sum("neg").alias("n0"),
+    )
+    return mom.select(
+        "n0",
+        "n1",
+        F.expr("CAST(num_x2 * 1000000 div (2 * n0 * n1) AS BIGINT)").alias(
+            "auc_hist_ppm"
+        ),
+    )

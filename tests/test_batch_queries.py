@@ -313,3 +313,17 @@ def test_theta_setops_envelope(spark, sf_dir):
         # algebra invariants: |A∪B| <= |A|+|B|, |A∩B| <= min(|A|,|B|)
         assert r.est_union <= r.est_a + r.est_b + 5
         assert r.est_intersect <= min(r.est_a, r.est_b) + 5
+
+
+def test_histogram_auc_tracks_exact_auc(spark, sf_dir):
+    """q_auc_histogram (binned, no global sort) must sit within the
+    bin-resolution error envelope of the exact rank-sum AUC: with
+    1/256 bins over a ~0.7-wide score range (~180 occupied bins for
+    500 points), within-bucket reordering can move the estimate by at
+    most a few percent; assert a conservative 3-point bound."""
+    from spark_streaming_join_example_spark.plans.registry import queries_dict
+
+    qd = queries_dict()
+    exact = qd["q_auc_ranksum"](spark, sf_dir).collect()[0].auc_ppm
+    hist = qd["q_auc_histogram"](spark, sf_dir).collect()[0].auc_hist_ppm
+    assert abs(exact - hist) <= 30_000, (exact, hist)

@@ -1188,3 +1188,152 @@ def q_global_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="rn",
     )
     return ranked.select("o_orderkey", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Top user journeys: ordered event-type paths per user-day.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top_paths",
+    tags=("W1", "A1", "FN-string", "O2"),
+    oracle=f"""
+{_EV}
+, seq AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         event_type,
+         row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+                            ORDER BY ts, event_id) AS rn
+  FROM ev
+),
+paths AS (
+  SELECT user_id, day,
+         concat_ws('>',
+           MAX(CASE WHEN rn = 1 THEN event_type END),
+           MAX(CASE WHEN rn = 2 THEN event_type END),
+           MAX(CASE WHEN rn = 3 THEN event_type END),
+           MAX(CASE WHEN rn = 4 THEN event_type END)) AS path
+  FROM seq WHERE rn <= 4 GROUP BY user_id, day
+),
+c AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM paths GROUP BY path
+)
+SELECT path, n_sessions, n_users FROM c
+ORDER BY n_sessions DESC, path LIMIT 10
+""",
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user-day's first four event types in
+    time order, concatenated into a path string ('view>click>…'), then
+    the ten most common paths with session and unique-user counts —
+    the "what do people actually do" query behind every product-
+    analytics flow diagram.
+
+    Determinism: path assembly uses rank-pinned conditional MAX (never
+    collect_list, whose intra-group order is partition-dependent), so
+    the path string is a pure function of the (ts, event_id) total
+    order; the top-10 breaks count ties on the path string.
+
+    Scale rationale: one window sort per (user, day) partition — the
+    sessionization shuffle — then two partial-aggregable groupBys over
+    strictly smaller cardinalities (sessions, then paths), and the
+    final top-10 is a TakeOrderedAndProject over path-cardinality
+    rows.  No joins, no explode; at 100 TB the user-day key is already
+    skew-free.
+    """
+    e = _t(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy(
+                "user_id", F.expr("unix_micros(ts) div 86400000000")
+            ).orderBy("ts", "event_id")
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= 4)
+
+    def at(k: int):
+        return F.max(F.when(F.col("rn") == k, F.col("event_type")))
+
+    paths = seq.groupBy("user_id", "day").agg(
+        F.concat_ws(">", at(1), at(2), at(3), at(4)).alias("path")
+    )
+    c = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return c.orderBy(F.col("n_sessions").desc(), "path").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Funnel timing: time-to-convert distribution between funnel stages.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel_timing",
+    tags=("A1", "FN-datetime", "FN-math"),
+    oracle=f"""
+{_EV}
+, u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS t_purchase
+  FROM ev GROUP BY user_id
+),
+d AS (
+  SELECT (t_purchase - t_signup) // 1000000 AS delta_s
+  FROM u WHERE t_signup IS NOT NULL AND t_purchase > t_signup
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(delta_s) AS BIGINT) AS min_s,
+       quantile_cont(delta_s, 0.5) AS median_s,
+       quantile_cont(delta_s, 0.9) AS p90_s,
+       CAST(MAX(delta_s) AS BIGINT) AS max_s
+FROM d
+""",
+)
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every user who signed up and later
+    purchased, the signup→first-purchase latency distribution
+    (count/min/median/p90/max in whole seconds) — the companion to
+    q_funnel's conversion COUNTS that tells you how long the funnel
+    actually takes.
+
+    Scale rationale: stage timestamps come from one conditional-MIN
+    groupBy over events (partial-aggregable, single shuffle on
+    user_id — the q_funnel shape); deltas are integer µs differences
+    floored to seconds, and the exact interpolated percentiles run
+    over the CONVERTED-USER table.  At 100 TB swap the exact quantile
+    for the KLL sketch (q_kll_quantiles) with the same dataflow.
+    """
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("t_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("t_purchase"),
+    )
+    d = u.filter(
+        F.col("t_signup").isNotNull()
+        & (F.col("t_purchase") > F.col("t_signup"))
+    ).select(
+        F.expr("(t_purchase - t_signup) div 1000000").alias("delta_s")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("delta_s").alias("min_s"),
+        F.expr("percentile(delta_s, 0.5)").alias("median_s"),
+        F.expr("percentile(delta_s, 0.9)").alias("p90_s"),
+        F.max("delta_s").alias("max_s"),
+    )

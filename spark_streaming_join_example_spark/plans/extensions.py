@@ -743,3 +743,135 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_duplicates(d, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture reweighting: per-source sampling weights to a target mix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mixture_weights",
+    tags=("A1", "W3", "X5"),
+    oracle="""
+WITH c AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT source, n_docs, n_chars,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+  FROM c
+)
+SELECT source, n_docs, n_chars,
+       CAST(n_docs * 1000000 // total_docs AS BIGINT) AS actual_ppm,
+       CAST(1000000 // n_sources AS BIGINT) AS target_ppm,
+       CAST((1000000 // n_sources) * 1000000 //
+            (n_docs * 1000000 // total_docs) AS BIGINT) AS weight_ppm
+FROM t
+""",
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting: each source's actual share of the
+    corpus vs a uniform target mix, and the per-source sampling weight
+    (target/actual, in ppm) that a weighted sampler applies to hit the
+    target — the knob every LLM training-data pipeline turns (upsample
+    rare high-quality sources, downsample bulk crawl).
+
+    Scale rationale: one partial-aggregable groupBy to per-source
+    rollups, then window-over-aggregate arithmetic on the SOURCE table
+    (a handful of rows).  All shares/weights are chained BIGINT
+    floor-ppm divisions — engine- and partitioning-exact, and the
+    weight column feeds q_stratified_sample's fraction map directly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    t = c.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.sum("n_docs").over(Window.partitionBy()).alias("total_docs"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_sources"),
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.expr("CAST(n_docs * 1000000 div total_docs AS BIGINT)").alias(
+            "actual_ppm"
+        ),
+        F.expr("CAST(1000000 div n_sources AS BIGINT)").alias("target_ppm"),
+        F.expr(
+            "CAST((1000000 div n_sources) * 1000000 div "
+            "(n_docs * 1000000 div total_docs) AS BIGINT)"
+        ).alias("weight_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication diagnostics over exact-dup groups.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cross_source_dups",
+    tags=("X1", "A1"),
+    oracle="""
+WITH g AS (
+  SELECT md5(text) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         MIN(doc_id) AS keep_id
+  FROM documents GROUP BY md5(text)
+)
+SELECT CASE WHEN n_docs = 1 THEN 'unique'
+            WHEN n_sources = 1 THEN 'dup_within_source'
+            ELSE 'dup_cross_source' END AS dup_class,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_removable
+FROM g GROUP BY 1
+""",
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication provenance: bucket exact-duplicate groups (md5 of
+    text) into unique / duplicated-within-one-source /
+    duplicated-across-sources, with group, document, and removable-row
+    counts — the diagnostic that tells a dedup pipeline whether its
+    duplicates are mirror-crawl artifacts (cross-source) or
+    re-ingestion bugs (within-source), and how many rows dedup will
+    actually delete.
+
+    Scale rationale: the same hash-groupBy as q_exact_dedup_docs (the
+    hash collapses map-side, so the shuffle carries digests, not
+    text), followed by a 3-row classification aggregate.  COUNT
+    (DISTINCT source) inside the group is expand-based but bounded by
+    the sources-per-group cardinality (≤ |sources|).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("doc_id").alias("keep_id"),
+    )
+    return (
+        g.select(
+            F.when(F.col("n_docs") == 1, F.lit("unique"))
+            .when(F.col("n_sources") == 1, F.lit("dup_within_source"))
+            .otherwise(F.lit("dup_cross_source"))
+            .alias("dup_class"),
+            "n_docs",
+        )
+        .groupBy("dup_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_docs").alias("n_docs"),
+            (F.sum("n_docs") - F.count(F.lit(1))).alias("n_removable"),
+        )
+    )

@@ -564,3 +564,40 @@ def q_auc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "auc_hist_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means clustering summary (rows-only).
+# ---------------------------------------------------------------------------
+
+
+@register("q_kmeans_clusters", tags=("X3", "A1"))
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd's k-means (k=8, 3 iterations) over the
+    embeddings, summarized as per-cluster sizes and integer inertia —
+    the coarse-quantizer / segmentation primitive (the IVF index in
+    operators/similarity.py trains the same way, sample-based).
+
+    Rows-only lane: an iterative float-free clustering has no single-
+    statement SQL twin; determinism and semantics are pinned by
+    tests/test_operators.py instead — identical output under
+    repartitioning (the property float k-means cannot give) and
+    non-increasing inertia across iterations.
+
+    Scale rationale: documented on operators/clustering.py — per
+    iteration one broadcast-literal assignment pass (k·d ints in the
+    expression) and one partial-aggregable (cluster, dim) sum shuffle;
+    driver traffic is the k×d centroid table only.
+    """
+    from ..operators.clustering import kmeans_fixed_point
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = kmeans_fixed_point(e, k=8, iters=3)
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("dist2").alias("inertia_e12"),
+        )
+        .orderBy("cluster")
+    )

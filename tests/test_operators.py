@@ -212,3 +212,32 @@ def test_asof_forward_matches_pandas_merge_asof(spark):
             direction=direction,
         )[["lid", "rv"]].sort_values("lid").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_kmeans_fixed_point_partitioning_invariant(spark, sf_dir):
+    """Integer k-means must give IDENTICAL assignments under a forced
+    repartitioning (the reproducibility float k-means lacks), and
+    total inertia must not increase from 1 → 3 iterations."""
+    from spark_streaming_join_example_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+    from spark_streaming_join_example_spark.sources.batch import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a1 = {(r.vec_id, r.cluster) for r in kmeans_fixed_point(e, k=4, iters=2).collect()}
+    a2 = {
+        (r.vec_id, r.cluster)
+        for r in kmeans_fixed_point(e.repartition(13), k=4, iters=2).collect()
+    }
+    assert a1 == a2
+    i1 = (
+        kmeans_fixed_point(e, k=4, iters=1)
+        .agg({"dist2": "sum"})
+        .collect()[0][0]
+    )
+    i3 = (
+        kmeans_fixed_point(e, k=4, iters=3)
+        .agg({"dist2": "sum"})
+        .collect()[0][0]
+    )
+    assert i3 <= i1

@@ -325,3 +325,38 @@ def test_events_ts_encoding_sniff(spark, tmp_path):
     assert isinstance(a.schema["ts"].dataType, TimestampType)
     assert a.schema == b.schema
     assert collect_sorted(a) == collect_sorted(b)
+
+
+def test_observe_metrics_batch(spark, sf_dir):
+    """df.observe() must surface pipeline health metrics (row count,
+    null count, sum) as a side channel of a normal action — the
+    zero-cost instrumentation hook a production pipeline attaches to
+    every stage boundary (metrics ride the existing job; no second
+    scan)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from spark_streaming_join_example_spark.sources.batch import load_table
+
+    obs = Observation("health")
+    o = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias(
+            "null_prices"
+        ),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+    n = o.filter(F.col("o_totalprice") > 0).count()
+    m = obs.get
+    assert m["rows"] >= n > 0
+    assert m["null_prices"] == 0
+    # the observed exact-cents sum must equal the direct aggregate
+    direct = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert m["sum_cents"] == direct

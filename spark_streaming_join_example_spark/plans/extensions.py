@@ -875,3 +875,138 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_docs") - F.count(F.lit(1))).alias("n_removable"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring against a data-derived query.
+# ---------------------------------------------------------------------------
+
+_BM25_K1_E3 = 1200  # k1 = 1.2 in milli-units
+_BM25_B_E3 = 750    # b = 0.75 in milli-units
+
+
+@register(
+    "q_bm25_search",
+    tags=("X5", "A1", "J3", "O2"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+t AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM dl
+),
+df AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY tok
+),
+qterms AS (
+  SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3
+),
+tf AS (
+  SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM t JOIN qterms ON t.tok = qterms.tok
+  GROUP BY t.doc_id, t.tok
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln((CAST(stats.n_docs AS DOUBLE) - qterms.df + 0.5)
+              / (qterms.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1_E3} / 1000.0 + 1.0))
+           / (tf.tf + ({_BM25_K1_E3} / 1000.0)
+              * (1.0 - {_BM25_B_E3} / 1000.0
+                 + ({_BM25_B_E3} / 1000.0) * dl.dl
+                   * CAST(stats.n_docs AS DOUBLE) / stats.total_len))
+           * 1000000.0) AS BIGINT) AS s_e6
+  FROM tf
+  JOIN qterms ON tf.tok = qterms.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(s_e6) AS BIGINT) AS bm25_e6,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25_e6 DESC, doc_id LIMIT 20
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text relevance: score every document against a
+    3-term query (the corpus's highest-df tokens — data-derived, so
+    the query is self-contained) with the standard Okapi formula
+    (k1=1.2, b=0.75), returning the top-20 by score — the retrieval
+    primitive under every RAG pipeline and search endpoint.
+
+    Determinism: each (doc, term) partial score — idf · tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl)) — is computed from exact integers
+    (tf, df, dl, N, Σdl) in one double expression written identically
+    in both engines, then ROUNDED TO INTEGER MICRO-UNITS before the
+    per-doc sum, so the aggregate is associative and the top-20 order
+    (ties by doc_id) is engine- and partitioning-exact.
+
+    Scale rationale: term frequencies and doc lengths are the standard
+    explode+groupBy inverted-index build (partial-aggregable); the
+    3-row query-term table and the 1-row corpus stats broadcast into
+    the tf join; the ranking is TakeOrderedAndProject.  At 100 TB the
+    same dataflow IS the distributed index build — BM25 at query time
+    then reads the precomputed (term → postings) table instead of
+    rebuilding it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    df_t = t.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    qterms = df_t.orderBy(F.col("df").desc(), "tok").limit(3)
+    tf = (
+        t.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    k1 = _BM25_K1_E3 / 1000.0
+    b = _BM25_B_E3 / 1000.0
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * F.col("dl")
+                        * F.col("n_docs").cast("double")
+                        / F.col("total_len")
+                    )
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("s_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("s_e6").alias("bm25_e6"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25_e6").desc(), "doc_id")
+        .limit(20)
+    )

@@ -531,3 +531,23 @@ def test_global_rank_is_range_partitioned_not_single_sort(spark, sf_dir, qd):
     # big-side pipeline: Scan → Exchange rangepartitioning (node ids ascend
     # from the scan); assert the rangepartitioning exchange exists in detail
     assert p.count("rangepartitioning") >= 1
+
+
+def test_bm25_broadcasts_query_terms_and_stats(spark, sf_dir, qd):
+    # the 3-row query-term table and 1-row corpus stats must broadcast
+    # into the tf join (never shuffle the token stream against them),
+    # and the final top-20 must be a TakeOrderedAndProject
+    p = plan_of(qd["q_bm25_search"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_attribution_range_residual_inside_join(spark, sf_dir, qd):
+    # the 7-day window must ride the user_id equi-join as a residual
+    # condition (range predicate inside the join node), never a
+    # post-join filter over a wider cross product
+    p = plan_of(qd["q_attribution"](spark, sf_dir), mode="simple")
+    assert "Join" in p, p
+    # the range bounds appear attached to a join operator line
+    join_lines = [l for l in p.splitlines() if "Join" in l and "user_id" in l]
+    assert any("cts" in l or "ts" in l for l in join_lines), p

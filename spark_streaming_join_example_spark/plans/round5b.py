@@ -1337,3 +1337,198 @@ def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(delta_s, 0.9)").alias("p90_s"),
         F.max("delta_s").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected / churned per week.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_growth_accounting",
+    tags=("W2", "A1", "FN-datetime"),
+    oracle=f"""
+{_EV}
+, wk AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM ev
+),
+lagged AS (
+  SELECT user_id, week,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+         min(week) OVER (PARTITION BY user_id) AS first_week
+  FROM wk
+),
+labeled AS (
+  SELECT week,
+         CASE WHEN week = first_week THEN 'new'
+              WHEN prev_week = week - 1 THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM lagged
+),
+active AS (
+  SELECT week, status, CAST(COUNT(*) AS BIGINT) AS n
+  FROM labeled GROUP BY week, status
+),
+churn AS (
+  SELECT week + 1 AS week, 'churned' AS status,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT user_id, week,
+           lead(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt,
+           max(week) OVER () AS last_week
+    FROM wk
+  )
+  WHERE (nxt IS NULL OR nxt > week + 1) AND week < last_week
+  GROUP BY week + 1
+)
+SELECT CAST(week AS BIGINT) AS week, status, n FROM active
+UNION ALL
+SELECT CAST(week AS BIGINT) AS week, status, n FROM churn
+""",
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user-week labeled new
+    (first week ever), retained (active previous week), or resurrected
+    (returning after a gap), plus the churned count (active in week w,
+    absent in w+1) — the standard DAU/WAU decomposition every growth
+    team reports.
+
+    Scale rationale: distinct user-weeks collapse map-side; one window
+    pass per user partition labels transitions (lag/lead/min share ONE
+    windowspec sort); weekly rollups are partial-aggregable over
+    user-week cardinality.  Weeks are pure integer µs-epoch divisions
+    — engine-exact.  The `max(week) OVER ()` guard keeps the final
+    (right-censored) week out of churn, matching the oracle exactly.
+    """
+    e = _t(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    wu = Window.partitionBy("user_id")
+    lagged = wk.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.min("week").over(wu).alias("first_week"),
+    )
+    labeled = lagged.select(
+        "week",
+        F.when(F.col("week") == F.col("first_week"), F.lit("new"))
+        .when(F.col("prev_week") == F.col("week") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+    )
+    active = labeled.groupBy("week", "status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    churn_base = wk.select(
+        "user_id",
+        "week",
+        F.lead("week").over(w).alias("nxt"),
+        F.max("week").over(Window.partitionBy()).alias("last_week"),
+    )
+    churn = (
+        churn_base.filter(
+            (F.col("nxt").isNull() | (F.col("nxt") > F.col("week") + 1))
+            & (F.col("week") < F.col("last_week"))
+        )
+        .groupBy((F.col("week") + 1).alias("week"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("week", F.lit("churned").alias("status"), "n")
+    )
+    return active.select("week", "status", "n").unionAll(churn)
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV: cumulative revenue per signup cohort by cohort age.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cohort_ltv",
+    tags=("W3", "A1", "FN-datetime"),
+    oracle=f"""
+{_EV}
+, p AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+  FROM ev WHERE event_type = 'purchase'
+),
+cohorted AS (
+  SELECT user_id, week, v,
+         min(week) OVER (PARTITION BY user_id) AS cohort
+  FROM p
+),
+wk AS (
+  SELECT cohort, week - cohort AS age,
+         CAST(SUM(v) AS BIGINT) AS rev_e6,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+  FROM cohorted GROUP BY cohort, week - cohort
+),
+sized AS (
+  SELECT cohort, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+  FROM cohorted GROUP BY cohort
+)
+SELECT CAST(wk.cohort AS BIGINT) AS cohort,
+       CAST(wk.age AS BIGINT) AS age,
+       wk.active_users,
+       CAST(SUM(wk.rev_e6) OVER (PARTITION BY wk.cohort ORDER BY wk.age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_rev_e6,
+       CAST(SUM(wk.rev_e6) OVER (PARTITION BY wk.cohort ORDER BY wk.age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            // sized.cohort_size AS BIGINT) AS ltv_per_user_e6
+FROM wk JOIN sized ON wk.cohort = sized.cohort
+""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users grouped by first-purchase week, then
+    each cohort's cumulative revenue by cohort age (weeks since
+    cohort) and per-user LTV — the payback-period table every
+    subscription/commerce business lives by.
+
+    Scale rationale: cohort assignment is a per-user window MIN (one
+    user-key shuffle); the age rollup is partial-aggregable; the
+    cumulative window runs over cohort×age cardinality (tiny), and
+    cohort sizes broadcast back.  Revenue is exact micro-unit BIGINT
+    end to end; LTV is one floor division per output row.
+    """
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("week"),
+        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v"),
+    )
+    cohorted = p.select(
+        "user_id",
+        "week",
+        "v",
+        F.min("week").over(Window.partitionBy("user_id")).alias("cohort"),
+    )
+    wk = cohorted.groupBy(
+        "cohort", (F.col("week") - F.col("cohort")).alias("age")
+    ).agg(
+        F.sum("v").alias("rev_e6"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    sized = cohorted.groupBy("cohort").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = wk.join(F.broadcast(sized), "cohort")
+    return j.select(
+        "cohort",
+        "age",
+        "active_users",
+        F.sum("rev_e6").over(wcum).alias("cum_rev_e6"),
+        F.expr(
+            "CAST(SUM(rev_e6) OVER (PARTITION BY cohort ORDER BY age "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "div cohort_size AS BIGINT)"
+        ).alias("ltv_per_user_e6"),
+    )

@@ -1010,3 +1010,69 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_e6").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifier combinations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_kanonymity",
+    tags=("A1", "P5", "X5"),
+    oracle="""
+WITH qi AS (
+  SELECT n_name,
+         c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS grp_size
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_mktsegment
+),
+audit AS (
+  SELECT CASE WHEN grp_size >= 10 THEN 'k10_safe'
+              WHEN grp_size >= 5 THEN 'k5_only'
+              ELSE 'unsafe' END AS k_band,
+         grp_size
+  FROM qi
+)
+SELECT k_band,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(grp_size) AS BIGINT) AS n_rows,
+       CAST(MIN(grp_size) AS BIGINT) AS min_group,
+       CAST(MAX(grp_size) AS BIGINT) AS max_group
+FROM audit GROUP BY k_band
+""",
+)
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: bucket every quasi-identifier combination
+    (nation × market segment) by its equivalence-class size — rows in
+    classes smaller than k are re-identifiable and must be generalized
+    or suppressed before a dataset ships (the release gate privacy
+    reviews run on training data and analytics extracts alike).
+
+    Scale rationale: the audit is ONE partial-aggregable groupBy over
+    the quasi-identifier tuple (map-side combine collapses each class
+    to a count) plus a 3-row band rollup; the dimension join
+    broadcasts.  At 100 TB the class-size histogram is exactly this
+    dataflow, and the k-threshold sweep reuses the same aggregate.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    qi = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("grp_size"))
+    )
+    audit = qi.select(
+        F.when(F.col("grp_size") >= 10, F.lit("k10_safe"))
+        .when(F.col("grp_size") >= 5, F.lit("k5_only"))
+        .otherwise(F.lit("unsafe"))
+        .alias("k_band"),
+        "grp_size",
+    )
+    return audit.groupBy("k_band").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("grp_size").alias("n_rows"),
+        F.min("grp_size").alias("min_group"),
+        F.max("grp_size").alias("max_group"),
+    )

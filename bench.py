@@ -67,10 +67,13 @@ def main() -> None:
 
     def fetch(df):
         # full driver materialization over the Arrow path (see module
-        # docstring); collect() fallback for very old PySpark
-        try:
+        # docstring); collect() fallback only when the method is truly
+        # absent (old PySpark) — a try/except would silently eat
+        # AttributeErrors raised INSIDE toArrow and fall back to the
+        # bridge-dominated path with no signal
+        if hasattr(df, "toArrow"):
             df.toArrow()
-        except AttributeError:
+        else:
             df.collect()
 
     for df in dfs.values():

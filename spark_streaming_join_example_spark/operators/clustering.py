@@ -60,6 +60,11 @@ def kmeans_fixed_point(
 
     # ---- deterministic init: k smallest ids (no RNG, plan = top-k) ----
     init = q.orderBy("_id").limit(k).collect()
+    if len(init) < k:
+        q.unpersist()
+        raise ValueError(
+            f"kmeans_fixed_point: need at least k={k} vectors, got {len(init)}"
+        )
     centroids = [list(r.qv) for r in init]  # k × d ints
 
     def assign(df: DataFrame, cents: list[list[int]]) -> DataFrame:

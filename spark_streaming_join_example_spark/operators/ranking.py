@@ -44,6 +44,13 @@ def global_row_number(
     partition count: range partitioning only moves WHERE local ranking
     happens; offsets restore the global positions exactly.
     """
+    reserved = {"_pid", "_local_rn", "_offset"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_row_number: input columns {sorted(clash)} collide with "
+            "internal names — rename them first"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"

@@ -3,7 +3,7 @@ reference-engine user runs daily — multi-touch attribution, Welch A/B
 test, item-item collaborative filtering, robust (MAD) outlier stats,
 time-weighted averages, OHLC bars — plus the k-core graph operator
 (rows-only; peel fixpoint is property-tested against a Python model in
-tests/test_graph_ops.py).
+tests/test_properties.py).
 
 Determinism doctrine (unchanged): integer micro/milli-unit arithmetic
 across every shuffle boundary, explicit tie-breaks on every argmax /
@@ -563,7 +563,8 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only lane: the peel loop (operators/graph.py:kcore) is not
     SQL-expressible in one DuckDB statement (the induced-subgraph
     recursion is not monotone, so WITH RECURSIVE can't carry it);
-    correctness is pinned instead by tests/test_graph_ops.py, which
+    correctness is pinned instead by
+    tests/test_properties.py::test_kcore_matches_model, which
     checks the operator's fixpoint against a brute-force Python peel
     on randomized graphs plus invariants (every returned degree ≥ k,
     result unchanged under repartitioning).
@@ -574,7 +575,14 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import kcore
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # dedupe (order, part) BEFORE the self-join (same baskets-distinct
+    # discipline as q_collab_filter): repeated parts within an order
+    # would otherwise multiply the join fan-out quadratically
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.toDF("ok", "u")
     b = li.toDF("ok", "v")
     edges = (

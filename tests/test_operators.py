@@ -241,3 +241,26 @@ def test_kmeans_fixed_point_partitioning_invariant(spark, sf_dir):
         .collect()[0][0]
     )
     assert i3 <= i1
+
+
+def test_kmeans_rejects_fewer_than_k_vectors(spark, sf_dir):
+    from spark_streaming_join_example_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+    from spark_streaming_join_example_spark.sources.batch import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(3)
+    with pytest.raises(ValueError, match="need at least k=8"):
+        kmeans_fixed_point(e, k=8, iters=1)
+
+
+def test_global_row_number_rejects_reserved_columns(spark):
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    df = spark.range(5).select(F.col("id"), F.lit(0).alias("_pid"))
+    with pytest.raises(ValueError, match="_pid"):
+        global_row_number(df, [F.col("id")])

@@ -524,13 +524,19 @@ def test_global_rank_is_range_partitioned_not_single_sort(spark, sf_dir, qd):
     assert "rangepartitioning" in p, p
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
     # the only SinglePartition exchange allowed is the one under the
-    # partition-count-sized offsets aggregate, never under the orders scan:
-    # walk the tree text — the orders parquet scan section must not be
-    # below an Exchange SinglePartition
-    tree = p.split("(1) Scan")[0]
-    # big-side pipeline: Scan → Exchange rangepartitioning (node ids ascend
-    # from the scan); assert the rangepartitioning exchange exists in detail
-    assert p.count("rangepartitioning") >= 1
+    # partition-count-sized offsets aggregate (its Input is the tiny
+    # [_pid, _n] counts table) — NEVER one carrying the data payload.
+    # formatted mode prints each Exchange as a detail block whose
+    # "Input [...]" line precedes the "Arguments: SinglePartition" line.
+    for block in p.split("\n\n"):
+        if "SinglePartition" not in block:
+            continue
+        input_lines = [l for l in block.splitlines() if l.startswith("Input")]
+        assert input_lines, block
+        assert all("_n#" in l and "o_totalprice" not in l for l in input_lines), (
+            "SinglePartition exchange carries data payload, not the "
+            "offsets table:\n" + block
+        )
 
 
 def test_bm25_broadcasts_query_terms_and_stats(spark, sf_dir, qd):

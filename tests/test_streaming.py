@@ -1285,3 +1285,51 @@ def test_windowed_approx_distinct_equivalence(spark, sf_dir, replay_dir, tmp_pat
     out_rows = collect_sorted(out)
     assert len(out_rows) > 0
     assert out_rows == collect_sorted(finalized)
+
+
+def test_streaming_query_listener_captures_progress(spark, sf_dir, replay_dir, tmp_path):
+    """A StreamingQueryListener must receive start/progress/terminate
+    callbacks with per-batch row counts — the observability hook a
+    production pipeline uses for lag/throughput dashboards (the
+    streaming counterpart of the batch Observation test in
+    test_sources.py)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"started": 0, "progress_rows": 0, "terminated": 0}
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress_rows"] += e.progress.numInputRows
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"] += 1
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    try:
+        stream = read_event_stream(spark, replay_dir)
+        out = run_to_memory(
+            jobs.tumbling_counts(stream), str(tmp_path / "ckpt"), "append"
+        )
+        assert len(collect_sorted(out)) > 0
+        # listener callbacks are delivered asynchronously on the
+        # listener bus — poll briefly for the terminate event
+        import time as _time
+
+        for _ in range(40):
+            if events["terminated"] >= 1 and events["progress_rows"] > 0:
+                break
+            _time.sleep(0.25)
+        assert events["started"] >= 1
+        assert events["terminated"] >= 1
+        # every fixture event passed through the stream exactly once
+        n_events = _batch_events(spark, sf_dir).count()
+        assert events["progress_rows"] == n_events
+    finally:
+        spark.streams.removeListener(listener)

@@ -9,18 +9,10 @@ the full registry there under the test session's different
 master/shuffle settings, so it doubles as a partitioning-independence
 check on the counts.
 
-Regenerate the fixture after intentionally changing a query's output:
-
-    python3 - <<'PY'
-    import json
-    from spark_streaming_join_example_spark import get_spark
-    from spark_streaming_join_example_spark.plans.registry import queries_dict
-    spark = get_spark("rowcounts", master="local[16]", shuffle_partitions=16)
-    counts = {n: fn(spark, "/root/testdata/sf0.01").count()
-              for n, fn in sorted(queries_dict().items())}
-    json.dump(counts, open("tests/data/expected_rowcounts_sf0.01.json", "w"),
-              indent=0, sort_keys=True)
-    PY
+Maintain the fixture with tools/update_rowcounts.py: bare invocation
+appends pins for newly registered queries (existing pins untouched, so
+a semantic change still fails here); `--rebuild` recounts everything
+after an intentional output change.
 """
 
 import json

@@ -1540,3 +1540,133 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div cohort_size AS BIGINT)"
         ).alias("ltv_per_user_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geospatial nearest neighbor (haversine over synthetic coordinates).
+# ---------------------------------------------------------------------------
+
+#: Synthetic but deterministic geo grid: both engines derive identical
+#: micro-degree coordinates from the integer keys, so the float
+#: haversine inputs are bit-identical.
+_GEO_CUST = """
+  SELECT c_custkey,
+         CAST((c_custkey * 7919) % 160000000 - 80000000 AS BIGINT) AS lat_e6,
+         CAST((c_custkey * 104729) % 360000000 - 180000000 AS BIGINT) AS lon_e6
+  FROM customer
+"""
+_GEO_SUPP = """
+  SELECT s_suppkey,
+         CAST((s_suppkey * 7919) % 160000000 - 80000000 AS BIGINT) AS lat_e6,
+         CAST((s_suppkey * 104729) % 360000000 - 180000000 AS BIGINT) AS lon_e6
+  FROM supplier
+"""
+
+
+@register(
+    "q_geo_nearest",
+    tags=("J6", "W1", "FN-math"),
+    oracle=f"""
+WITH c AS ({_GEO_CUST}),
+s AS ({_GEO_SUPP}),
+pairs AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         2.0 * 6371000.0 * asin(sqrt(
+           pow(sin(radians((s.lat_e6 - c.lat_e6) / 1000000.0) / 2.0), 2)
+           + cos(radians(c.lat_e6 / 1000000.0))
+             * cos(radians(s.lat_e6 / 1000000.0))
+             * pow(sin(radians((s.lon_e6 - c.lon_e6) / 1000000.0) / 2.0), 2)
+         )) AS dist_m
+  FROM c, s
+),
+ranked AS (
+  SELECT c_custkey, s_suppkey, dist_m,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY dist_m, s_suppkey) AS rn
+  FROM pairs
+)
+SELECT c_custkey, s_suppkey AS nearest_supp,
+       CAST(ROUND(dist_m) AS BIGINT) AS dist_m
+FROM ranked WHERE rn = 1 AND c_custkey <= 300
+""",
+)
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial nearest neighbor: each customer's closest supplier
+    by great-circle (haversine) distance over deterministic synthetic
+    coordinates — the store-assignment / nearest-warehouse primitive.
+
+    Determinism: coordinates are integer micro-degrees derived from
+    the keys with the same modular arithmetic in both engines, the
+    haversine chain is written term-for-term identically (sin/cos/
+    asin/sqrt on bit-identical doubles), distance rounds to whole
+    meters only in the output, and the argmin carries a supplier-key
+    tie-break.
+
+    Scale rationale: the supplier side (dimension-sized) broadcasts
+    into a bounded cross product; the per-customer argmin is a
+    group-limit window.  At planetary fact scale you first bucket both
+    sides into geohash/Z-order cells (the q_zorder_stats layout) and
+    join only neighboring cells — same argmin tail, candidate set
+    bounded by cell occupancy instead of |suppliers|.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "CAST((c_custkey * 7919) % 160000000 - 80000000 AS BIGINT)"
+        ).alias("lat_e6"),
+        F.expr(
+            "CAST((c_custkey * 104729) % 360000000 - 180000000 AS BIGINT)"
+        ).alias("lon_e6"),
+    ).filter(F.col("c_custkey") <= 300)
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(
+            "CAST((s_suppkey * 7919) % 160000000 - 80000000 AS BIGINT)"
+        ).alias("s_lat_e6"),
+        F.expr(
+            "CAST((s_suppkey * 104729) % 360000000 - 180000000 AS BIGINT)"
+        ).alias("s_lon_e6"),
+    )
+    pairs = c.crossJoin(F.broadcast(s)).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            F.lit(2.0 * 6371000.0)
+            * F.asin(
+                F.sqrt(
+                    F.pow(
+                        F.sin(
+                            F.radians(
+                                (F.col("s_lat_e6") - F.col("lat_e6"))
+                                / F.lit(1_000_000.0)
+                            )
+                            / F.lit(2.0)
+                        ),
+                        F.lit(2.0),
+                    )
+                    + F.cos(F.radians(F.col("lat_e6") / F.lit(1_000_000.0)))
+                    * F.cos(F.radians(F.col("s_lat_e6") / F.lit(1_000_000.0)))
+                    * F.pow(
+                        F.sin(
+                            F.radians(
+                                (F.col("s_lon_e6") - F.col("lon_e6"))
+                                / F.lit(1_000_000.0)
+                            )
+                            / F.lit(2.0)
+                        ),
+                        F.lit(2.0),
+                    )
+                )
+            )
+        ).alias("dist_m"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_m", "s_suppkey")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_supp"),
+            F.round("dist_m").cast("long").alias("dist_m"),
+        )
+    )

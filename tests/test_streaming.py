@@ -1333,3 +1333,48 @@ def test_streaming_query_listener_captures_progress(spark, sf_dir, replay_dir, t
         assert events["progress_rows"] == n_events
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_dynamic_gap_session_window(spark, sf_dir, replay_dir, tmp_path):
+    """A7 variant: session_window with a DYNAMIC per-row gap (purchase
+    events hold sessions open 10 minutes, others 5) — the
+    per-event-class session semantics Spark supports via a gap
+    EXPRESSION; streaming replay must equal the batch twin on
+    watermark-finalized sessions."""
+    gap = F.when(F.col("event_type") == "purchase", F.lit("10 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+
+    def job(ev):
+        return (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(job(stream), str(tmp_path / "ckpt"), "append")
+    be = _batch_events(spark, sf_dir)
+    full = (
+        be.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    max_ts = be.agg(F.max("ts")).collect()[0][0]
+    finalized = full.filter(
+        F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+    out_rows = collect_sorted(out)
+    assert len(out_rows) > 0
+    assert out_rows == collect_sorted(finalized)

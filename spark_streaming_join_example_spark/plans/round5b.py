@@ -1670,3 +1670,101 @@ def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist_m").cast("long").alias("dist_m"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules: support / confidence / lift over 2-itemsets.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_association_rules",
+    tags=("J4", "A1", "O2"),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM baskets),
+di AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS d FROM baskets GROUP BY item
+),
+co AS (
+  SELECT a.item AS ante, b.item AS cons, CAST(COUNT(*) AS BIGINT) AS co
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item <> b.item
+  GROUP BY a.item, b.item
+),
+rules AS (
+  SELECT co.ante, co.cons, co.co,
+         CAST(co.co * 1000000 // n.n_baskets AS BIGINT) AS support_ppm,
+         CAST(co.co * 1000000 // da.d AS BIGINT) AS confidence_ppm,
+         CAST(co.co * n.n_baskets * 1000000 // (da.d * dc.d) AS BIGINT)
+           AS lift_ppm
+  FROM co
+  JOIN di da ON co.ante = da.item
+  JOIN di dc ON co.cons = dc.item
+  CROSS JOIN n
+)
+SELECT ante, cons, co, support_ppm, confidence_ppm, lift_ppm
+FROM rules WHERE co >= 3 AND lift_ppm > 1000000
+ORDER BY lift_ppm DESC, confidence_ppm DESC, ante, cons
+LIMIT 25
+""",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased part pairs:
+    support (P(ante∧cons)), confidence (P(cons|ante)), and lift
+    (observed/expected co-occurrence) in integer ppm, keeping the 25
+    strongest positive-lift rules with ≥3 supporting baskets — the
+    Apriori 2-itemset core behind "frequently bought together".
+
+    Scale rationale: same basket self-join skeleton as q_collab_filter
+    (cost bounded by the largest basket — cap mega-baskets at real
+    scale); item frequencies and the 1-row basket count broadcast onto
+    the pair list; thresholds prune BEFORE the global top-25
+    TakeOrderedAndProject.  All three metrics are chained BIGINT
+    floor-ppm divisions — no float crosses the gate, and the rule
+    ordering carries a full (lift, confidence, ante, cons) tie-break.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n = baskets.agg(F.countDistinct("ok").alias("n_baskets"))
+    di = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("d"))
+    a = baskets.toDF("ok", "ante")
+    b = baskets.toDF("ok", "cons")
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    rules = (
+        co.join(F.broadcast(di.toDF("ante", "d_a")), "ante")
+        .join(F.broadcast(di.toDF("cons", "d_c")), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "co",
+            F.expr("CAST(co * 1000000 div n_baskets AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST(co * 1000000 div d_a AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(co * n_baskets * 1000000 div (d_a * d_c) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return (
+        rules.filter((F.col("co") >= 3) & (F.col("lift_ppm") > 1_000_000))
+        .orderBy(
+            F.col("lift_ppm").desc(),
+            F.col("confidence_ppm").desc(),
+            "ante",
+            "cons",
+        )
+        .limit(25)
+    )

@@ -1768,3 +1768,73 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap: Jaccard between event-type user sets.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_audience_overlap",
+    tags=("A2", "J4", "FN-math"),
+    oracle=f"""
+{_EV}
+, s AS (SELECT DISTINCT event_type, user_id FROM ev),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT inter.et_a, inter.et_b, inter.n_both,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST(inter.n_both * 1000000 // (sa.n + sb.n - inter.n_both) AS BIGINT)
+         AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON inter.et_a = sa.event_type
+JOIN sizes sb ON inter.et_b = sb.event_type
+""",
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, how
+    many users do both and the Jaccard similarity of the two user
+    sets in integer ppm — the segment-overlap diagnostic behind
+    campaign targeting and cannibalization analysis.
+
+    Scale rationale: the distinct (type, user) set collapses map-side;
+    the intersection is a self-join on user_id (each user contributes
+    |their types|² pairs — bounded by the type cardinality, so no
+    blow-up) and the union size falls out of |A|+|B|−|A∩B| with the
+    tiny per-type size table broadcast.  At billions of users swap the
+    exact intersection for the theta-sketch set ops already shipped
+    (q_theta_setops) with this same output contract.
+    """
+    e = _t(spark, sf_dir, "events")
+    s = e.select("event_type", "user_id").distinct()
+    sizes = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = s.toDF("et_a", "user_id")
+    b = s.toDF("et_b", "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.toDF("et_a", "n_a")), "et_a")
+        .join(F.broadcast(sizes.toDF("et_b", "n_b")), "et_b")
+        .select(
+            "et_a",
+            "et_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(n_both * 1000000 div (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

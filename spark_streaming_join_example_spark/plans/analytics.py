@@ -1042,11 +1042,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are orientation-independent, so the (id-oriented) oracle
     still matches bit-for-bit.
 
-    Both wedge joins stay equi-joins keyed on one vertex (the (deg,id)
-    ordering is a post-join filter, not a join key change); the degree
-    side is node-cardinality and broadcast.  The oriented edge list is
-    persisted — it feeds three join sides — and the sweep/test drivers
-    clear the cache between queries (tools/verify_local.py).
+    Both wedge joins stay equi-joins keyed on one column: the wedge
+    join co-partitions the cached edge list on the apex, and the
+    closure is a left-semi on a packed y·2³²+z key (see inline notes —
+    this replaced round-4's edge-list broadcasts, which were an
+    edge-cardinality driver shortcut AND 2.2× slower at sf0.1).  Only
+    the node-cardinality degree table broadcasts.  The oriented edge
+    list is persisted — it feeds three join sides — and the sweep/test
+    drivers clear the cache between queries (tools/verify_local.py).
     """
     li = (
         _t(spark, sf_dir, "lineitem")
@@ -1087,22 +1090,30 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("x"), F.col("dst").alias("y"), F.col("ddeg").alias("ydeg")
     )
     e2 = e.select(
-        F.col("src").alias("x2"), F.col("dst").alias("z"), F.col("ddeg").alias("zdeg")
+        F.col("src").alias("x"), F.col("dst").alias("z"), F.col("ddeg").alias("zdeg")
     )
-    e3 = e.select(F.col("src").alias("y3"), F.col("dst").alias("z3"))
-    wedge = e1.join(
-        F.broadcast(e2),
-        (F.col("x") == F.col("x2"))
-        & (
-            (F.col("ydeg") < F.col("zdeg"))
-            | ((F.col("ydeg") == F.col("zdeg")) & (F.col("y") < F.col("z")))
-        ),
+    # Wedge enumeration as a CO-PARTITIONED shuffle join on the apex
+    # (both sides are the same cached edge list keyed on src) — NOT a
+    # broadcast of the edge-cardinality relation, which works on one
+    # node but is exactly what cannot ship to 1000 executors.  The
+    # (deg, id) ordering stays a post-join filter.
+    wedge = e1.join(e2, "x").filter(
+        (F.col("ydeg") < F.col("zdeg"))
+        | ((F.col("ydeg") == F.col("zdeg")) & (F.col("y") < F.col("z")))
     )
-    tri = wedge.join(
-        F.broadcast(e3),
-        (F.col("y") == F.col("y3")) & (F.col("z") == F.col("z3")),
-        "left_semi",
-    ).select("x", "y", "z")
+    # Close wedges with a semi-join on a SINGLE packed key: (y,z) →
+    # y·2³² + z.  One 8-byte join column instead of two halves the
+    # shuffle key width and hashes once; measured 8.1 s → 3.6 s at
+    # sf0.1 together with the shuffle wedge join.  Envelope: part keys
+    # < 2³¹ (true by fixture construction and any practical part
+    # dictionary; repack to (y, z) two-column join past that).
+    pack = F.lit(4294967296)  # 2^32
+    ekey = e.select((F.col("src") * pack + F.col("dst")).alias("yz"))
+    tri = (
+        wedge.select("x", "y", "z", (F.col("y") * pack + F.col("z")).alias("yz"))
+        .join(ekey, "yz", "left_semi")
+        .select("x", "y", "z")
+    )
     # One pass over the triangle stream: explode the three corners
     # instead of a 3-way unionAll, which would re-run the wedge-close
     # joins once per branch (exchange reuse does not cover the

@@ -1430,12 +1430,17 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = labeled.groupBy("week", "status").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # last_week as a broadcast 1-row aggregate, NOT max() OVER () —
+    # the empty-partition window would funnel the full user-week
+    # relation through one task (the same liability class as the
+    # round-4 triangle broadcasts; every other OVER () in this repo
+    # runs over already-aggregated tiny tables)
+    last = wk.agg(F.max("week").alias("last_week"))
     churn_base = wk.select(
         "user_id",
         "week",
         F.lead("week").over(w).alias("nxt"),
-        F.max("week").over(Window.partitionBy()).alias("last_week"),
-    )
+    ).crossJoin(F.broadcast(last))
     churn = (
         churn_base.filter(
             (F.col("nxt").isNull() | (F.col("nxt") > F.col("week") + 1))

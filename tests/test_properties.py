@@ -390,3 +390,36 @@ def test_global_row_number_matches_single_sort(spark, vals):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    starts=st.lists(st.integers(0, 50), min_size=1, max_size=30),
+    dur=st.integers(1, 10),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sweep_line_max_concurrency_matches_model(spark, starts, dur):
+    """The +1/−1 sweep (q_max_concurrency's kernel) vs brute force:
+    for half-open intervals [s, s+dur), the running-sum maximum must
+    equal max over time of |{i : s_i ≤ t < s_i+dur}|, including
+    stacked identical timestamps and touching endpoints."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(s,) for s in starts], "s long").repartition(3)
+    iv = df.select("s", (F.col("s") + dur).alias("e"))
+    d = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    net = d.groupBy("t").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = (
+        net.select(F.sum("net").over(w).alias("conc"))
+        .agg(F.max("conc"))
+        .collect()[0][0]
+    )
+    want = max(
+        sum(1 for s in starts if s <= t < s + dur)
+        for t in range(0, max(starts) + dur + 1)
+    )
+    assert got == want

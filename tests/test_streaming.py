@@ -1378,3 +1378,56 @@ def test_dynamic_gap_session_window(spark, sf_dir, replay_dir, tmp_path):
     out_rows = collect_sorted(out)
     assert len(out_rows) > 0
     assert out_rows == collect_sorted(finalized)
+
+
+def test_chained_stateful_join_then_window_agg(spark, sf_dir, replay_dir, tmp_path):
+    """TWO stateful operators in ONE streaming query (Spark ≥3.4
+    multiple-stateful-operator support): stream-stream join
+    (click→purchase within 4 h) feeding a tumbling windowed count of
+    conversions per hour — the end-to-end attribution-rate pipeline as
+    a single exactly-once query; replay must equal the batch twin on
+    watermark-finalized windows."""
+    stream = read_event_stream(spark, replay_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    buys = stream.filter(F.col("event_type") == "purchase")
+    joined = jobs.stream_stream_join(clicks, buys, horizon_minutes=240)
+    # no second withWatermark: the join's input watermarks PROPAGATE
+    # through the stateful-operator chain (redefining one is an
+    # AnalysisException in Spark 4's multi-stateful pipeline)
+    agg = (
+        joined.groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .select(F.col("w.start").alias("window_start"), "n_conversions")
+    )
+    out = run_to_memory(agg, str(tmp_path / "ckpt"), "append")
+
+    be = _batch_events(spark, sf_dir)
+    c = be.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = be.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 240 MINUTES"))
+    )
+    full = (
+        c.join(p, cond)
+        .groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .select(F.col("w.start").alias("window_start"), "n_conversions")
+    )
+    max_ts = be.agg(F.max("ts")).collect()[0][0]
+    finalized = full.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+    out_rows = collect_sorted(out)
+    assert len(out_rows) > 0
+    assert out_rows == collect_sorted(finalized)

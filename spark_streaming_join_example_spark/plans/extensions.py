@@ -1076,3 +1076,61 @@ def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("grp_size").alias("min_group"),
         F.max("grp_size").alias("max_group"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-addressed train/valid/test split (deterministic, portable).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_content_split",
+    tags=("A1", "P5", "X5", "FN-string"),
+    oracle="""
+WITH h AS (
+  SELECT source,
+         ('0x' || substr(md5(text), 1, 6))::BIGINT % 100 AS bucket
+  FROM documents
+),
+tagged AS (
+  SELECT source,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM h
+)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n
+FROM tagged GROUP BY source, split
+""",
+)
+def q_content_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 80/10/10 split: the split bucket is a pure
+    function of md5(text) — NOT a seeded RNG — so (a) any engine, any
+    language, any re-run assigns the identical split (this oracle
+    proves it cross-engine, unlike the rand(seed)-based
+    q_train_test_split which is rows-only by necessity), and (b)
+    byte-identical duplicate documents land in the SAME split, closing
+    the classic train/test leakage hole that row-position or RNG
+    splits leave open.  Reported as per-source split counts.
+
+    Scale rationale: one hash + modulo per row (zero-shuffle map) and
+    a partial-aggregable rollup; the split column travels with the row
+    into downstream joins — no forked scans, no sampling pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        (
+            F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("long") % 100
+        ).alias("bucket"),
+    )
+    tagged = h.select(
+        "source",
+        F.when(F.col("bucket") < 80, F.lit("train"))
+        .when(F.col("bucket") < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return tagged.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -72,3 +72,40 @@ def test_no_row_udf_outside_f1_surface():
                 if name == "udf":
                     offenders.append(f"{rel}:{node.lineno}")
     assert not offenders, f"row-at-a-time udf outside F1 surface: {offenders}"
+
+
+def test_no_collect_in_query_definitions():
+    """Registered queries must return LAZY DataFrames — the driver
+    collects.  A .collect()/.toPandas() inside plans/ would hide a
+    driver-side materialization from every plan audit.  Bounded
+    coordination collects live only in the sanctioned operator files
+    (graph/clustering/similarity loops, each documented at the site).
+    """
+    allowed = {"registry.py"}  # no data modules are exempt
+    offenders = []
+    for path in sorted((PKG / "plans").glob("*.py")):
+        if path.name in allowed:
+            continue
+        src = path.read_text()
+        for pat in (".collect()", ".toPandas()", ".toLocalIterator()"):
+            if pat in src:
+                offenders.append(f"{path.name}: {pat}")
+    assert not offenders, offenders
+
+
+def test_no_edge_cardinality_broadcast_markers():
+    """Broadcasting a relation whose size scales with the DATA (edge
+    lists, pair lists, fact tables) is the single-node shortcut that
+    round 5 removed from triangle counting.  Guard the known names:
+    any new `F.broadcast(<edges/pairs/fact>)` in plans/ or operators/
+    must come with an explicit `# bounded:` comment on the same line
+    explaining why its cardinality is bounded."""
+    import re
+
+    offenders = []
+    pat = re.compile(r"F\.broadcast\((e\d?|edges|pairs|wedge|tri|baskets|co)\b")
+    for path in sorted(list((PKG / "plans").glob("*.py")) + list((PKG / "operators").glob("*.py"))):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if pat.search(line) and "# bounded:" not in line:
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, offenders

@@ -1380,7 +1380,7 @@ def test_dynamic_gap_session_window(spark, sf_dir, replay_dir, tmp_path):
     assert out_rows == collect_sorted(finalized)
 
 
-def test_chained_stateful_join_then_window_agg(spark, sf_dir, replay_dir, tmp_path):
+def test_chained_join_window_agg_exact_finalized(spark, sf_dir, replay_dir, tmp_path):
     """TWO stateful operators in ONE streaming query (Spark ≥3.4
     multiple-stateful-operator support): stream-stream join
     (click→purchase within 4 h) feeding a tumbling windowed count of

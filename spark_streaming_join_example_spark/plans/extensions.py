@@ -1134,3 +1134,158 @@ def q_content_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("source", "split").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted downsampling to a target mixture.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_weighted_sample",
+    tags=("A1", "P5", "X5"),
+    oracle="""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT source, n_docs,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+  FROM c
+),
+w AS (
+  SELECT source,
+         LEAST(CAST((1000000 // n_sources) * 1000000 //
+                    (n_docs * 1000000 // total_docs) AS BIGINT),
+               1000000) AS keep_ppm
+  FROM t
+),
+kept AS (
+  SELECT d.source
+  FROM documents d JOIN w ON d.source = w.source
+  WHERE ('0x' || substr(md5(d.text), 1, 6))::BIGINT % 1000000 < w.keep_ppm
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY source
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted downsampling to a uniform source
+    mixture: q_mixture_weights' keep rate (capped at 1) applied
+    through the content-hash gate — a document survives iff
+    md5(text) % 1e6 < keep_ppm, so the sample is reproducible in any
+    engine, stable across re-ingestion, and duplicate documents are
+    kept or dropped TOGETHER (the q_content_split leak-closing
+    property, applied to mixture rebalancing).
+
+    Scale rationale: the weight table is source-cardinality
+    (broadcast); the filter is one hash + compare per row,
+    zero-shuffle, followed by a partial-aggregable count.  This is the
+    entire 100 TB mixture-rebalance job: no shuffle of the corpus at
+    all.  (Downsample-only by design — upsampling repeats rows, which
+    is a generator concern, not a filter.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.select(
+        "source",
+        "n_docs",
+        F.sum("n_docs").over(Window.partitionBy()).alias("total_docs"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_sources"),
+    )
+    w = t.select(
+        "source",
+        F.least(
+            F.expr(
+                "CAST((1000000 div n_sources) * 1000000 div "
+                "(n_docs * 1000000 div total_docs) AS BIGINT)"
+            ),
+            F.lit(1_000_000).cast("long"),
+        ).alias("keep_ppm"),
+    )
+    kept = d.join(F.broadcast(w), "source").filter(
+        F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("long")
+        % 1_000_000
+        < F.col("keep_ppm")
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: reconcile two table versions into add/remove/change.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_snapshot_diff",
+    tags=("J10", "A1", "P5"),
+    oracle="""
+WITH v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 3
+              THEN CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 + 5)
+                        // 10 AS DOUBLE) / 100.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 100 <> 7
+),
+d AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+         CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN a.o_totalprice <> b.o_totalprice
+                   OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM orders a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey
+)
+SELECT change, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY change
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two table versions (v2 = orders
+    with 10% re-priced and 1% deleted — the q_merge_upsert change
+    spec) into added / removed / changed / unchanged counts — the
+    data-diff audit every pipeline runs after a backfill or migration
+    to prove the blast radius matched the intent.
+
+    Scale rationale: one full-outer join on the key (co-shuffled or
+    bucketed, the q_merge_upsert shape) with codegen'd column
+    comparisons and a 4-row rollup.  The price comparison is exact
+    because both versions derive from the same integer cent math —
+    floats are compared only for identity, never recomputed
+    differently.  At 100 TB add a per-column xxhash64 digest to
+    compare wide rows with one comparison per row.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    _cents = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    v2 = (
+        o.filter(F.expr("o_orderkey % 100 <> 7"))
+        .select(
+            "o_orderkey",
+            F.when(
+                F.expr("o_orderkey % 10 = 3"),
+                F.expr(f"CAST(({_cents} * 11 + 5) div 10 AS DOUBLE) / 100.0"),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    a = o.toDF("k_a", "price_a", "status_a")
+    b = v2.toDF("k_b", "price_b", "status_b")
+    d = a.join(b, a["k_a"] == b["k_b"], "full_outer").select(
+        F.when(F.col("k_b").isNull(), F.lit("removed"))
+        .when(F.col("k_a").isNull(), F.lit("added"))
+        .when(
+            (F.col("price_a") != F.col("price_b"))
+            | (F.col("status_a") != F.col("status_b")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change")
+    )
+    return d.groupBy("change").agg(F.count(F.lit(1)).alias("n"))

@@ -1843,3 +1843,68 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial cell density: integer-degree grid aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_geo_cell_density",
+    tags=("A1", "O2", "FN-math"),
+    oracle=f"""
+WITH c AS ({_GEO_CUST}),
+cells AS (
+  SELECT CASE WHEN lat_e6 >= 0 THEN lat_e6 // 10000000
+              ELSE -((-lat_e6 + 9999999) // 10000000) END AS cell_lat,
+         CASE WHEN lon_e6 >= 0 THEN lon_e6 // 10000000
+              ELSE -((-lon_e6 + 9999999) // 10000000) END AS cell_lon
+  FROM c
+)
+SELECT CAST(cell_lat AS BIGINT) AS cell_lat,
+       CAST(cell_lon AS BIGINT) AS cell_lon,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM cells GROUP BY cell_lat, cell_lon
+ORDER BY n_points DESC, cell_lat, cell_lon LIMIT 15
+""",
+)
+def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density grid: bucket the synthetic customer coordinates
+    into 10°×10° cells with a floor-toward-−∞ integer division (the
+    grid must be consistent across the sign boundary — truncation
+    toward zero would make cell 0 twice as wide) and rank the 15
+    densest cells — the binning that precedes any geo join/heatmap at
+    scale (the cell id IS the join/partition key q_geo_nearest's
+    docstring promises).
+
+    Scale rationale: pure integer per-row math + one partial-
+    aggregable groupBy + TakeOrderedAndProject; the explicit
+    floor-division CASE keeps Spark's `div` (truncating) and DuckDB's
+    `//` (also truncating on BIGINT) in exact agreement for negative
+    coordinates.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.expr(
+            "CAST((c_custkey * 7919) % 160000000 - 80000000 AS BIGINT)"
+        ).alias("lat_e6"),
+        F.expr(
+            "CAST((c_custkey * 104729) % 360000000 - 180000000 AS BIGINT)"
+        ).alias("lon_e6"),
+    )
+    def cell(col):
+        return (
+            F.when(
+                F.col(col) >= 0, F.expr(f"{col} div 10000000")
+            ).otherwise(-F.expr(f"(-{col} + 9999999) div 10000000"))
+        )
+    cells = c.select(
+        cell("lat_e6").cast("long").alias("cell_lat"),
+        cell("lon_e6").cast("long").alias("cell_lon"),
+    )
+    return (
+        cells.groupBy("cell_lat", "cell_lon")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy(F.col("n_points").desc(), "cell_lat", "cell_lon")
+        .limit(15)
+    )

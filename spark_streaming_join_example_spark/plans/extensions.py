@@ -1289,3 +1289,93 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change")
     )
     return d.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Binary format sniffing: real magic-byte classification on binary cols.
+# ---------------------------------------------------------------------------
+
+#: (tag, magic-bytes hex) — real file-format signatures.
+_MAGICS = [
+    ("png", "89504E470D0A1A0A"),
+    ("jpeg", "FFD8FFE0"),
+    ("gif", "47494638"),
+    ("pdf", "25504446"),
+]
+
+
+@register(
+    "q_binary_magic",
+    tags=("X4", "P5", "FN-string"),
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN from_hex('{_MAGICS[0][1]}')
+           WHEN 1 THEN from_hex('{_MAGICS[1][1]}')
+           WHEN 2 THEN from_hex('{_MAGICS[2][1]}')
+           ELSE from_hex('{_MAGICS[3][1]}')
+         END || encode(text) AS payload
+  FROM documents
+),
+sniffed AS (
+  SELECT doc_id, octet_length(payload) AS n_bytes,
+         CASE
+           WHEN substr(hex(payload), 1, 16) = '{_MAGICS[0][1]}' THEN 'png'
+           WHEN substr(hex(payload), 1, 8) = '{_MAGICS[1][1]}' THEN 'jpeg'
+           WHEN substr(hex(payload), 1, 8) = '{_MAGICS[2][1]}' THEN 'gif'
+           WHEN substr(hex(payload), 1, 8) = '{_MAGICS[3][1]}' THEN 'pdf'
+           ELSE 'unknown'
+         END AS format
+  FROM b
+)
+SELECT format,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM sniffed GROUP BY format
+""",
+)
+def q_binary_magic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary format sniffing on opaque payload columns: build binary
+    blobs carrying REAL file-format magic bytes (PNG/JPEG/GIF/PDF
+    signatures prepended to the text payload), then classify each blob
+    by inspecting its leading bytes — the container-detection pass a
+    multimodal ingest runs before routing blobs to format-specific
+    decoders (and, unlike the stubbed decode in
+    operators/multimodal.py, this byte-level logic is fully real).
+
+    Scale rationale: binary construction and sniffing are per-row
+    byte ops (concat/substring/hex — codegen'd, zero-shuffle) over the
+    pruned text column; the rollup is partial-aggregable.  At 100 TB
+    of media this is the map stage that partitions the corpus by
+    container type without decoding anything.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.expr(f"X'{_MAGICS[0][1]}'"))
+        .when(F.col("doc_id") % 4 == 1, F.expr(f"X'{_MAGICS[1][1]}'"))
+        .when(F.col("doc_id") % 4 == 2, F.expr(f"X'{_MAGICS[2][1]}'"))
+        .otherwise(F.expr(f"X'{_MAGICS[3][1]}'"))
+    )
+    b = d.select(
+        "doc_id",
+        F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("payload"),
+    )
+    sniffed = b.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.when(
+            F.substring(F.hex("payload"), 1, 16) == _MAGICS[0][1], "png"
+        )
+        .when(F.substring(F.hex("payload"), 1, 8) == _MAGICS[1][1], "jpeg")
+        .when(F.substring(F.hex("payload"), 1, 8) == _MAGICS[2][1], "gif")
+        .when(F.substring(F.hex("payload"), 1, 8) == _MAGICS[3][1], "pdf")
+        .otherwise("unknown")
+        .alias("format"),
+    )
+    return sniffed.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+    )

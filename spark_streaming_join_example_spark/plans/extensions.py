@@ -1379,3 +1379,98 @@ def q_binary_magic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization for web-corpus dedup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_url_canonicalize",
+    tags=("FN-string", "X1", "A1"),
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+         || '.COM/Path' || CAST(doc_id % 13 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '?utm_source=feed&utm_campaign=x&id='
+                      || CAST(doc_id % 5 AS VARCHAR)
+                 ELSE '?id=' || CAST(doc_id % 5 AS VARCHAR) END
+         AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '^https?://(www\\.)?', ''),
+                 '&utm_[^&]*', '', 'g'),
+               '\\?utm_[^&]*&', '?', 'g'),
+             '\\?utm_[^&]*$', ''),
+           '/(\\?|$)', '\\1') AS curl
+  FROM raw
+)
+SELECT curl, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM canon GROUP BY curl
+""",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup: lowercase, strip scheme
+    and www., drop utm_* tracking parameters, trim trailing slashes —
+    then group by canonical URL (keeping the smallest doc id) so that
+    the same page crawled under cosmetically different URLs collapses
+    to one representative.  The URLs are synthesized deterministically
+    from doc ids (identical expressions both engines), with collisions
+    by construction so the dedup actually fires.
+
+    Scale rationale: canonicalization is a chain of per-row regexp
+    rewrites (codegen'd, zero-shuffle — and the SAME regex dialect
+    subset runs in both engines: anchored groups, no lookarounds);
+    the dedup groupBy collapses map-side on the canonical key exactly
+    like q_exact_dedup_docs does on content hashes.  In a real crawl
+    pipeline this runs BEFORE content dedup — URL collapse is ~free,
+    content hashing costs a full read.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.expr(
+            "concat('HTTPS://WWW.Example', CAST(doc_id % 7 AS STRING), "
+            "'.COM/Path', CAST(doc_id % 13 AS STRING), "
+            "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END, "
+            "CASE WHEN doc_id % 2 = 0 "
+            "THEN concat('?utm_source=feed&utm_campaign=x&id=', "
+            "CAST(doc_id % 5 AS STRING)) "
+            "ELSE concat('?id=', CAST(doc_id % 5 AS STRING)) END)"
+        ).alias("url"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col("url")), r"^https?://(www\.)?", ""
+                    ),
+                    r"&utm_[^&]*",
+                    "",
+                ),
+                r"\?utm_[^&]*&",
+                "?",
+            ),
+            r"\?utm_[^&]*$",
+            "",
+        ),
+        r"/(\?|$)",
+        "$1",
+    )
+    canon = raw.select("doc_id", curl.alias("curl"))
+    return canon.groupBy("curl").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_id"),
+    )

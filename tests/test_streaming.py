@@ -1431,3 +1431,58 @@ def test_chained_join_window_agg_exact_finalized(spark, sf_dir, replay_dir, tmp_
     out_rows = collect_sorted(out)
     assert len(out_rows) > 0
     assert out_rows == collect_sorted(finalized)
+
+
+def test_rocksdb_state_store_equivalence_and_restart(spark, sf_dir, tmp_path):
+    """The RocksDB state-store provider — Spark's spill-to-disk
+    streaming-state backend, the answer when windowed/join state
+    outgrows executor heap at 100 TB/day — must produce results
+    identical to the default in-memory provider, and survive a
+    checkpoint restart exactly-once."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    saved = spark.conf.get(provider_conf, None)
+
+    replay = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(replay), n_chunks=4)
+
+    def run(ckpt):
+        stream = read_event_stream(spark, str(replay))
+        return collect_sorted(
+            run_to_memory(jobs.tumbling_counts(stream), ckpt, "append")
+        )
+
+    try:
+        default_rows = run(str(tmp_path / "ckpt_default"))
+        spark.conf.set(provider_conf, rocks)
+        rocks_rows = run(str(tmp_path / "ckpt_rocks"))
+        assert len(rocks_rows) > 0
+        assert rocks_rows == default_rows
+        # restart leg: memory sinks cannot recover a checkpoint, so
+        # drive the SAME RocksDB-backed aggregation into a parquet
+        # sink twice — the second (no-new-input) run must add nothing
+        # (exactly-once over RocksDB snapshots + changelog)
+        out_dir = str(tmp_path / "rocks_out")
+        ckpt2 = str(tmp_path / "ckpt_rocks_pq")
+
+        def run_pq():
+            stream = read_event_stream(spark, str(replay))
+            q = to_parquet(
+                jobs.tumbling_counts(stream), out_dir, ckpt2,
+                output_mode="append",
+            )
+            q.awaitTermination()
+
+        run_pq()
+        n1 = spark.read.parquet(out_dir).count()
+        run_pq()
+        n2 = spark.read.parquet(out_dir).count()
+        assert n1 == n2 == len(rocks_rows)
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, saved)

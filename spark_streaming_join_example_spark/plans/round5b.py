@@ -1908,3 +1908,117 @@ def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_points").desc(), "cell_lat", "cell_lon")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity revenue via correlated avg subquery.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_small_qty_revenue",
+    tags=("P5", "J4", "A1"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) // 7 AS BIGINT)
+         AS yearly_rev_c
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11'
+  AND 5 * CAST(l.l_quantity AS BIGINT)
+        * (SELECT COUNT(*) FROM lineitem l2
+           WHERE l2.l_partkey = p.p_partkey)
+      < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+         WHERE l2.l_partkey = p.p_partkey)
+""",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue that would vanish if sub-20%-of-
+    average-quantity orders for one brand's parts were dropped — the
+    classic CORRELATED-AGGREGATE-subquery benchmark (qty < 0.2·avg
+    over the same part, cleared to the all-integer
+    5·qty·cnt < Σqty so no float average sits on the comparison
+    boundary).
+
+    Scale rationale: Catalyst decorrelates both correlated scalar
+    subqueries into ONE per-part aggregate joined back (asserted for
+    the same decorrelation pattern by
+    tests/test_plans.py::test_correlated_subquery_decorrelates); at
+    100 TB that is a single partial-agg over lineitem plus a
+    broadcast-or-shuffle join on partkey — never a per-row re-scan,
+    which is exactly what this TPC-H query exists to punish.
+    """
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("r5q17_l")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("r5q17_p")
+    return spark.sql(
+        """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) div 7 AS BIGINT)
+         AS yearly_rev_c
+FROM r5q17_l l JOIN r5q17_p p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11'
+  AND 5 * CAST(l.l_quantity AS BIGINT)
+        * (SELECT COUNT(*) FROM r5q17_l l2
+           WHERE l2.l_partkey = p.p_partkey)
+      < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM r5q17_l l2
+         WHERE l2.l_partkey = p.p_partkey)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (groupBy-HAVING feeding a join).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_large_volume_orders",
+    tags=("A1", "J4", "O2"),
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 220
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_c,
+       big.qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_c DESC, o.o_orderkey LIMIT 20
+""",
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the 20 priciest orders whose total line
+    quantity exceeds 220 units, with their customers — the
+    groupBy-HAVING-feeds-join benchmark (the original phrases it as
+    IN (GROUP BY … HAVING); the semi-equivalent join form is what
+    every engine plans it to).
+
+    Scale rationale: the HAVING aggregate collapses lineitem map-side
+    to order-cardinality BEFORE any join (integer quantity sums), the
+    orders join is key-aligned on that same key, the customer dim
+    broadcasts, and the final top-20 is a TakeOrderedAndProject with
+    an orderkey tie-break.  One fact shuffle total.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 220)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_c"),
+            "qty",
+        )
+        .orderBy(F.col("total_c").desc(), "o_orderkey")
+        .limit(20)
+    )

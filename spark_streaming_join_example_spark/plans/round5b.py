@@ -2022,3 +2022,131 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_c").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by a scalar-MAX subquery over a view.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top_supplier",
+    tags=("A1", "P5", "J4"),
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.total_rev_e4
+FROM supplier s JOIN rev ON s.s_suppkey = rev.supplier_no
+WHERE rev.total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue,
+    selected by comparing each supplier's revenue to a scalar MAX
+    subquery over the same derived view — the
+    reuse-one-aggregate-twice benchmark.  Revenue is exact 1e-4-unit
+    integer (price×(1−discount) rounds once per line), so the MAX
+    comparison has no float boundary and genuine ties all surface
+    (ordered by supplier key).
+
+    Scale rationale: the revenue view aggregates lineitem once
+    (partial-agg, date filter pushed to the scan); Catalyst plans the
+    scalar MAX as a 1-row subquery result reused against the SAME
+    aggregated relation, and the supplier dim broadcasts.  At 100 TB
+    the view materializes once — not once per reference — which this
+    query shape exists to verify.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("total_rev_e4")
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    mx = rev.agg(F.max("total_rev_e4").alias("mx"))
+    return (
+        s.join(rev, s["s_suppkey"] == rev["supplier_no"])
+        .join(F.broadcast(mx), rev["total_rev_e4"] == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-clause predicate over a join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_disjunctive_revenue",
+    tags=("P2", "J4", "A1"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three brand/size/
+    quantity conjunct groups — the disjunctive-predicate benchmark
+    that punishes engines which cannot (a) push the common
+    `p_brand IN (…)` / size bounds down to the part scan or (b) keep
+    the residual OR inside the join's codegen.
+
+    Scale rationale: Catalyst extracts the disjuncts' common
+    constraints (brand IN-list, size ≤ 50) below the join, so the part
+    scan prunes; the join stays a single equi-join on partkey with the
+    OR as residual — never a union of three scans.  Revenue is the
+    exact 1e-4-unit integer used registry-wide.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).filter(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).alias("revenue_e4"),
+    )

@@ -2150,3 +2150,59 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("revenue_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: top customers by returned-item revenue.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_returned_revenue",
+    tags=("J4", "A1", "O2", "P2"),
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS lost_rev_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_returned_lines
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_rev_e4 DESC, c.c_custkey LIMIT 20
+""",
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    (returnflag = 'R'), with their nation — the returned-merchandise
+    triage report and the canonical 4-table star join benchmark.
+
+    Scale rationale: the returnflag filter pushes to the lineitem
+    scan (dictionary-encoded column → row-group skipping); the
+    order⋈lineitem fact join shuffles on the shared orderkey; customer
+    and nation broadcast; the aggregate is partial and the top-20 a
+    TakeOrderedAndProject with a custkey tie-break.  Revenue is the
+    registry's exact 1e-4-unit integer.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("lost_rev_e4"),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .orderBy(F.col("lost_rev_e4").desc(), "c_custkey")
+        .limit(20)
+    )

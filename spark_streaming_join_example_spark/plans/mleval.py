@@ -601,3 +601,140 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Precision-recall curve at decile thresholds (+ integer PR-AUC).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pr_curve",
+    tags=("W1", "A1", "X3"),
+    oracle=f"""
+WITH s AS ({_SCORED_SQL}),
+r AS (
+  SELECT y, score,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS rnk,
+         CAST(SUM(y) OVER (ORDER BY score DESC, vec_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS tp,
+         CAST(SUM(y) OVER () AS BIGINT) AS n_pos
+  FROM s
+),
+pts AS (
+  SELECT rnk, tp, n_pos FROM r WHERE rnk % 50 = 0
+)
+SELECT CAST(rnk AS BIGINT) AS k,
+       tp,
+       CAST(tp * 1000000 // rnk AS BIGINT) AS precision_ppm,
+       CAST(tp * 1000000 // n_pos AS BIGINT) AS recall_ppm
+FROM pts
+""",
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve sampled every 50 ranks of the
+    score-descending ordering (ties broken by id): precision@k and
+    recall@k in integer ppm from one cumulative-positive window — the
+    threshold-picking table behind every alerting/classification
+    rollout.
+
+    Scale rationale: one global sort of MODEL OUTPUTS (the same
+    documented envelope as q_auc_ranksum — swap in the two-phase
+    ranking operator past ~10⁸ rows), one running sum, and a
+    rank-modulo filter; precision/recall are BIGINT floor-ppm, so the
+    curve is engine-exact point for point.
+    """
+    s = _scored(spark, sf_dir)
+    w = Window.orderBy(F.col("score").desc(), "vec_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = s.select(
+        "y",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("y").over(wcum).alias("tp"),
+        F.sum("y").over(Window.partitionBy()).alias("n_pos"),
+    )
+    return (
+        r.filter(F.col("rnk") % 50 == 0)
+        .select(
+            F.col("rnk").cast("long").alias("k"),
+            "tp",
+            F.expr("CAST(tp * 1000000 div rnk AS BIGINT)").alias(
+                "precision_ppm"
+            ),
+            F.expr("CAST(tp * 1000000 div n_pos AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov statistic between two cohorts (exact, integer).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ks_statistic",
+    tags=("W1", "A1", "FN-math"),
+    oracle=f"""
+WITH s AS ({_SCORED_SQL}),
+m AS (
+  SELECT score, CAST(vec_id % 2 AS BIGINT) AS cohort, vec_id FROM s
+),
+r AS (
+  SELECT CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+              OVER w AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+              OVER w AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) OVER () AS BIGINT)
+           AS n0,
+         CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) OVER () AS BIGINT)
+           AS n1
+  FROM m
+  WINDOW w AS (ORDER BY score, vec_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(MAX(ABS(c0 * n1 - c1 * n0)) AS BIGINT) AS ks_num,
+       CAST(MAX(n0) * MAX(n1) AS BIGINT) AS ks_den,
+       CAST(MAX(ABS(c0 * n1 - c1 * n0)) * 1000000
+            // (MAX(n0) * MAX(n1)) AS BIGINT) AS ks_ppm
+FROM r
+""",
+)
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the id-
+    parity cohorts: max over the merged score ordering of
+    |F̂₀(x) − F̂₁(x)|, kept as the integer |c₀·n₁ − c₁·n₀| (cleared
+    denominators) until one final floor-ppm division — the
+    distribution-shift test that, unlike PSI (q_psi_drift), needs no
+    binning choice and detects ANY CDF divergence.
+
+    Scale rationale: one sort of the merged sample (model-output
+    envelope, same as the AUC/PR family), two conditional running
+    counts sharing the windowspec, one max-aggregate.  Everything
+    BIGINT; ks_num ≤ n₀·n₁ ≤ ~6e4² here — int64-safe to ~3e9 points
+    per cohort.
+    """
+    s = _scored(spark, sf_dir)
+    m = s.select("score", (F.col("vec_id") % 2).cast("long").alias("cohort"), "vec_id")
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    w = Window.orderBy("score", "vec_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    r = m.select(
+        F.sum(F.when(F.col("cohort") == 0, one).otherwise(z)).over(w).alias("c0"),
+        F.sum(F.when(F.col("cohort") == 1, one).otherwise(z)).over(w).alias("c1"),
+        F.sum(F.when(F.col("cohort") == 0, one).otherwise(z)).over(wall).alias("n0"),
+        F.sum(F.when(F.col("cohort") == 1, one).otherwise(z)).over(wall).alias("n1"),
+    )
+    return r.agg(
+        F.max(F.abs(F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))).alias("ks_num"),
+        (F.max("n0") * F.max("n1")).alias("ks_den"),
+        F.expr(
+            "CAST(MAX(ABS(c0 * n1 - c1 * n0)) * 1000000 "
+            "div (MAX(n0) * MAX(n1)) AS BIGINT)"
+        ).alias("ks_ppm"),
+    )

@@ -140,7 +140,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 {_EV}
 , m AS (
   SELECT user_id % 2 AS arm,
-         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+         CAST(ROUND(value * 1000.0) AS BIGINT) AS v
   FROM ev WHERE event_type = 'purchase'
 ),
 mom AS (
@@ -153,7 +153,7 @@ mom AS (
   FROM m
 )
 SELECT n0, n1,
-       round((CAST(s0 AS DOUBLE)/n0 - CAST(s1 AS DOUBLE)/n1) / 1000000.0, 6)
+       round((CAST(s0 AS DOUBLE)/n0 - CAST(s1 AS DOUBLE)/n1) / 1000.0, 6)
          AS mean_diff,
        round((CAST(s0 AS DOUBLE)/n0 - CAST(s1 AS DOUBLE)/n1)
              / sqrt((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)*s0/n0)/(n0-1)/n0
@@ -172,8 +172,11 @@ def q_welch_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale rationale: conditional integer sums make the whole test ONE
     partial-aggregated scan — no per-arm shuffle, no variance UDF; at
     100 TB this is a map-side combine down to 6 longs per partition.
-    BIGINT envelope: Σv² ≤ rows·(3.3e8)² ≈ 1.1e17·(rows/1e6) — safe
-    through ~sf10; past that, drop to milli-units.  The double
+    Values are MILLI-units (t is scale-invariant): v² ≤ 1.1e11, so
+    Σv² stays int64-safe past 3×10⁷ rows per arm (~sf10 here) — the
+    round-5 sf0.1 bonus sweep caught the micro-unit form overflowing
+    (v² ≈ 1.1e17 per row ⇒ int64 died at ~8×10¹ rows · 10⁶).  The
+    double
     expression is written term-for-term identically in both engines
     and rounded to 6 decimals, the registry's cross-engine float
     doctrine.
@@ -181,7 +184,7 @@ def q_welch_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     m = e.filter(F.col("event_type") == "purchase").select(
         (F.col("user_id") % 2).alias("arm"),
-        F.round(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v"),
+        F.round(F.col("value") * F.lit(1000.0)).cast("long").alias("v"),
     )
     z = F.lit(0).cast("long")
     mom = m.agg(
@@ -198,7 +201,7 @@ def q_welch_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("s0").cast("double") / F.col("n0")
              - F.col("s1").cast("double") / F.col("n1"))
-            / F.lit(1_000_000.0),
+            / F.lit(1000.0),
             6,
         ).alias("mean_diff"),
         F.round(

@@ -2209,3 +2209,54 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_rev_e4").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounce rate: share of single-event user-days.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bounce_rate",
+    tags=("A1", "W2", "FN-datetime"),
+    oracle=f"""
+{_EV}
+, s AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY user_id, day
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS bounce_ppm
+FROM s GROUP BY day
+""",
+)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of user-day sessions containing
+    exactly one event, in integer ppm — the engagement-health metric
+    every analytics dashboard leads with.
+
+    Scale rationale: two stacked partial-aggregable groupBys (events →
+    user-day sessions → day), both map-side combining; no window, no
+    join.  Day bucketing and the ppm ratio are pure BIGINT ops.
+    """
+    e = _t(spark, sf_dir, "events")
+    s = e.groupBy(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return s.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(F.col("n_events") == 1, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("n_bounces"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 "
+            "div COUNT(*) AS BIGINT)"
+        ).alias("bounce_ppm"),
+    )

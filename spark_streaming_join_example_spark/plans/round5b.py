@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..operators.ranking import global_ntile
 from ..sources.batch import load_table
 from .registry import register
 
@@ -763,13 +764,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention campaigns.
 
     Scale rationale: the per-user rollup is one partial-aggregable
-    groupBy over the purchase stream; the three ntile windows run over
-    the USER-cardinality rollup.  Global ntile needs a total order —
-    at this cardinality it's a single-partition sort of the rollup
-    (fine to ~10⁸ users); past that you swap ntile for a percentile-
-    sketch cut with the same output contract.  Every ntile carries a
+    groupBy over the purchase stream; the three quartile assignments
+    run over the USER-cardinality rollup through
+    operators/ranking.global_ntile (range-partitioned two-phase rank
+    + broadcast total per ordering — three range shuffles of the
+    rollup, no single-partition sort).  Every ordering carries a
     user_id tie-break, so quartile boundaries are engine-identical;
-    all inputs are BIGINT (µs epochs, counts, micro-units).
+    all inputs are BIGINT (µs epochs, counts, micro-units).  At
+    extreme user counts a percentile-sketch cut is the sampling
+    alternative with the same output contract.
     """
     e = _t(spark, sf_dir, "events")
     rfm = (
@@ -783,20 +786,22 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("monet_e6"),
         )
     )
-    scored = rfm.select(
-        "user_id",
-        "freq",
-        "monet_e6",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_us").desc(), F.col("user_id")))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id")))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monet_e6").desc(), F.col("user_id")))
-        .alias("m_score"),
-    )
+    scored = global_ntile(
+        global_ntile(
+            global_ntile(
+                rfm,
+                4,
+                [F.col("last_us").desc(), F.col("user_id")],
+                out="r_score",
+            ),
+            4,
+            [F.col("freq").desc(), F.col("user_id")],
+            out="f_score",
+        ),
+        4,
+        [F.col("monet_e6").desc(), F.col("user_id")],
+        out="m_score",
+    ).select("user_id", "freq", "monet_e6", "r_score", "f_score", "m_score")
     return scored.select(
         "user_id",
         "freq",

@@ -264,3 +264,59 @@ def test_global_row_number_rejects_reserved_columns(spark):
     df = spark.range(5).select(F.col("id"), F.lit(0).alias("_pid"))
     with pytest.raises(ValueError, match="_pid"):
         global_row_number(df, [F.col("id")])
+
+
+def test_range_partition_pin(spark):
+    """The ranking kernels' pinned range partitioning must (a) hold
+    disjoint ordered key ranges — concatenating partitions in _pid
+    order IS the global order — and (b) assign identical _pid values
+    on every action (split-point sampling happens exactly once; two
+    independently-sampled evaluations are the offset-corruption bug
+    the lineage cut exists to prevent)."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.operators.ranking import (
+        _range_partitioned,
+    )
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("v"), "id", (F.col("id") * 3).alias("payload")
+    )
+    d = _range_partitioned(df, [F.col("v"), F.col("id")], 7)
+    rows = d.select("_pid", "v", "id").collect()
+    # (a) sorting by (_pid, v, id) gives the same sequence of keys as
+    # sorting globally by (v, id): the range property
+    by_pid = [(r.v, r.id) for r in sorted(rows, key=lambda r: (r._pid, r.v, r.id))]
+    by_key = [(r.v, r.id) for r in sorted(rows, key=lambda r: (r.v, r.id))]
+    assert by_pid == by_key
+    # (b) a second action over the same pinned relation sees the same
+    # partition assignment row for row
+    again = {(r.v, r.id): r._pid for r in d.select("_pid", "v", "id").collect()}
+    first = {(r.v, r.id): r._pid for r in rows}
+    assert again == first
+
+
+def test_global_ntile_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from spark_streaming_join_example_spark.operators.ranking import (
+        global_ntile,
+    )
+
+    df = spark.range(5)
+    with _pytest.raises(ValueError, match="positive int"):
+        global_ntile(df, 0, ["id"])
+    with _pytest.raises(ValueError, match="positive int"):
+        global_ntile(df, True, ["id"])
+
+
+def test_global_cumsum_requires_sums(spark):
+    import pytest as _pytest
+
+    from spark_streaming_join_example_spark.operators.ranking import (
+        global_cumsum,
+    )
+
+    df = spark.range(5)
+    with _pytest.raises(ValueError, match="at least one"):
+        global_cumsum(df, ["id"], sums={})

@@ -521,7 +521,13 @@ def test_global_rank_is_range_partitioned_not_single_sort(spark, sf_dir, qd):
     bare Window.orderBy would force on the full input must not feed
     the big side's sort."""
     p = plan_of(qd["q_global_rank_distributed"](spark, sf_dir))
-    assert "rangepartitioning" in p, p
+    # the data payload rides the kernel's PINNED range-partitioned
+    # relation — a lineage-cut RDD (see operators/ranking.
+    # _range_partitioned: split-point sampling must happen exactly
+    # once), which explain() shows as an ExistingRDD scan rather than
+    # an Exchange rangepartitioning node; the range property itself is
+    # asserted by test_operators.test_range_partition_pin
+    assert "Scan ExistingRDD" in p, p
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
     # the only SinglePartition exchange allowed is the one under the
     # partition-count-sized offsets aggregate (its Input is the tiny

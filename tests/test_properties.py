@@ -423,3 +423,88 @@ def test_sweep_line_max_concurrency_matches_model(spark, starts, dur):
         for t in range(0, max(starts) + dur + 1)
     )
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 9), min_size=1, max_size=60),
+    k=st.integers(1, 7),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_ntile_matches_single_sort(spark, vals, k):
+    """operators.ranking.global_ntile ≡ single-partition NTILE(k)
+    under a total order, including n<k (every row its own bucket) and
+    duplicate-heavy orderings across forced range boundaries.
+
+    The payload column ``p`` (not an order key) is load-bearing: it
+    reproduces the column-pruning divergence where the kernel's sizes
+    branch optimized to a narrower range exchange than the rank
+    branch, re-sampled different split points, and corrupted the
+    offsets (caught live by q_equi_depth_histogram's oracle)."""
+    from spark_streaming_join_example_spark.operators.ranking import (
+        global_ntile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v, v * 7 + i) for i, v in enumerate(vals)],
+        schema="id long, v long, p long",
+    ).repartition(5)
+    got = {
+        (r.id, r.b)
+        for r in global_ntile(
+            df, k, [F.col("v"), F.col("id")], out="b", num_partitions=4
+        ).collect()
+    }
+    want = {
+        (r.id, r.b)
+        for r in df.withColumn(
+            "b", F.ntile(k).over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-5, 5)),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_cumsum_matches_single_sort(spark, vals):
+    """operators.ranking.global_cumsum ≡ single-partition running sum
+    (rows unbounded preceding..current) + row_number, on integer
+    values (exact associative split), two sums at once."""
+    from spark_streaming_join_example_spark.operators.ranking import (
+        global_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v, w) for i, (v, w) in enumerate(vals)],
+        schema="id long, v long, w long",
+    ).repartition(5)
+    got = {
+        (r.id, r.cv, r.cw, r.rn)
+        for r in global_cumsum(
+            df,
+            [F.col("v"), F.col("id")],
+            sums={"cv": "v", "cw": F.col("w") * 2},
+            rn_out="rn",
+            num_partitions=4,
+        ).collect()
+    }
+    w_cum = Window.orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r.id, r.cv, r.cw, r.rn)
+        for r in df.select(
+            "id",
+            F.sum("v").over(w_cum).alias("cv"),
+            F.sum(F.col("w") * 2).over(w_cum).alias("cw"),
+            F.row_number().over(Window.orderBy("v", "id")).cast("long").alias("rn"),
+        ).collect()
+    }
+    assert got == want

@@ -174,11 +174,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list from the parquet scan once per reference (5× here — the
     classic iterative-algorithm trap; exchange reuse does not rescue
     identical subtrees under AQE reliably), so the loop-invariant
-    edges/degrees are persisted once, and the per-iteration rank/degree
-    sides — node-cardinality, tiny next to edges — are broadcast.  At
-    web-scale node counts you'd drop the broadcast hints and let the
-    co-partitioned shuffle join take over; edges stay the only
-    edge-cardinality shuffle either way.
+    edges/degrees are persisted once.  The per-iteration rank/degree/
+    contribution sides are NODE-cardinality: hard broadcast hints on
+    them would OOM the executors at ~10⁹ nodes, so the joins carry no
+    hints — AQE's size-gated broadcast picks the hash-join locally
+    while the same plan degrades gracefully to co-partitioned shuffle
+    joins at web scale (the triangle-count discipline); edges stay the
+    only edge-cardinality shuffle either way.
     """
     li = (
         _t(spark, sf_dir, "lineitem")
@@ -207,14 +209,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(2):
         contrib = (
-            edges.join(F.broadcast(r), edges.src == r.node)
-            .join(F.broadcast(deg), "src")
+            edges.join(r, edges.src == r.node)
+            .join(deg, "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("r div outdeg")).alias("c"))
         )
         r = (
             nodes.crossJoin(nn)
-            .join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+            .join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 F.expr(
@@ -1077,9 +1079,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     # u < v already, so the du == dv tie resolves to forward.
     fwd = (F.col("du") < F.col("dv")) | (F.col("du") == F.col("dv"))
+    # degree sides are NODE-cardinality: no hard broadcast hint (OOMs
+    # at ~10⁹ nodes); AQE size-gates the broadcast locally and the
+    # plan degrades to co-partitioned shuffle joins at web scale
     e = (
-        e0.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        e0.join(du, "u")
+        .join(dv, "v")
         .select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),

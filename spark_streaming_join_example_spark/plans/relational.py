@@ -171,7 +171,7 @@ def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)  # bounded: region is a 5-row constant dimension
         .groupBy("r_name", "n_name")
         .agg(
             exact_sum(
@@ -1597,7 +1597,7 @@ def q_market_join6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)  # bounded: region is a 5-row constant dimension
         .groupBy("r_name", F.year("o_orderdate").alias("order_year"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),

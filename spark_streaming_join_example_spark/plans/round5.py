@@ -710,11 +710,15 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM exact integers right before the one divide/sqrt chain, the
     round-4 anomaly-zscore recipe).
 
-    Scale rationale: two broadcast joins of the node-cardinality degree
-    table onto the edge list, then a single 6-sum partial aggregate —
-    one pass over edges, constant state.  BIGINT envelope: n·Σxy ≤
-    ~4e18 at sf0.1 (documented; past that, scale degrees by div 4
-    first like the other fixed-point envelopes).
+    Scale rationale: two joins of the NODE-cardinality degree table
+    onto the edge list, then a single 6-sum partial aggregate — one
+    pass over edges, constant state.  The degree sides carry no
+    broadcast hints (a hard hint on a node-cardinality relation OOMs
+    at ~10⁹ nodes): AQE's size-gated broadcast picks the hash join
+    locally and the plan degrades to co-partitioned shuffle joins at
+    web scale.  BIGINT envelope: n·Σxy ≤ ~4e18 at sf0.1 (documented;
+    past that, scale degrees by div 4 first like the other
+    fixed-point envelopes).
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.toDF("ok", "u")
@@ -723,7 +727,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     du = deg.toDF("u", "x")
     dv = deg.toDF("v", "y")
-    pairs = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v").select("x", "y")
+    pairs = e.join(du, "u").join(dv, "v").select("x", "y")
     mom = pairs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

@@ -95,15 +95,20 @@ def test_no_collect_in_query_definitions():
 
 def test_no_edge_cardinality_broadcast_markers():
     """Broadcasting a relation whose size scales with the DATA (edge
-    lists, pair lists, fact tables) is the single-node shortcut that
-    round 5 removed from triangle counting.  Guard the known names:
-    any new `F.broadcast(<edges/pairs/fact>)` in plans/ or operators/
+    lists, pair lists, fact tables — round 5's triangle-count fix; or
+    NODE-cardinality rank/degree/label/contribution tables — round
+    6's pagerank/assortativity fix) is the single-node shortcut that
+    OOMs at true scale.  Guard the known names: any new
+    `F.broadcast(<data-cardinality name>)` in plans/ or operators/
     must come with an explicit `# bounded:` comment on the same line
     explaining why its cardinality is bounded."""
     import re
 
     offenders = []
-    pat = re.compile(r"F\.broadcast\((e\d?|edges|pairs|wedge|tri|baskets|co)\b")
+    pat = re.compile(
+        r"F\.broadcast\((e\d?|edges|pairs|wedge|tri|baskets|co"
+        r"|r|deg|degs|du|dv|labels|contrib|ranks|nodes|frontier)\b"
+    )
     for path in sorted(list((PKG / "plans").glob("*.py")) + list((PKG / "operators").glob("*.py"))):
         for i, line in enumerate(path.read_text().splitlines(), 1):
             if pat.search(line) and "# bounded:" not in line:

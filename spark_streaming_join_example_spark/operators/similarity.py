@@ -440,6 +440,24 @@ def _kmeans_centroids(
     return cent
 
 
+def _deterministic_sample(df: DataFrame, col: str, n: int = 4096) -> list:
+    """Layout-independent bounded quantizer-training sample.
+
+    A bare ``limit(n).collect()`` returns whichever rows the first
+    partitions happen to serve — the sample (and therefore the trained
+    IVF centroids) silently changed with file layout, partition count,
+    or scheduler timing.  Ordering by a content hash first makes the
+    take a distributed top-n (TakeOrderedAndProject: per-partition
+    heads, merged on the driver — never a full sort) that selects the
+    SAME pseudo-random rows on any layout, any engine run.  The column
+    itself is the tie-break so the order is total even under hash
+    collisions of distinct values.  Sample-trained coarse quantizers
+    are standard FAISS practice; this just makes ours reproducible.
+    """
+    c = F.col(col)
+    return df.select(col).orderBy(F.xxhash64(c), c).limit(n).collect()
+
+
 def ivf_topk_pairs(
     emb: DataFrame,
     k: int = 10,
@@ -468,7 +486,7 @@ def ivf_topk_pairs(
     import numpy as np
 
     spark = emb.sparkSession
-    sample = emb.select("embedding").limit(4096).collect()
+    sample = _deterministic_sample(emb, "embedding")
     mat = np.array([r.embedding for r in sample], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     cent = _kmeans_centroids(mat, n_cells, seed=seed)
@@ -627,7 +645,7 @@ def knn_join_ivf(
     import numpy as np
 
     spark = corpus.sparkSession
-    sample = corpus.select(vec_col).limit(4096).collect()
+    sample = _deterministic_sample(corpus, vec_col)
     if not sample:
         return spark.createDataFrame(
             [], "q_id long, n_id long, cos_sim double, rank int"

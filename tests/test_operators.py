@@ -320,3 +320,32 @@ def test_global_cumsum_requires_sums(spark):
     df = spark.range(5)
     with _pytest.raises(ValueError, match="at least one"):
         global_cumsum(df, ["id"], sums={})
+
+
+def test_ivf_quantizer_sample_is_layout_independent(spark, sf_dir):
+    """The IVF coarse quantizer trains on a bounded sample; the sample
+    (hence the centroids, hence the index) must not depend on file
+    layout or partition count — `limit()` alone picks whichever
+    partitions answer first.  Identical sample multiset and identical
+    trained centroids across a 7-way repartition vs the native
+    layout."""
+    import numpy as np
+
+    from spark_streaming_join_example_spark.operators.similarity import (
+        _deterministic_sample,
+        _kmeans_centroids,
+    )
+    from spark_streaming_join_example_spark.sources.batch import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def centroids(df):
+        rows = _deterministic_sample(df, "embedding", n=256)
+        mat = np.array([r.embedding for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return mat, _kmeans_centroids(mat, 8, seed=42)
+
+    m1, c1 = centroids(e)
+    m2, c2 = centroids(e.repartition(7))
+    assert np.array_equal(m1, m2)
+    assert np.array_equal(c1, c2)

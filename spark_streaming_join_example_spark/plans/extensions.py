@@ -770,7 +770,7 @@ SELECT source, n_docs, n_chars,
        CAST(n_docs * 1000000 // total_docs AS BIGINT) AS actual_ppm,
        CAST(1000000 // n_sources AS BIGINT) AS target_ppm,
        CAST((1000000 // n_sources) * 1000000 //
-            (n_docs * 1000000 // total_docs) AS BIGINT) AS weight_ppm
+            GREATEST(n_docs * 1000000 // total_docs, 1) AS BIGINT) AS weight_ppm
 FROM t
 """,
 )
@@ -807,9 +807,13 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "actual_ppm"
         ),
         F.expr("CAST(1000000 div n_sources AS BIGINT)").alias("target_ppm"),
+        # GREATEST(...,1): a source below 1 ppm of the corpus floors to
+        # an actual_ppm of 0; without the guard Spark's non-ANSI div
+        # yields NULL while DuckDB errors — divergent, and both wrong.
+        # The guard caps such a source's upweight at target_ppm*1e6.
         F.expr(
             "CAST((1000000 div n_sources) * 1000000 div "
-            "(n_docs * 1000000 div total_docs) AS BIGINT)"
+            "GREATEST(n_docs * 1000000 div total_docs, 1) AS BIGINT)"
         ).alias("weight_ppm"),
     )
 
@@ -1158,7 +1162,7 @@ t AS (
 w AS (
   SELECT source,
          LEAST(CAST((1000000 // n_sources) * 1000000 //
-                    (n_docs * 1000000 // total_docs) AS BIGINT),
+                    GREATEST(n_docs * 1000000 // total_docs, 1) AS BIGINT),
                1000000) AS keep_ppm
   FROM t
 ),
@@ -1198,9 +1202,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = t.select(
         "source",
         F.least(
+            # GREATEST guard: see q_mixture_weights (sub-ppm source)
             F.expr(
                 "CAST((1000000 div n_sources) * 1000000 div "
-                "(n_docs * 1000000 div total_docs) AS BIGINT)"
+                "GREATEST(n_docs * 1000000 div total_docs, 1) AS BIGINT)"
             ),
             F.lit(1_000_000).cast("long"),
         ).alias("keep_ppm"),

@@ -137,8 +137,11 @@ def ohlc_bars(
     """A5/A8 streaming OHLC downsampling: per (event_type, tumbling
     window), open/close values picked by min_by/max_by over the
     (ts, event_id) total order — the explicit tie-break makes the bars
-    deterministic and lets the batch twin (plans/round5b.q_ohlc_bars'
-    aggregation spec) reproduce them bit-for-bit.  All values are
+    deterministic.  The batch twin plans/round5b.q_ohlc_bars shares
+    this AGGREGATION SPEC (min_by/max_by over the same total order),
+    not the window granularity — it buckets by DAY while this job
+    defaults to 1-hour windows; the streaming-vs-batch equivalence
+    test builds its own same-granularity batch twin.  All values are
     micro-unit BIGINT.  min_by/max_by are declarative aggregates, so
     the state per open window is one (ordkey, value) pair per extreme —
     constant, watermark-evicted like any windowed agg (the 100 TB

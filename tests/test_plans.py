@@ -589,5 +589,15 @@ def test_disjunctive_revenue_extracts_common_constraints(spark, sf_dir, qd):
     # scans — one part scan, one lineitem scan, one equi-join, with the
     # brand/size constraints extracted below the join
     p = plan_of(qd["q_disjunctive_revenue"](spark, sf_dir))
-    assert p.count("Scan parquet") == 2 * 2, p  # formatted prints each node twice
-    assert "p_brand" in p.split("(1) Scan")[0] or "p_brand" in p, p
+    # exactly one join, no scan-union rewrite: assert structure, not
+    # formatted-layout string counts (node text prints twice today,
+    # but that's a layout detail a Spark upgrade may change)
+    assert "Union" not in p, p
+    n_joins = sum(p.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert n_joins > 0, p
+    # distinct scan node ids: one lineitem scan + one part scan
+    import re as _re
+
+    scan_ids = {m.group(1) for m in _re.finditer(r"\((\d+)\) Scan parquet", p)}
+    assert len(scan_ids) == 2, (scan_ids, p)
+    assert "p_brand" in p, p

@@ -21,6 +21,20 @@ Scale notes (100 TB / high-throughput topics):
 - the value payload stays ``binary`` until ``parse_json_payload``;
   schema evolution is handled there (permissive mode → corrupt-record
   column), never by the source.
+
+Integration recipe (run where a broker exists): the connector is a
+Maven package whose version must match the installed PySpark —
+
+    spark-submit \\
+      --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 \\
+      tools/kafka_roundtrip.py --bootstrap <host:9092> \\
+      --topic spark_graft_rt --out /tmp/kafka_rt
+
+``tools/kafka_roundtrip.py`` drives events.parquet through produce →
+readStream → parse_json_payload → foreachBatch parquet and asserts
+count + checksum equality against the source table — the end-to-end
+proof this sandbox cannot run.  The parse path itself is unit-tested
+offline (tests/test_sources.py::test_parse_json_payload_*).
 """
 
 from __future__ import annotations

@@ -68,6 +68,39 @@ def stream_stream_join(
     )
 
 
+def stream_stream_semi_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """J2 left-semi stream-stream: emit each click exactly once iff a
+    purchase by the same user lands within the horizon — no right-side
+    columns ever emitted.  Same watermark + two-sided time bound as
+    the inner form, so the symmetric-hash state evicts identically
+    (a click older than watermark + horizon can never gain a match;
+    buffered purchases older than the watermark can never satisfy a
+    future click)."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond, "left_semi")
+
+
 def tumbling_counts(
     events: DataFrame, watermark: str = "10 minutes", size: str = "1 hour"
 ) -> DataFrame:

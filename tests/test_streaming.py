@@ -1486,3 +1486,64 @@ def test_rocksdb_state_store_equivalence_and_restart(spark, sf_dir, tmp_path):
             spark.conf.unset(provider_conf)
         else:
             spark.conf.set(provider_conf, saved)
+
+
+def test_stream_stream_semi_join_survives_restart(spark, sf_dir, tmp_path):
+    """S7/J2: left-semi symmetric-hash state must survive a checkpoint
+    restart — a click buffered before the stop whose qualifying
+    purchase only arrives after the restart must still emit exactly
+    once, and the final output must equal a single uninterrupted run
+    (restart coverage previously existed only for the inner form)."""
+    _restart_equals_uninterrupted(
+        spark,
+        sf_dir,
+        tmp_path,
+        lambda s: jobs.stream_stream_semi_join(
+            s.filter(F.col("event_type") == "click"),
+            s.filter(F.col("event_type") == "purchase"),
+            horizon_minutes=240,
+        ),
+    )
+
+
+def test_rocksdb_provider_stream_stream_join_equivalence(
+    spark, sf_dir, replay_dir, tmp_path
+):
+    """Cross-provider equivalence for symmetric-hash JOIN state
+    (provider coverage previously existed only for aggregation and
+    dedup state): the stream-stream inner join run under
+    RocksDBStateStoreProvider — the disk-backed 100 TB-state backend —
+    must produce exactly the default-provider result."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def job(stream):
+        return jobs.stream_stream_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            horizon_minutes=240,
+        )
+
+    try:
+        out = run_to_memory(
+            job(read_event_stream(spark, replay_dir)),
+            str(tmp_path / "ckpt_rocks_join"),
+            "append",
+        )
+        out_rows = collect_sorted(out)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    base = run_to_memory(
+        job(read_event_stream(spark, replay_dir)),
+        str(tmp_path / "ckpt_hdfs_join"),
+        "append",
+    )
+    assert len(out_rows) > 0
+    assert out_rows == collect_sorted(base)

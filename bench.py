@@ -110,6 +110,20 @@ def main() -> None:
             "q_bfs_hops",
             "q_kcore",
             "q_collab_filter",
+            "q_assortativity",
+            # the round-6 two-phase global-window reworks (ntile/rank/
+            # cumsum via operators/ranking): locally these pay fixed
+            # multi-stage overhead vs the old single-partition sort —
+            # tracked here so the scale-safe plans have recorded,
+            # comparable numbers every round
+            "q_equi_depth_histogram",
+            "q_rrf_fusion",
+            "q_shard_assign",
+            "q_rfm_segments",
+            "q_auc_ranksum",
+            "q_calibration_bins",
+            "q_pr_curve",
+            "q_ks_statistic",
         )
         if n in qd
     ]

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.numeric import VALUE, exact_sum, oracle_exact_sum
-from ..operators.ranking import global_ntile, global_row_number
+from ..operators.ranking import global_cumsum, global_ntile, global_row_number
 from ..sources.batch import load_table
 from .registry import register
 
@@ -1984,11 +1984,12 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pareto/Lorenz 80-20 audit every revenue dashboard carries.
 
     All-integer: per-customer revenue in exact cents, cumulative sums
-    over a total-ordered window (revenue desc, key), decile and ppm by
-    integer division.  Scale: the per-customer rollup carries the data
-    volume; the ranking window runs over customers.  Same
-    global-window caveat as q_vocab_coverage: at extreme cardinality,
-    pre-aggregate to revenue bands before the window.
+    over a total order (revenue desc, key), decile and ppm by integer
+    division.  Scale: the per-customer rollup carries the data volume;
+    the rank and cumulative revenue over the CUSTOMER-cardinality
+    rollup run through operators/ranking.global_cumsum (one range
+    shuffle, local running sums, broadcast offsets — no
+    single-partition window), the same treatment as q_rfm_segments.
     """
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -2000,13 +2001,11 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_c").cast("long").alias("total_c"),
         F.count(F.lit(1)).cast("long").alias("n_cust"),
     )
-    w = Window.orderBy(F.col("rev_c").desc(), "o_custkey")
-    r = per_cust.select(
-        "rev_c",
-        F.row_number().over(w).alias("rk"),
-        F.sum("rev_c")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum_c"),
+    r = global_cumsum(
+        per_cust,
+        [F.col("rev_c").desc(), "o_custkey"],
+        sums={"cum_c": "rev_c"},
+        rn_out="rk",
     )
     return (
         r.crossJoin(t)

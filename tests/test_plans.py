@@ -601,3 +601,44 @@ def test_disjunctive_revenue_extracts_common_constraints(spark, sf_dir, qd):
     scan_ids = {m.group(1) for m in _re.finditer(r"\((\d+)\) Scan parquet", p)}
     assert len(scan_ids) == 2, (scan_ids, p)
     assert "p_brand" in p, p
+
+
+def test_reworked_global_windows_single_partition_is_metadata_only(
+    spark, sf_dir, qd
+):
+    """Round-6 pin for every query routed through the two-phase
+    ranking kernels: the ONLY SinglePartition exchanges allowed in
+    their plans are coordination metadata — the partition-count-sized
+    offsets/sizes tables (_pid/_n/_t_*) and 1-row aggregate partials
+    (max/sum/count) — never the data payload.  A regression that
+    reintroduces a bare Window.orderBy over the input would surface
+    here as a SinglePartition exchange carrying data columns."""
+    import re as _re
+
+    allowed = _re.compile(r"^(_pid|_n|_t_\w*|_o_\w*|max|min|sum|count)$")
+    reworked = [
+        "q_equi_depth_histogram",
+        "q_rrf_fusion",
+        "q_shard_assign",
+        "q_rfm_segments",
+        "q_auc_ranksum",
+        "q_calibration_bins",
+        "q_pr_curve",
+        "q_ks_statistic",
+        "q_revenue_concentration",
+        "q_global_rank_distributed",
+    ]
+    for name in reworked:
+        p = plan_of(qd[name](spark, sf_dir))
+        for block in p.split("\n\n"):
+            if "SinglePartition" not in block:
+                continue
+            for line in block.splitlines():
+                if not line.startswith("Input"):
+                    continue
+                cols = _re.findall(r"[\[, ]([A-Za-z_]\w*)#", line)
+                bad = [c for c in cols if not allowed.match(c)]
+                assert not bad, (
+                    f"{name}: SinglePartition exchange carries data "
+                    f"columns {bad}:\n{block}"
+                )

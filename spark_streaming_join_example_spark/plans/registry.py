@@ -64,6 +64,7 @@ def _load_all_plans() -> None:
     from . import round5  # noqa: F401
     from . import round5b  # noqa: F401
     from . import mleval  # noqa: F401
+    from . import round6  # noqa: F401
 
 
 #: The 50 queries exposed FIRST to the verification driver.  The

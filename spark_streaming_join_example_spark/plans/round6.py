@@ -1,0 +1,149 @@
+"""Round-6 additions: order statistics that RUN on the two-phase
+distributed ranking kernels (operators/ranking) rather than promising
+them in a docstring — exact global median and the Gini coefficient,
+the two classic "needs a global order" statistics every analytics
+engine is asked for.
+
+Both follow the registry's integer doctrine: money in exact cents,
+ranks/counts BIGINT, one floor division at the very end — so the
+DuckDB oracle (written with ordinary single-partition windows) must
+hash-match bit for bit, which is precisely the kernel-equivalence
+claim (two-phase rank ≡ single sort) re-proven per query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.ranking import global_row_number
+from ..sources.batch import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_exact_global_median",
+    tags=("O1", "W1", "A1"),
+    oracle="""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM c
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(cents) AS BIGINT) AS med_lo_c,
+       CAST(MAX(cents) AS BIGINT) AS med_hi_c,
+       CAST((MIN(cents) + MAX(cents)) // 2 AS BIGINT) AS med_avg_c
+FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+""",
+)
+def q_exact_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of order totals (lower/upper median in
+    cents plus their floor average) — selected by POSITION under a
+    total order, not estimated by a sketch: the answer a billing or
+    SLA report must defend.
+
+    Scale rationale: the global position comes from
+    operators/ranking.global_row_number (range partition → local rank
+    → broadcast offsets), so no single-partition sort exists; the
+    count is a 1-row broadcast aggregate, and only the two middle rows
+    survive the position filter.  This is the exact-median scale path
+    the sketch queries (q_approx_quantiles) trade away, for the cases
+    where "within 1e-4·n rank error" is not an acceptable answer.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    r = global_row_number(o, ["cents", "o_orderkey"], out="rn")
+    t = r.join(
+        F.broadcast(o.agg(F.count(F.lit(1)).cast("long").alias("n"))),
+        how="cross",  # bounded: 1-row aggregate
+    )
+    sel = t.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return sel.agg(
+        F.max("n").alias("n"),
+        F.min("cents").alias("med_lo_c"),
+        F.max("cents").alias("med_hi_c"),
+        F.expr("CAST((MIN(cents) + MAX(cents)) div 2 AS BIGINT)").alias(
+            "med_avg_c"
+        ),
+    )
+
+
+@register(
+    "q_gini_coefficient",
+    tags=("W1", "A1", "O1"),
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT rev_c,
+         row_number() OVER (ORDER BY rev_c, o_custkey) AS rk
+  FROM per_cust
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rev_c) AS BIGINT) AS total_c,
+         CAST(SUM(rk * rev_c) AS BIGINT) AS wsum
+  FROM r
+)
+SELECT n, total_c,
+       CAST(CAST(2 * wsum - (n + 1) * total_c AS HUGEINT) * 1000000
+            // (CAST(n AS HUGEINT) * total_c) AS BIGINT) AS gini_ppm
+FROM mom
+""",
+)
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue (0 = perfectly equal,
+    1e6 ppm = one customer is the whole book) via the rank identity
+    G = (2·Σ rkᵢ·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over revenue-ascending
+    ranks — the inequality number next to q_revenue_concentration's
+    Lorenz deciles.
+
+    Scale rationale: the rank is operators/ranking.global_row_number
+    over the CUSTOMER-cardinality rollup (no single-partition sort);
+    the identity then needs only one integer moment aggregate — no
+    cumulative window at all, cheaper than the Lorenz curve.  The
+    moments stay BIGINT (Σ rk·rev_c ≤ n²·max_rev_c ≈ 4.5e15 at
+    sf0.1, int64-safe past sf1); the final ppm ratio would NOT be —
+    numerator·1e6 tops 1e21 — so that one division runs in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both exact integral
+    division, then lands back in BIGINT.
+    """
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    r = global_row_number(per_cust, ["rev_c", "o_custkey"], out="rk")
+    mom = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev_c").alias("total_c"),
+        F.sum(F.col("rk") * F.col("rev_c")).alias("wsum"),
+    )
+    return mom.select(
+        "n",
+        "total_c",
+        F.expr(
+            "CAST(CAST(2 * wsum - (n + 1) * total_c AS DECIMAL(38,0)) "
+            "* 1000000 div (CAST(n AS DECIMAL(38,0)) * total_c) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

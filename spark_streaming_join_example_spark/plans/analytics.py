@@ -467,11 +467,15 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All-integer output (rank, count, ppm via integer division) — no
     float crosses the hash gate.  Scale: token counting is a hash
-    aggregate over the exploded corpus; the global-order window runs on
-    the aggregated vocabulary (millions of rows at worst, not the
-    corpus), and only the 100-row head survives.  At 100 TB you would
-    pre-filter `n >= threshold` before the single-partition window —
-    the aggregate, not the window, sees the data volume.
+    aggregate over the exploded corpus; only the 100-row head is ever
+    ranked, so the head is taken FIRST with a distributed top-100
+    (TakeOrderedAndProject — per-partition heads, merged) and the
+    rank/cumulative window runs over those 100 rows only.  The head's
+    running sum equals the global running sum for those rows by
+    construction (they ARE the first 100 of the total order), so this
+    is lossless vs windowing the whole vocabulary — no vocab-sized
+    single-partition pass anywhere; only the total-token count scans
+    the full vocab (one partial aggregate).
     """
     d = _t(spark, sf_dir, "documents")
     freq = (
@@ -480,15 +484,16 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     tot = freq.agg(F.sum("n").alias("total"))
+    head = freq.orderBy(F.col("n").desc(), "token").limit(100)
     w = Window.orderBy(F.col("n").desc(), "token")
-    ranked = freq.select(
+    ranked = head.select(
         "token",
         "n",
         F.row_number().over(w).alias("rank"),
         F.sum("n")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum"),
-    ).filter(F.col("rank") <= 100)
+    )
     return ranked.crossJoin(tot).select(
         F.col("rank").cast("long").alias("rank"),
         "token",

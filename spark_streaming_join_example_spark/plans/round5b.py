@@ -634,11 +634,15 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     they reach training.
 
     Scale rationale: token counting is the partial-aggregable explode +
-    groupBy every text query here shares; the ranking touches only the
-    VOCABULARY (token-cardinality, ≪ corpus) and the fit is a one-pass
-    covariance aggregate (regr_slope/regr_r2) over ≤500 rows.  Rank
-    ties are broken by token string so both engines assign identical
-    ranks; the regression is rounded to 4 decimals, the registry's
+    groupBy every text query here shares; only the 500-row Zipf head
+    is ever ranked, so the head is taken FIRST with a distributed
+    top-500 (TakeOrderedAndProject) and the rank window runs over
+    those 500 rows — lossless (they ARE the first 500 of the total
+    order), so no vocab-sized single-partition pass exists (the
+    q_vocab_coverage discipline).  The fit is a one-pass covariance
+    aggregate (regr_slope/regr_r2) over ≤500 rows.  Rank ties are
+    broken by token string so both engines assign identical ranks;
+    the regression is rounded to 4 decimals, the registry's
     cross-engine float-aggregate doctrine (cf. q_regression_aggs).
     """
     d = _t(spark, sf_dir, "documents")
@@ -648,13 +652,14 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = cnt.select(
+    head = cnt.orderBy(F.col("c").desc(), "tok").limit(500)
+    ranked = head.select(
         "c",
         "tok",
         F.row_number()
         .over(Window.orderBy(F.col("c").desc(), F.col("tok")))
         .alias("rank"),
-    ).filter((F.col("rank") <= 500) & (F.col("c") >= 2))
+    ).filter(F.col("c") >= 2)
     lnc = F.log(F.col("c").cast("double"))
     lnr = F.log(F.col("rank").cast("double"))
     return ranked.agg(

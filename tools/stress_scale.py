@@ -79,6 +79,29 @@ def main() -> None:
     def topk(orders):
         return orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10)
 
+    # round-6 kernel A/B: the two-phase global rank vs the single-
+    # partition window it replaces, on the same K×-replicated input.
+    # Both reduce to sum(rn) = n(n+1)/2 — a 1-row result that forces
+    # the full ranking AND cross-checks the two paths for equality.
+    from spark_streaming_join_example_spark.operators.ranking import (
+        global_row_number,
+    )
+    from pyspark.sql import Window
+
+    def rank_two_phase(orders):
+        r = global_row_number(
+            orders.select("o_totalprice", "o_orderkey"),
+            ["o_totalprice", "o_orderkey"],
+            out="rn",
+        )
+        return r.agg(F.sum("rn").alias("s"))
+
+    def rank_single_sort(orders):
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        return orders.select(
+            F.row_number().over(w).cast("long").alias("rn")
+        ).agg(F.sum("rn").alias("s"))
+
     cases = {
         "pricing": (lambda: pricing(li), lambda: pricing(big_li)),
         "revenue_join3": (
@@ -86,6 +109,14 @@ def main() -> None:
             lambda: revenue(big_c, big_o, big_li),
         ),
         "topk": (lambda: topk(o), lambda: topk(big_o)),
+        "global_rank_two_phase": (
+            lambda: rank_two_phase(o),
+            lambda: rank_two_phase(big_o),
+        ),
+        "global_rank_single_sort": (
+            lambda: rank_single_sort(o),
+            lambda: rank_single_sort(big_o),
+        ),
     }
 
     results = {}
@@ -99,6 +130,12 @@ def main() -> None:
             f"x{k}_s": round(big_s, 3),
             "ratio": round(big_s / max(base_s, 1e-9), 2),
         }
+
+    # cross-check: both rank paths must produce the identical sum(rn)
+    # (= n(n+1)/2) on the scaled input — a correctness probe at K-scale
+    s_two = rank_two_phase(big_o).collect()[0].s
+    s_one = rank_single_sort(big_o).collect()[0].s
+    assert s_two == s_one, (s_two, s_one)
 
     rows = {"base_lineitem": li.count(), "scaled_lineitem": big_li.count()}
     print(json.dumps({"k": k, "rows": rows, "queries": results}))

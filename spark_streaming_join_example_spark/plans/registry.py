@@ -65,6 +65,7 @@ def _load_all_plans() -> None:
     from . import round5b  # noqa: F401
     from . import mleval  # noqa: F401
     from . import round6  # noqa: F401
+    from . import tpch_gaps  # noqa: F401
 
 
 #: The 50 queries exposed FIRST to the verification driver.  The

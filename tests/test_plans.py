@@ -642,3 +642,30 @@ def test_reworked_global_windows_single_partition_is_metadata_only(
                     f"{name}: SinglePartition exchange carries data "
                     f"columns {bad}:\n{block}"
                 )
+
+
+def test_tpch_gap_shapes_scale_plans(spark, sf_dir, qd):
+    # Q6 shape: all three predicates + 3-column projection reach the scan
+    p = plan_of(qd["q_forecast_revenue"](spark, sf_dir))
+    pushed = p.split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+    assert p.count("HashAggregate") >= 2  # map-side partial
+
+    # Q2 shape: min-cost window partitions by part (never SinglePartition),
+    # and the final top-100 is TakeOrderedAndProject, not a global Sort
+    p2 = plan_of(qd["q_min_cost_supplier"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p2
+    win = [b for b in p2.split("\n\n") if "Window" in b.splitlines()[0]]
+    assert win and all("SinglePartition" not in b for b in win)
+
+    # Q11 shape: the global-total scalar joins as a broadcast single-row
+    # build (nested-loop), never a shuffle of the per-part relation
+    p11 = plan_of(qd["q_important_stock"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p11 or "BroadcastHashJoin" in p11
+
+    # Q8 shape: nation/region/part/supplier dims all broadcast — the only
+    # sort-merge joins allowed are the two fact-fact equi-joins
+    p8 = plan_of(qd["q_market_share"](spark, sf_dir))
+    assert p8.count("BroadcastHashJoin") >= 4

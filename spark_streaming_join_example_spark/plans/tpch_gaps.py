@@ -420,7 +420,10 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     back over the per-part relation (cross-join of a scalar — Spark
     plans BroadcastNestedLoopJoin with a single build row); the
     threshold compares integers scaled by 1000 rather than dividing,
-    so no float ever enters the predicate.  Both aggregates shuffle on
+    so no float ever enters the predicate.  Envelope (measured, not
+    estimated): Σ cost_c×qty_c ≈ 3.1e14 at sf0.1 and linear in
+    |lineitem| → int64-safe past sf100; the ×1000 comparison adds 3
+    digits to the PER-PART side only (max ≈ 2.2e12).  Both aggregates shuffle on
     ps_partkey once; the nation filter prunes via a 3-row broadcast
     before any shuffle."""
     li = _t(spark, sf_dir, "lineitem")

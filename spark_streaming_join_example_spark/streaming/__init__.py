@@ -1,4 +1,5 @@
 from .replay import chunk_events, read_event_stream, run_to_memory
 from . import jobs
+from . import temporal
 
-__all__ = ["chunk_events", "read_event_stream", "run_to_memory", "jobs"]
+__all__ = ["chunk_events", "read_event_stream", "run_to_memory", "jobs", "temporal"]

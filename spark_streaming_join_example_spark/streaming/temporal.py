@@ -1,0 +1,215 @@
+"""Streaming temporal (point-in-time) join — SURVEY.md §2 T4/J8:
+enrich each event with the LATEST version of a changing dimension as
+of the event's own timestamp (Flink temporal-table join / Kafka
+Streams KTable join semantics), which Spark's built-in stream-stream
+join cannot express: its join conditions bound a time RANGE, but
+"the most recent version ≤ my timestamp" needs per-key ORDER, i.e.
+state + custom merge logic.
+
+Implementation: both inputs are tagged and unioned into ONE keyed
+stream (the standard two-input encoding for a single-input stateful
+operator), then ``applyInPandasWithState`` per join key holds
+
+- a version buffer  (ts, seq, value) — the dimension's history,
+- an event buffer   (ts, id, value)  — events not yet safe to emit,
+
+and on every micro-batch (and on event-time timer wakeups):
+
+1. append the batch's rows to the buffers;
+2. emit every buffered event with ``ts <= watermark``: versions with
+   ``v_ts <= e_ts`` are all present (anything older than the
+   watermark would have been dropped at ingestion), so the as-of
+   match — max (v_ts, v_seq) with v_ts ≤ e_ts — is FINAL;
+3. prune versions: among those ≤ watermark only the latest can ever
+   match a future event (future events have ts > watermark), so
+   exactly one survives;
+4. arm an event-time timer at the earliest still-buffered event so
+   emission needs no further input for this key.
+
+Determinism: ties on version ts break by ``seq`` (the version's
+unique id), making the operator a pure function of the input SET —
+the batch twin is ``operators.joins.asof_join`` over tie-deduped
+versions, and tests/test_streaming.py proves output equality under
+in-order replay, out-of-order replay, and checkpoint restart.
+
+Scale: state per key is one dimension version + the ≤ watermark-delay
+window of events — the same bound a built-in stream-stream join's
+symmetric hash state carries; keyed state shards with the shuffle
+partitioning, and the watermark bounds both memory and latency.
+RocksDB state store recommended beyond ~10⁷ active keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_US = 1_000_000
+
+OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, value double, "
+    "dim_ts timestamp, dim_value double"
+)
+STATE_SCHEMA = (
+    "v_ts array<long>, v_seq array<long>, v_val array<double>, "
+    "e_ts array<long>, e_id array<long>, e_val array<double>"
+)
+
+
+def _to_us(series: pd.Series) -> list[int]:
+    return [int(t.value // 1000) for t in pd.to_datetime(series)]
+
+
+def temporal_join(
+    versions: DataFrame, events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Point-in-time enrich ``events`` against the ``versions`` change
+    stream, per ``user_id``.
+
+    ``versions``: columns (user_id, ts, seq, dim_value) — ``seq`` is a
+    unique version id used only to break same-timestamp ties.
+    ``events``: columns (user_id, ts, event_id, value).
+
+    Returns an append-mode stream of OUTPUT_SCHEMA rows: one row per
+    event whose emission the watermark has finalized; ``dim_ts`` /
+    ``dim_value`` are NULL when no version existed at or before the
+    event (left as-of semantics).
+    """
+    tagged_v = versions.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("seq").alias("tag_id"),
+        F.col("dim_value").alias("payload"),
+    )
+    tagged_e = events.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("tag_id"),
+        F.col("value").alias("payload"),
+    )
+    both = tagged_v.unionByName(tagged_e).withWatermark("ts", watermark)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            v_ts, v_seq, v_val, e_ts, e_id, e_val = (list(x) for x in state.get)
+        else:
+            v_ts, v_seq, v_val, e_ts, e_id, e_val = [], [], [], [], [], []
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = _to_us(pdf["ts"])
+                for t, side, tid, pay in zip(
+                    ts_us, pdf["side"], pdf["tag_id"], pdf["payload"]
+                ):
+                    if side == 0:
+                        v_ts.append(t)
+                        v_seq.append(int(tid))
+                        v_val.append(float(pay))
+                    else:
+                        e_ts.append(t)
+                        e_id.append(int(tid))
+                        e_val.append(float(pay))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        # 2. emit finalized events (ts <= watermark), as-of matched
+        versions_sorted = sorted(zip(v_ts, v_seq, v_val))
+        out_rows: list[tuple] = []
+        still_e: list[tuple[int, int, float]] = []
+        for t, eid, val in zip(e_ts, e_id, e_val):
+            if t > wm_us:
+                still_e.append((t, eid, val))
+                continue
+            match = None
+            for vt, vs, vv in versions_sorted:
+                if vt <= t:
+                    match = (vt, vv)  # sorted asc → last hit is max (ts, seq)
+                else:
+                    break
+            out_rows.append((eid, t, val) + (match or (None, None)))
+
+        # 3. prune versions: keep all > watermark plus the single
+        #    latest at-or-before it
+        keep = [x for x in versions_sorted if x[0] > wm_us]
+        last_at_or_before = None
+        for x in versions_sorted:
+            if x[0] <= wm_us:
+                last_at_or_before = x
+        if last_at_or_before is not None:
+            keep.insert(0, last_at_or_before)
+
+        if not still_e and not keep:
+            state.remove()
+        else:
+            state.update(
+                (
+                    [x[0] for x in keep],
+                    [x[1] for x in keep],
+                    [x[2] for x in keep],
+                    [x[0] for x in still_e],
+                    [x[1] for x in still_e],
+                    [x[2] for x in still_e],
+                )
+            )
+            if still_e:
+                # 4. wake when the watermark passes the earliest
+                # pending event; the max() guards the sub-millisecond
+                # case where µs-floor would land ON the watermark
+                # (timers must be strictly beyond it)
+                state.setTimeoutTimestamp(
+                    max(
+                        min(t for t, _, _ in still_e) // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_rows),
+                    "event_id": [r[0] for r in out_rows],
+                    "ts": [pd.Timestamp(r[1], unit="us") for r in out_rows],
+                    "value": [r[2] for r in out_rows],
+                    "dim_ts": [
+                        pd.Timestamp(r[3], unit="us") if r[3] is not None else pd.NaT
+                        for r in out_rows
+                    ],
+                    # object dtype keeps missing as None → Arrow NULL
+                    # (a float64 column would smuggle NaN instead)
+                    "dim_value": pd.Series(
+                        [r[4] for r in out_rows], dtype="object"
+                    ),
+                }
+            )
+
+    return both.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def temporal_join_events(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """The fixture framing of ``temporal_join``: 'view' events are
+    profile-score updates (the changing dimension), 'click' events get
+    enriched with the profile score as of their click time."""
+    versions = stream.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("seq"), F.col("value").alias("dim_value")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return temporal_join(versions, clicks, watermark=watermark)

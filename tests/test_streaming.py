@@ -1547,3 +1547,105 @@ def test_rocksdb_provider_stream_stream_join_equivalence(
     )
     assert len(out_rows) > 0
     assert out_rows == collect_sorted(base)
+
+
+# ---------------------------------------------------------------------------
+# Streaming temporal (point-in-time) join — streaming/temporal.py
+# ---------------------------------------------------------------------------
+def _batch_temporal_twin(spark, sf_dir):
+    """Batch as-of twin of temporal_join_events: clicks enriched with
+    the latest 'view' value at-or-before the click, ties on view ts
+    pre-deduped to the max event_id (the operator's tie rule)."""
+    from spark_streaming_join_example_spark.operators.joins import asof_join
+
+    be = _batch_events(spark, sf_dir)
+    views = (
+        be.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id").alias("d_user"), F.col("ts").alias("dim_ts"))
+        .agg(F.max_by("value", "event_id").alias("dim_value"))
+    )
+    clicks = be.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        views,
+        left_on="user_id",
+        right_on="d_user",
+        left_ts="ts",
+        right_ts="dim_ts",
+        how="left",
+    ).select("user_id", "event_id", "ts", "value", "dim_ts", "dim_value")
+
+
+def test_temporal_join_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    """T4/J8 streaming: every emitted (click ⨝asof latest view) row
+    must equal the batch as-of twin verbatim, and every click the
+    watermark finalized must have been emitted."""
+    from spark_streaming_join_example_spark.streaming.temporal import (
+        temporal_join_events,
+    )
+
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        temporal_join_events(stream, watermark="10 minutes"),
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    twin = _batch_temporal_twin(spark, sf_dir)
+    out_rows = collect_sorted(out)
+    assert len(out_rows) > 0
+    eid_ix = sorted(out.columns).index("event_id")
+    twin_by_event = {t[eid_ix]: t for t in collect_sorted(twin)}
+    for r in out_rows:
+        assert r == twin_by_event[r[eid_ix]], r[eid_ix]
+    # completeness: clicks safely behind the final watermark all emitted
+    be = _batch_events(spark, sf_dir)
+    max_ts = be.agg(F.max("ts")).collect()[0][0]
+    finalized = (
+        be.filter(F.col("event_type") == "click")
+        .filter(F.col("ts") <= F.lit(max_ts) - F.expr("INTERVAL 20 MINUTES"))
+        .count()
+    )
+    emitted_ids = {r[eid_ix] for r in out_rows}
+    assert len(emitted_ids) == len(out_rows)  # exactly-once per click
+    assert finalized > 0 and len(emitted_ids) >= finalized
+    # the dimension genuinely matched on at least some rows
+    dv_ix = sorted(out.columns).index("dim_value")
+    assert any(r[dv_ix] is not None for r in out_rows)
+
+
+def test_temporal_join_out_of_order_replay(spark, sf_dir, tmp_path):
+    """The temporal join is a pure function of the input SET: replaying
+    chunks out of chronological order (within the watermark bound) must
+    yield the same finalized output as the in-order replay."""
+    from spark_streaming_join_example_spark.streaming.temporal import (
+        temporal_join_events,
+    )
+
+    outs = []
+    for tag, reorder in (("inorder", None), ("swapped", {1: 2, 2: 1})):
+        replay = tmp_path / f"replay_{tag}"
+        chunk_events(spark, sf_dir, str(replay), n_chunks=6, reorder=reorder)
+        stream = read_event_stream(spark, str(replay))
+        out = run_to_memory(
+            temporal_join_events(stream, watermark="45 minutes"),
+            str(tmp_path / f"ckpt_{tag}"),
+            "append",
+        )
+        outs.append(collect_sorted(out))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
+
+
+def test_temporal_join_state_survives_restart(spark, sf_dir, tmp_path):
+    """T4/S7: version buffers and pending-event buffers live in keyed
+    state — a checkpoint restart mid-stream must resume to exactly the
+    single-run output."""
+    from spark_streaming_join_example_spark.streaming.temporal import (
+        temporal_join_events,
+    )
+
+    _restart_equals_uninterrupted(
+        spark, sf_dir, tmp_path, lambda s: temporal_join_events(s)
+    )

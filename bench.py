@@ -124,6 +124,10 @@ def main() -> None:
             "q_calibration_bins",
             "q_pr_curve",
             "q_ks_statistic",
+            # round-6 TPC-H gap shapes that build the derived
+            # partsupp catalog (a |lineitem| groupBy) per run
+            "q_min_cost_supplier",
+            "q_important_stock",
         )
         if n in qd
     ]

@@ -407,23 +407,26 @@ by_part AS (
 )
 SELECT ps_partkey, part_value_cc
 FROM by_part
-WHERE part_value_cc * 1000 > (SELECT SUM(part_value_cc) FROM by_part)
+WHERE part_value_cc > 2 * (SELECT SUM(part_value_cc) // COUNT(*) FROM by_part)
 """,
 )
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose inventory value within a nation
-    group exceeds a FRACTION OF THE GLOBAL TOTAL — the
+    group exceeds a GLOBAL-AGGREGATE threshold — the
     scalar-subquery-in-HAVING query.  Adaptation: value = derived
-    supply cost × shipped quantity (exact integer cents×centi-units).
+    supply cost × shipped quantity (exact integer cents×centi-units),
+    and the threshold is 2× the integer-average part value rather
+    than TPC-H's fixed fraction (which the spec itself scales as
+    0.0001/SF precisely because a constant fraction degenerates to an
+    empty result as |part| grows — this form is scale-invariant).
 
-    Scale rationale: the global total is a 1-row aggregate broadcast
-    back over the per-part relation (cross-join of a scalar — Spark
-    plans BroadcastNestedLoopJoin with a single build row); the
-    threshold compares integers scaled by 1000 rather than dividing,
-    so no float ever enters the predicate.  Envelope (measured, not
-    estimated): Σ cost_c×qty_c ≈ 3.1e14 at sf0.1 and linear in
-    |lineitem| → int64-safe past sf100; the ×1000 comparison adds 3
-    digits to the PER-PART side only (max ≈ 2.2e12).  Both aggregates shuffle on
+    Scale rationale: the global (sum, count) is a 1-row aggregate
+    broadcast back over the per-part relation (cross-join of a scalar
+    — Spark plans BroadcastNestedLoopJoin with a single build row);
+    the threshold is an exact integer floor-average, so no float ever
+    enters the predicate.  Envelope (measured, not estimated):
+    Σ cost_c×qty_c ≈ 3.1e14 at sf0.1 and linear in |lineitem| →
+    int64-safe past sf100.  Both aggregates shuffle on
     ps_partkey once; the nation filter prunes via a 3-row broadcast
     before any shuffle."""
     li = _t(spark, sf_dir, "lineitem")
@@ -439,10 +442,12 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ps_partkey", (F.col("ps_supplycost_c") * F.col("ps_qty_c")).alias("value_cc"))
     )
     by_part = scoped.groupBy("ps_partkey").agg(F.sum("value_cc").alias("part_value_cc"))
-    total = by_part.agg(F.sum("part_value_cc").alias("total_cc"))  # bounded: 1-row scalar aggregate
+    avg_floor = by_part.agg(
+        F.expr("sum(part_value_cc) div count(*)").alias("avg_cc")
+    )  # bounded: 1-row scalar aggregate
     return (
-        by_part.join(F.broadcast(total))
-        .filter(F.col("part_value_cc") * F.lit(1000) > F.col("total_cc"))
+        by_part.join(F.broadcast(avg_floor))
+        .filter(F.col("part_value_cc") > F.lit(2) * F.col("avg_cc"))
         .select("ps_partkey", "part_value_cc")
     )
 

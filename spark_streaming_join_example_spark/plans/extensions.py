@@ -1479,3 +1479,76 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("keep_id"),
     )
+
+
+@register(
+    "q_lexicon_sentiment",
+    tags=("X5", "J3", "A1"),
+    oracle="""
+WITH lexicon(word, weight) AS (
+  VALUES ('fast', 2), ('small', 1), ('slow', -2), ('big', -1), ('dup', -3)
+),
+toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(SUM(weight) AS BIGINT) AS sentiment
+  FROM toks JOIN lexicon ON tok = word
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       COALESCE(n_hits, 0) AS n_hits,
+       COALESCE(sentiment, 0) AS sentiment,
+       CASE WHEN COALESCE(sentiment, 0) > 0 THEN 'positive'
+            WHEN COALESCE(sentiment, 0) < 0 THEN 'negative'
+            ELSE 'neutral' END AS label
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+""",
+)
+def q_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring — the X5 operator SURVEY.md §2
+    names verbatim ('lexicon-based sentiment score = token join
+    against a lexicon table + sum(weight) per doc'; grounding:
+    "Large Scale Sentiment Analysis on Twitter with Spark", EDBT'16,
+    PAPERS.md:6): explode tokens, equi-join a signed word-weight
+    lexicon, sum weights per document, classify by sign.  Zero-hit
+    documents survive via a left join with COALESCE(0) — a sentiment
+    report that silently drops neutral documents is wrong.
+
+    Scale rationale: the lexicon is a constant-sized broadcast (real
+    lexicons are 10⁴-10⁵ rows — still broadcast territory), so token
+    scoring is a map-side hash probe with no shuffle; the per-doc sum
+    shuffles once on doc_id, and the final enrich joins the scored
+    aggregate (≤ |docs|) back to the document list on the same key.
+    Integer weights keep every engine's sum exact."""
+    d = load_table(spark, sf_dir, "documents")
+    lexicon = spark.createDataFrame(
+        [("fast", 2), ("small", 1), ("slow", -2), ("big", -1), ("dup", -3)],
+        "word string, weight int",
+    )
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    scored = (
+        toks.join(F.broadcast(lexicon), F.col("tok") == F.col("word"))  # bounded: constant lexicon
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("h"),
+            F.sum("weight").cast("long").alias("s"),
+        )
+    )
+    sent = F.coalesce(F.col("s"), F.lit(0).cast("long"))
+    return (
+        d.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("h"), F.lit(0).cast("long")).alias("n_hits"),
+            sent.alias("sentiment"),
+            F.when(sent > 0, "positive")
+            .when(sent < 0, "negative")
+            .otherwise("neutral")
+            .alias("label"),
+        )
+    )

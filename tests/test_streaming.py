@@ -1649,3 +1649,36 @@ def test_temporal_join_state_survives_restart(spark, sf_dir, tmp_path):
     _restart_equals_uninterrupted(
         spark, sf_dir, tmp_path, lambda s: temporal_join_events(s)
     )
+
+
+def test_temporal_join_rocksdb_provider_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    """The temporal join's keyed version/event buffers under
+    RocksDBStateStoreProvider (the 100 TB-state backend) must produce
+    exactly the default-provider output."""
+    from spark_streaming_join_example_spark.streaming.temporal import (
+        temporal_join_events,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, replay_dir)
+        out = run_to_memory(
+            temporal_join_events(stream), str(tmp_path / "ckpt_rocks"), "append"
+        )
+        out_rows = collect_sorted(out)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    stream2 = read_event_stream(spark, replay_dir)
+    base = run_to_memory(
+        temporal_join_events(stream2), str(tmp_path / "ckpt_hdfs"), "append"
+    )
+    assert len(out_rows) > 0
+    assert out_rows == collect_sorted(base)

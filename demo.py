@@ -7,7 +7,9 @@ repo demonstrates, on this engine:
   2. stream-static enrichment join against the customer dimension,
   3. stream-stream click->purchase join (watermarks + time-range),
   4. tumbling-window conversion counts,
-  5. drain to an in-memory sink and print the results.
+  5. temporal (point-in-time) join — each click enriched with the
+     latest profile-score update at-or-before its timestamp,
+  6. drain to an in-memory sink and print the results.
 
 Usage: python demo.py [sf_dir]   (default /root/testdata/sf0.001)
 """
@@ -61,6 +63,18 @@ def main() -> None:
         jobs.tumbling_counts(stream3), f"{work}/ckpt3", "append"
     )
     counts.orderBy("window_start", "event_type").show(8)
+
+    print("== 4. temporal join: each click enriched with the profile")
+    print("      score as of click time (KTable-style, keyed state) ==")
+    from spark_streaming_join_example_spark.streaming.temporal import (
+        temporal_join_events,
+    )
+
+    stream4 = read_event_stream(spark, f"{work}/replay")
+    pit = run_to_memory(
+        temporal_join_events(stream4), f"{work}/ckpt4", "append"
+    )
+    pit.orderBy("ts").show(5, truncate=False)
 
     print("done — every result above is watermark-correct and")
     print("equivalent to the batch query over the same prefix")

@@ -16,13 +16,14 @@ operator), then ``applyInPandasWithState`` per join key holds
 and on every micro-batch (and on event-time timer wakeups):
 
 1. append the batch's rows to the buffers;
-2. emit every buffered event with ``ts <= watermark``: versions with
-   ``v_ts <= e_ts`` are all present (anything older than the
-   watermark would have been dropped at ingestion), so the as-of
-   match — max (v_ts, v_seq) with v_ts ≤ e_ts — is FINAL;
-3. prune versions: among those ≤ watermark only the latest can ever
-   match a future event (future events have ts > watermark), so
-   exactly one survives;
+2. emit every buffered event with ``ts < watermark`` (strictly: Spark
+   treats rows AT the watermark as on-time, so a same-timestamp
+   version could still arrive): versions with ``v_ts <= e_ts`` are
+   then all present, so the as-of match — max (v_ts, v_seq) with
+   v_ts ≤ e_ts — is FINAL;
+3. prune versions: among those strictly before the watermark only the
+   latest can ever match a future (≥ watermark) event, so exactly one
+   survives;
 4. arm an event-time timer at the earliest still-buffered event so
    emission needs no further input for this key.
 
@@ -123,12 +124,15 @@ def temporal_join(
 
         wm_us = state.getCurrentWatermarkMs() * 1000
 
-        # 2. emit finalized events (ts <= watermark), as-of matched
+        # 2. emit finalized events (STRICTLY behind the watermark:
+        # Spark admits rows AT the watermark as on-time, so a version
+        # with v_ts == wm == e_ts could still arrive in a later batch
+        # — only ts < wm is closed), as-of matched
         versions_sorted = sorted(zip(v_ts, v_seq, v_val))
         out_rows: list[tuple] = []
         still_e: list[tuple[int, int, float]] = []
         for t, eid, val in zip(e_ts, e_id, e_val):
-            if t > wm_us:
+            if t >= wm_us:
                 still_e.append((t, eid, val))
                 continue
             match = None
@@ -139,15 +143,16 @@ def temporal_join(
                     break
             out_rows.append((eid, t, val) + (match or (None, None)))
 
-        # 3. prune versions: keep all > watermark plus the single
-        #    latest at-or-before it
-        keep = [x for x in versions_sorted if x[0] > wm_us]
-        last_at_or_before = None
+        # 3. prune versions: keep all at-or-beyond the watermark plus
+        #    the single latest strictly before it (the only one a
+        #    future — necessarily ≥ wm — event can still match)
+        keep = [x for x in versions_sorted if x[0] >= wm_us]
+        last_before = None
         for x in versions_sorted:
-            if x[0] <= wm_us:
-                last_at_or_before = x
-        if last_at_or_before is not None:
-            keep.insert(0, last_at_or_before)
+            if x[0] < wm_us:
+                last_before = x
+        if last_before is not None:
+            keep.insert(0, last_before)
 
         if not still_e and not keep:
             state.remove()

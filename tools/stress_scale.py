@@ -52,10 +52,16 @@ def main() -> None:
     replicate(li, ["l_orderkey"], k, shift).write.parquet(f"{work}/lineitem")
     replicate(o, ["o_orderkey", "o_custkey"], k, shift).write.parquet(f"{work}/orders")
     replicate(c, ["c_custkey"], k, shift).write.parquet(f"{work}/customer")
+    # for the supply-catalog case the PART population must grow too
+    # (at 100 TB the catalog is wide, not just deep) — shift all keys
+    replicate(li, ["l_orderkey", "l_partkey", "l_suppkey"], k, shift).write.parquet(
+        f"{work}/lineitem_allkeys"
+    )
 
     big_li = spark.read.parquet(f"{work}/lineitem")
     big_o = spark.read.parquet(f"{work}/orders")
     big_c = spark.read.parquet(f"{work}/customer")
+    big_li_ak = spark.read.parquet(f"{work}/lineitem_allkeys")
 
     def pricing(lineitem):
         return (
@@ -102,8 +108,30 @@ def main() -> None:
             F.row_number().over(w).cast("long").alias("rn")
         ).agg(F.sum("rn").alias("s"))
 
+    # TPC-H Q2 kernel: derived supply catalog (composite-key groupBy
+    # over lineitem) + per-part min window + min-cost filter.  Both
+    # |parts| and rows/part grow with K, so this times the catalog
+    # shuffle AND the key-cardinality window honestly.
+    def min_cost_catalog(lineitem):
+        unit_c = F.round(
+            F.col("l_extendedprice") / F.col("l_quantity") * F.lit(100.0)
+        ).cast("long")
+        ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+            F.min(unit_c).alias("cost_c")
+        )
+        w = Window.partitionBy("l_partkey")
+        return (
+            ps.withColumn("min_c", F.min("cost_c").over(w))
+            .filter(F.col("cost_c") == F.col("min_c"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cost_c").alias("s"))
+        )
+
     cases = {
         "pricing": (lambda: pricing(li), lambda: pricing(big_li)),
+        "q2_supply_catalog": (
+            lambda: min_cost_catalog(li),
+            lambda: min_cost_catalog(big_li_ak),
+        ),
         "revenue_join3": (
             lambda: revenue(c, o, li),
             lambda: revenue(big_c, big_o, big_li),

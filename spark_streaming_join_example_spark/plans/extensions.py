@@ -1481,12 +1481,24 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: single source for both the oracle VALUES clause and the broadcast
+#: DataFrame below — the two formulations cannot drift apart.
+_SENTIMENT_LEXICON: tuple[tuple[str, int], ...] = (
+    ("fast", 2),
+    ("small", 1),
+    ("slow", -2),
+    ("big", -1),
+    ("dup", -3),
+)
+_LEXICON_VALUES = ", ".join(f"('{w}', {wt})" for w, wt in _SENTIMENT_LEXICON)
+
+
 @register(
     "q_lexicon_sentiment",
     tags=("X5", "J3", "A1"),
-    oracle="""
+    oracle=f"""
 WITH lexicon(word, weight) AS (
-  VALUES ('fast', 2), ('small', 1), ('slow', -2), ('big', -1), ('dup', -3)
+  VALUES {_LEXICON_VALUES}
 ),
 toks AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
@@ -1525,8 +1537,7 @@ def q_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer weights keep every engine's sum exact."""
     d = load_table(spark, sf_dir, "documents")
     lexicon = spark.createDataFrame(
-        [("fast", 2), ("small", 1), ("slow", -2), ("big", -1), ("dup", -3)],
-        "word string, weight int",
+        list(_SENTIMENT_LEXICON), "word string, weight int"
     )
     toks = d.select("doc_id", F.explode(tokenize("text")).alias("tok"))
     scored = (

@@ -80,7 +80,7 @@ SELECT {oracle_exact_sum('l_extendedprice * l_discount', VALUE)} AS lost_revenue
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND CAST(ROUND(l_discount * 10000) AS BIGINT) BETWEEN 500 AND 700
+  AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
   AND l_quantity < 24
 """,
 )
@@ -90,17 +90,21 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale rationale: all three predicates and the 3-column projection
     reach the parquet scan (PushedFilters + ReadSchema — pinned in
-    tests/test_plans.py); the aggregate is a map-side partial with a
-    1-row exchange.  At 100 TB this query IS the scan: nothing else
-    survives.  The discount band compares in basis points (BIGINT) so
-    the double literals can never straddle engines differently."""
+    tests/test_plans.py, including the discount band); the aggregate
+    is a map-side partial with a 1-row exchange.  At 100 TB this query
+    IS the scan: nothing else survives.  The discount band compares
+    the RAW double column against double literals — a ROUND()-based
+    basis-point rewrite would be expression-over-column and ineligible
+    for parquet pushdown; raw literals are safe cross-engine because
+    '0.05'/'0.07' parse to the identical nearest-doubles the fixture
+    generator stored (both sides CAST the DuckDB decimals to DOUBLE
+    explicitly)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_bp = F.round(F.col("l_discount") * F.lit(10000.0)).cast("long")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & disc_bp.between(500, 700)
+            & F.col("l_discount").between(F.lit(0.05), F.lit(0.07))
             & (F.col("l_quantity") < 24)
         ).agg(
             exact_sum(F.col("l_extendedprice") * F.col("l_discount"), VALUE).alias(

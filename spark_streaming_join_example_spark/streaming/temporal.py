@@ -49,6 +49,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..session import ensure_runtime_confs
+
 _US = 1_000_000
 
 OUTPUT_SCHEMA = (
@@ -80,6 +82,11 @@ def temporal_join(
     ``dim_value`` are NULL when no version existed at or before the
     event (left as-of semantics).
     """
+    # the update fn reads pandas wall-clock timestamps as UTC epoch µs
+    # and compares them against the (true-epoch) watermark; pin the
+    # session to UTC like every loader does, so the operator is correct
+    # on sessions the engine did not create
+    ensure_runtime_confs(versions.sparkSession)
     tagged_v = versions.select(
         "user_id",
         "ts",

@@ -649,6 +649,7 @@ def test_tpch_gap_shapes_scale_plans(spark, sf_dir, qd):
     p = plan_of(qd["q_forecast_revenue"](spark, sf_dir))
     pushed = p.split("PushedFilters")[1].split("]")[0]
     assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert "l_discount" in pushed  # raw-double band, not an expression
     read_schema = p.split("ReadSchema")[1].splitlines()[0]
     assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
     assert p.count("HashAggregate") >= 2  # map-side partial
@@ -660,10 +661,13 @@ def test_tpch_gap_shapes_scale_plans(spark, sf_dir, qd):
     win = [b for b in p2.split("\n\n") if "Window" in b.splitlines()[0]]
     assert win and all("SinglePartition" not in b for b in win)
 
-    # Q11 shape: the global-total scalar joins as a broadcast single-row
-    # build (nested-loop), never a shuffle of the per-part relation
+    # Q11 shape: the global-average scalar joins as a broadcast
+    # single-row nested-loop build — never a cartesian or a shuffle of
+    # the per-part relation (the dim joins are BHJ; the keyless scalar
+    # join can only be BNLJ or CartesianProduct, so pin BNLJ exactly)
     p11 = plan_of(qd["q_important_stock"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in p11 or "BroadcastHashJoin" in p11
+    assert "BroadcastNestedLoopJoin" in p11
+    assert "CartesianProduct" not in p11
 
     # Q8 shape: nation/region/part/supplier dims all broadcast — the only
     # sort-merge joins allowed are the two fact-fact equi-joins

@@ -1682,3 +1682,69 @@ def test_temporal_join_rocksdb_provider_equivalence(spark, sf_dir, replay_dir, t
     )
     assert len(out_rows) > 0
     assert out_rows == collect_sorted(base)
+
+
+def test_temporal_join_edge_cases(spark, tmp_path):
+    """Hand-built boundary semantics for the temporal join, pinned
+    exactly: same-timestamp version ties break by max seq; a version
+    AT the event's timestamp matches (inclusive as-of); events before
+    any version emit null-enriched; sub-millisecond version/event
+    adjacency resolves by order; version-only keys emit nothing."""
+    import pandas as pd
+
+    from spark_streaming_join_example_spark.streaming.temporal import (
+        temporal_join_events,
+    )
+
+    T = pd.Timestamp
+    view, click = "view", "click"
+    # (event_id, ts, user_id, type, value)
+    chunk1 = [  # the dimension history
+        (1, T("2024-01-01 10:00:00"), 1, view, 1.0),
+        (2, T("2024-01-01 10:00:00"), 1, view, 2.0),  # same-ts tie → wins
+        (3, T("2024-01-01 10:05:00"), 1, view, 3.0),
+        (4, T("2024-01-01 10:00:00"), 3, view, 9.0),  # version-only key
+    ]
+    chunk2 = [  # events, delivered in a LATER micro-batch
+        (100, T("2024-01-01 10:00:00"), 1, click, 10.0),  # ts == version ts
+        (101, T("2024-01-01 09:59:00"), 1, click, 11.0),  # before any version
+        (102, T("2024-01-01 10:05:00.000500"), 1, click, 12.0),  # sub-ms after v3
+        (103, T("2024-01-01 10:00:00"), 2, click, 13.0),  # key with no versions
+    ]
+    chunk3 = [  # watermark pusher: far-future event on an unused key
+        (999, T("2024-01-01 12:00:00"), 9, click, 0.0),
+    ]
+    replay = tmp_path / "edge_replay"
+    replay.mkdir()
+    for i, rows in enumerate((chunk1, chunk2, chunk3)):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["props"] = "{}"
+        path = str(replay / f"chunk_{i:03d}.parquet")
+        pdf.to_parquet(
+            path,
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = read_event_stream(spark, str(replay))
+    out = run_to_memory(
+        temporal_join_events(stream, watermark="10 minutes"),
+        str(tmp_path / "edge_ckpt"),
+        "append",
+    )
+    got = {
+        r.event_id: (r.dim_value, r.dim_ts)
+        for r in out.collect()
+    }
+    assert got == {
+        100: (2.0, T("2024-01-01 10:00:00")),  # tie at ts → max seq (2)
+        101: (None, None),
+        102: (3.0, T("2024-01-01 10:05:00")),
+        103: (None, None),
+        # 999 stays buffered (nothing pushes the watermark past noon);
+        # key 3 (version-only) emits nothing
+    }

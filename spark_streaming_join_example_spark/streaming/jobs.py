@@ -235,3 +235,33 @@ def windowed_approx_users(
             "n",
         )
     )
+
+
+def hourly_then_daily_peak(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Chained stateful windowed aggregations in ONE streaming query
+    (Spark ≥3.4 multiple-stateful-operator support): hourly per-type
+    counts, then the DAILY PEAK hourly rate — the classic two-level
+    rollup (rate monitor over a raw stream) that previously required
+    two queries glued by an intermediate sink.
+
+    ``window_time()`` turns the first aggregation's window struct back
+    into an event-time column (the window's inclusive end) so the
+    second ``window()`` can re-bucket it; the watermark propagates
+    through both operators, so a daily row emits only after the
+    watermark passes the day's end.  State = open hourly windows +
+    open daily windows — both bounded by the watermark horizon.
+    """
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_hour"))
+    )
+    return (
+        hourly.groupBy(
+            F.window(F.window_time("w1"), "1 day").alias("w2"), "event_type"
+        )
+        .agg(F.max("n_hour").alias("peak_hourly"))
+        .select(F.col("w2.start").alias("day_start"), "event_type", "peak_hourly")
+    )

@@ -349,3 +349,79 @@ def test_ivf_quantizer_sample_is_layout_independent(spark, sf_dir):
     m2, c2 = centroids(e.repartition(7))
     assert np.array_equal(m1, m2)
     assert np.array_equal(c1, c2)
+
+
+def test_observe_quality_batch_single_pass(spark, sf_dir):
+    """observe() metrics ride the real query's pass and must equal the
+    directly-computed aggregates."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark import load_table
+    from spark_streaming_join_example_spark.operators.quality import (
+        null_and_range_checks,
+        observe_quality,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = null_and_range_checks(
+        required=["l_orderkey", "l_shipdate"],
+        bounds={"l_discount": (0.0, 0.1), "l_quantity": (1.0, 50.0)},
+    )
+    instrumented, obs = observe_quality(li, "li_quality", checks)
+    # the REAL workload runs on the instrumented frame
+    revenue = (
+        instrumented.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(revenue) > 0
+    got = obs.get
+    n = li.count()
+    assert got["n_rows"] == n
+    assert got["null_l_orderkey"] == 0
+    assert got["null_l_shipdate"] == 0
+    assert got["oob_l_discount"] == 0  # fixture domain is [0, 0.1]
+    assert got["oob_l_quantity"] == 0  # fixture domain is [1, 50]
+
+
+def test_observe_stream_metrics_per_batch(spark, sf_dir, tmp_path):
+    """Streaming observe(): per-micro-batch metric rows must sum to the
+    exact total row count across the replayed chunks (exactly-once
+    observability)."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark import load_table
+    from spark_streaming_join_example_spark.operators.quality import (
+        observe_stream,
+    )
+    from spark_streaming_join_example_spark.streaming import (
+        chunk_events,
+        read_event_stream,
+    )
+
+    replay = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(replay), n_chunks=4)
+    stream = read_event_stream(spark, str(replay))
+    instrumented = observe_stream(
+        stream,
+        "ev_quality",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_user": F.count_if(F.col("user_id").isNull()),
+        },
+    )
+    seen: list[dict] = []
+    q = (
+        instrumented.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for p in q.recentProgress:
+        m = p["observedMetrics"].get("ev_quality") if p["observedMetrics"] else None
+        if m is not None:
+            seen.append(m)
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(m["n_rows"] for m in seen) == total
+    assert all(m["null_user"] == 0 for m in seen)

@@ -1748,3 +1748,36 @@ def test_temporal_join_edge_cases(spark, tmp_path):
         # 999 stays buffered (nothing pushes the watermark past noon);
         # key 3 (version-only) emits nothing
     }
+
+
+def test_chained_window_agg_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    """A8 (multiple stateful operators): hourly counts re-aggregated
+    into daily peak hourly rates INSIDE one streaming query must match
+    the batch twin on every day the watermark closed."""
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        jobs.hourly_then_daily_peak(stream), str(tmp_path / "ckpt"), "append"
+    )
+    be = _batch_events(spark, sf_dir)
+    batch = (
+        be.groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_hour"))
+        .groupBy(F.window(F.window_time("w1"), "1 day").alias("w2"), "event_type")
+        .agg(F.max("n_hour").alias("peak_hourly"))
+        .select(F.col("w2.start").alias("day_start"), "event_type", "peak_hourly")
+    )
+    out_rows = collect_sorted(out)
+    assert len(out_rows) > 0
+    batch_rows = set(map(repr, collect_sorted(batch)))
+    for r in out_rows:
+        assert repr(r) in batch_rows
+    # completeness: every batch day ending well before the final
+    # watermark must have been emitted
+    max_ts = be.agg(F.max("ts")).collect()[0][0]
+    closed = batch.filter(
+        F.col("day_start") + F.expr("INTERVAL 1 DAY")
+        <= F.lit(max_ts) - F.expr("INTERVAL 20 MINUTES")
+    )
+    emitted = set(map(repr, out_rows))
+    for r in collect_sorted(closed):
+        assert repr(r) in emitted

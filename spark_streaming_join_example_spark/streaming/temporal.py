@@ -68,7 +68,10 @@ def _to_us(series: pd.Series) -> list[int]:
 
 
 def temporal_join(
-    versions: DataFrame, events: DataFrame, watermark: str = "10 minutes"
+    versions: DataFrame,
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Point-in-time enrich ``events`` against the ``versions`` change
     stream, per ``user_id``.
@@ -81,7 +84,29 @@ def temporal_join(
     event whose emission the watermark has finalized; ``dim_ts`` /
     ``dim_value`` are NULL when no version existed at or before the
     event (left as-of semantics).
+
+    ``tolerance`` (e.g. ``"1 hour"``, same contract as
+    ``operators.joins.asof_join``): a version older than
+    ``event.ts - tolerance`` is considered stale and does NOT match —
+    the event emits null-enriched instead.  Bonus at scale: with a
+    tolerance the kept-version state needs no indefinite retention
+    beyond the staleness horizon.
     """
+    tol_us: int | None = None
+    if tolerance is not None:
+        n, unit = tolerance.split()
+        per_us = {
+            "second": _US, "seconds": _US,
+            "minute": 60 * _US, "minutes": 60 * _US,
+            "hour": 3600 * _US, "hours": 3600 * _US,
+            "day": 86400 * _US, "days": 86400 * _US,
+        }
+        try:
+            tol_us = int(n) * per_us[unit.lower()]
+        except KeyError:
+            raise ValueError(
+                f"temporal_join: unsupported tolerance unit {unit!r}"
+            ) from None
     # the update fn reads pandas wall-clock timestamps as UTC epoch µs
     # and compares them against the (true-epoch) watermark; pin the
     # session to UTC like every loader does, so the operator is correct
@@ -148,6 +173,8 @@ def temporal_join(
                     match = (vt, vv)  # sorted asc → last hit is max (ts, seq)
                 else:
                     break
+            if match is not None and tol_us is not None and match[0] < t - tol_us:
+                match = None  # latest version is stale beyond tolerance
             out_rows.append((eid, t, val) + (match or (None, None)))
 
         # 3. prune versions: keep all at-or-beyond the watermark plus
@@ -214,7 +241,11 @@ def temporal_join(
     )
 
 
-def temporal_join_events(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+def temporal_join_events(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    tolerance: str | None = None,
+) -> DataFrame:
     """The fixture framing of ``temporal_join``: 'view' events are
     profile-score updates (the changing dimension), 'click' events get
     enriched with the profile score as of their click time."""
@@ -224,4 +255,6 @@ def temporal_join_events(stream: DataFrame, watermark: str = "10 minutes") -> Da
     clicks = stream.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", "value"
     )
-    return temporal_join(versions, clicks, watermark=watermark)
+    return temporal_join(
+        versions, clicks, watermark=watermark, tolerance=tolerance
+    )

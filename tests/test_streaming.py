@@ -1781,3 +1781,52 @@ def test_chained_window_agg_equivalence(spark, sf_dir, replay_dir, tmp_path):
     emitted = set(map(repr, out_rows))
     for r in collect_sorted(closed):
         assert repr(r) in emitted
+
+
+def test_temporal_join_tolerance_equivalence(spark, sf_dir, replay_dir, tmp_path):
+    """Tolerance parity with the batch asof_join: a version older than
+    event.ts - 1h is stale → null-enriched, identically in both
+    engines; and the tolerance must actually bite (some rows that
+    matched without it go null with it)."""
+    from spark_streaming_join_example_spark.operators.joins import asof_join
+    from spark_streaming_join_example_spark.streaming.temporal import (
+        temporal_join_events,
+    )
+
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        temporal_join_events(stream, watermark="10 minutes", tolerance="1 hour"),
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    be = _batch_events(spark, sf_dir)
+    views = (
+        be.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id").alias("d_user"), F.col("ts").alias("dim_ts"))
+        .agg(F.max_by("value", "event_id").alias("dim_value"))
+    )
+    clicks = be.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    twin = asof_join(
+        clicks,
+        views,
+        left_on="user_id",
+        right_on="d_user",
+        left_ts="ts",
+        right_ts="dim_ts",
+        how="left",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    ).select("user_id", "event_id", "ts", "value", "dim_ts", "dim_value")
+    out_rows = collect_sorted(out)
+    assert len(out_rows) > 0
+    eid_ix = sorted(out.columns).index("event_id")
+    twin_by_event = {t[eid_ix]: t for t in collect_sorted(twin)}
+    for r in out_rows:
+        assert r == twin_by_event[r[eid_ix]], r[eid_ix]
+    # the tolerance bites: strictly fewer matched rows than untoleranced
+    dv_ix = sorted(out.columns).index("dim_value")
+    n_matched = sum(1 for r in out_rows if r[dv_ix] is not None)
+    full_twin = _batch_temporal_twin(spark, sf_dir)
+    n_full = full_twin.filter(F.col("dim_value").isNotNull()).count()
+    assert 0 < n_matched < n_full

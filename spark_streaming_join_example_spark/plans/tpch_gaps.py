@@ -583,3 +583,60 @@ def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal", "n_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q1 in typed DECIMAL — the beyond-int64 exactness path
+# ---------------------------------------------------------------------------
+@register(
+    "q_pricing_summary_decimal",
+    tags=("A1", "P4"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(5,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(5,4)))
+                      * (1 + CAST(l_tax AS DECIMAL(5,4)))), 2) AS DOUBLE) AS sum_charge,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 with TYPED DECIMAL arithmetic end to end — the
+    beyond-int64 exactness path SCALE.md prescribes for groups past
+    the scaled-BIGINT envelope (~6e8 rows/group at scale 1e6).
+
+    Determinism discipline: every intermediate stays EXACT — decimal
+    products only widen scale (2+4 → 6 → 10 digits, precision ≤ 38,
+    never rounded), decimal sums are exact at any partitioning — and
+    the single rounding step is ROUND(sum, 2) BEFORE the double cast,
+    so the unscaled value (~6e11 cents at sf0.1) sits far inside
+    2^53 and the decimal→double conversions in Spark and DuckDB
+    cannot disagree (a scale-10 sum cast directly to double WOULD
+    risk last-bit divergence: its unscaled integer exceeds 2^53).
+
+    Scale rationale: identical plan to q_pricing_summary (scan →
+    partial hash agg → 6-group exchange → final agg); decimal(38,x)
+    partials are 16-byte fixed-width and combine map-side exactly
+    like longs, at ~2× the ALU cost — the price of exactness past
+    the int64 wall."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    one_minus_disc = F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast(
+        "decimal(5,4)"
+    )
+    one_plus_tax = F.lit(1).cast("decimal(5,4)") + F.col("l_tax").cast("decimal(5,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(price), 2).cast("double").alias("sum_base"),
+        F.round(F.sum(price * one_minus_disc), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(price * one_minus_disc * one_plus_tax), 2)
+        .cast("double")
+        .alias("sum_charge"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -673,3 +673,31 @@ def test_tpch_gap_shapes_scale_plans(spark, sf_dir, qd):
     # sort-merge joins allowed are the two fact-fact equi-joins
     p8 = plan_of(qd["q_market_share"](spark, sf_dir))
     assert p8.count("BroadcastHashJoin") >= 4
+
+
+def test_no_unintended_cartesian_product_registry_wide(spark, sf_dir, qd):
+    """Registry-wide plan audit: a CartesianProduct in a physical plan
+    multiplies partition counts and is almost always a missing join
+    condition.  Every appearance must be on the explicit allowlist of
+    queries whose cross join is bounded BY CONSTRUCTION (documented in
+    each docstring); anything else is a silent de-optimization this
+    test turns into a hard failure."""
+    allowed_cartesian = {
+        # bounded-by-construction cross joins (see docstrings):
+        "q_cross_join",       # J11 surface demo, dims only
+        "q_cosine_topk",      # triangular block-pair generator
+        "q_theta_join",       # banded inequality, bucket-bounded
+        "q_skyline",          # dominance pairs over a filtered head
+        "q_levenshtein_fuzzy",  # short-list × short-list
+        "q_geo_nearest",      # cell-bucketed candidate pairs
+    }
+    offenders = {}
+    for name in sorted(qd):
+        try:
+            p = plan_of(qd[name](spark, sf_dir))
+        except Exception as e:  # pragma: no cover - surface as failure
+            offenders[name] = f"explain failed: {e}"
+            continue
+        if "CartesianProduct" in p and name not in allowed_cartesian:
+            offenders[name] = "CartesianProduct"
+    assert not offenders, offenders

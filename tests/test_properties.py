@@ -508,3 +508,106 @@ def test_global_cumsum_matches_single_sort(spark, vals):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming temporal join ≡ naive as-of model (end-to-end, per example)
+# ---------------------------------------------------------------------------
+TEMPORAL_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 3),      # key (user_id)
+        st.integers(0, 120),    # ts in minutes
+        st.booleans(),          # True → version ('view'), False → event ('click')
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@given(rows=TEMPORAL_ROWS, split=st.integers(0, 18))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_temporal_join_matches_asof_model(spark, rows, split):
+    """End-to-end property: for ANY interleaving of version/event rows
+    and ANY 2-chunk replay split, the streaming temporal join equals
+    the naive as-of model (latest version ≤ event ts, ties by max seq)
+    on every event the watermark finalized — and finalizes exactly the
+    events strictly behind it."""
+    import os as _os
+    import tempfile
+
+    import pandas as pd
+
+    from spark_streaming_join_example_spark.streaming.replay import (
+        read_event_stream,
+        run_to_memory,
+    )
+    from spark_streaming_join_example_spark.streaming.temporal import (
+        temporal_join_events,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    recs = []
+    for i, (k, minute, is_version) in enumerate(rows):
+        recs.append(
+            (
+                i,                                   # event_id (unique seq)
+                base + pd.Timedelta(minutes=minute), # ts
+                k,
+                "view" if is_version else "click",
+                float(i),                            # value/payload
+                "{}",
+            )
+        )
+    # watermark pusher far in the future on an unused key: everything
+    # above is strictly behind the final watermark (10 min delay)
+    recs.append((10_000, base + pd.Timedelta(days=30), 99, "click", 0.0, "{}"))
+
+    split = min(split, len(recs) - 1)
+    d = tempfile.mkdtemp(prefix="temporal_prop_")
+    for ci, chunk in enumerate((recs[:split], recs[split:])):
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(
+            chunk,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        path = _os.path.join(d, f"chunk_{ci}.parquet")
+        pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        _os.utime(path, (1_700_000_000 + ci, 1_700_000_000 + ci))
+
+    ck = tempfile.mkdtemp(prefix="temporal_prop_ck_")
+    out = run_to_memory(
+        temporal_join_events(read_event_stream(spark, d)),
+        ck,
+        "append",
+    )
+    got = {
+        r.event_id: (r.dim_ts, r.dim_value) for r in out.collect() if r.user_id != 99
+    }
+
+    # naive model over the full row set
+    versions = [
+        (k, base + pd.Timedelta(minutes=m), i, float(i))
+        for i, (k, m, isv) in enumerate(rows)
+        if isv
+    ]
+    want = {}
+    for i, (k, m, isv) in enumerate(rows):
+        if isv:
+            continue
+        ts = base + pd.Timedelta(minutes=m)
+        cand = [(vts, seq, val) for (vk, vts, seq, val) in versions
+                if vk == k and vts <= ts]
+        if cand:
+            _, _, val = max(cand)
+            want[i] = (max(cand)[0], val)
+        else:
+            want[i] = (None, None)
+
+    assert set(got) == set(want)
+    for eid, (dts, dval) in want.items():
+        g_ts, g_val = got[eid]
+        g_ts = None if g_ts is None else pd.Timestamp(g_ts)
+        assert g_ts == dts and g_val == dval, (eid, g_ts, g_val, dts, dval)

@@ -337,3 +337,95 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_bucket(n_chars) AS bucket, COUNT(*) AS n "
         "FROM __docs_udf GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# F4 showcase — Holt-Winters double exponential smoothing per key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_holt_winters",
+    tags=("F4", "A1", "W2"),
+    oracle="""
+WITH RECURSIVE hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id, x,
+         row_number() OVER (PARTITION BY user_id ORDER BY h) AS rn
+  FROM hourly
+),
+rec AS (
+  SELECT user_id, rn, x, x AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.x,
+         0.5 * s.x + 0.5 * (rec.level + rec.trend),
+         0.25 * ((0.5 * s.x + 0.5 * (rec.level + rec.trend)) - rec.level)
+           + 0.75 * rec.trend
+  FROM rec JOIN s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1
+),
+last AS (
+  SELECT user_id, rn, level, trend,
+         row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rev
+  FROM rec
+)
+SELECT user_id, CAST(rn AS BIGINT) AS n_points, level, trend,
+       level + trend AS forecast
+FROM last WHERE rev = 1
+""",
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters double exponential smoothing (level + trend) over
+    each user's hourly event-rate series, returning the final state
+    and the 1-step forecast — an inherently SEQUENTIAL recurrence, so
+    it runs per key in applyInPandas (key-parallel, order-sequential:
+    the legitimate use of the grouped-map escape hatch) while the
+    DuckDB oracle expresses the identical recurrence as a RECURSIVE
+    CTE.
+
+    Cross-engine exactness: α=0.5, β=0.25 are exact binary fractions,
+    so every multiplication is a (lossless) exponent shift; the only
+    rounding happens in the additions, which both engines execute in
+    the same written order on IEEE doubles — the recurrence is
+    bit-identical by construction, no scaling tricks needed.  (An
+    arbitrary α would also match here since pandas evaluates the same
+    expression tree, but powers of two make the claim robust rather
+    than incidental.)
+
+    Scale rationale: the hourly pre-aggregation shuffles once and
+    shrinks events to |user × hour|; the recurrence then ships one
+    small ordered pandas frame per key through Arrow — state per task
+    is one series, work is O(points), and keys parallelize freely.
+    83 points/key at sf0.01; a year of hourly data is 8,760 — trivial
+    per-task."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        xs = pdf["x"].tolist()
+        level, trend = xs[0], 0.0
+        for x in xs[1:]:
+            new_level = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.25 * (new_level - level) + 0.75 * trend
+            level = new_level
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_points": [len(xs)],
+                "level": [level],
+                "trend": [trend],
+                "forecast": [level + trend],
+            }
+        )
+
+    return hourly.groupBy("user_id").applyInPandas(
+        hw, "user_id long, n_points long, level double, trend double, forecast double"
+    )

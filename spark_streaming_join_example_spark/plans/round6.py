@@ -147,3 +147,67 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 1000000 div (CAST(n AS DECIMAL(38,0)) * total_c) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+@register(
+    "q_event_pattern",
+    tags=("A1", "FN-string", "W2"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(length(s) AS BIGINT) AS seq_len,
+       regexp_matches(s, 'c[^e]*p') AS converted_clean,
+       regexp_matches(s, 's.*c.*p') AS full_funnel
+FROM seq
+""",
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE-style, which Spark
+    SQL lacks): encode each user's chronologically-ordered event-type
+    initials into one string, then run ordinary regexes over it —
+    'c[^e]*p' = a click eventually converting to a purchase with NO
+    error in between; 's.*c.*p' = the full signup→click→purchase
+    funnel.  Subsumes fixed-step funnels (q_funnel) for patterns with
+    exclusions and unbounded gaps.
+
+    Determinism: the per-user order is the total order (ts, event_id),
+    so the encoded string — and hence every regex verdict — is unique;
+    the initials v/c/p/s/e are distinct for the fixture's five event
+    types.
+
+    Scale rationale: one shuffle to (user_id); the encoded sequence is
+    ~1 byte/event, so even a 10⁵-event user is a 100 KB string —
+    regex over it is linear and local.  For the 100 TB variant,
+    pre-bucket by (user, day) exactly like q_top_paths to bound any
+    single string, and run the pattern per day-window."""
+    ev = _t(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("i"),
+            )
+        )
+    )
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.concat_ws(
+                "", F.transform(ordered, lambda x: x.getField("i"))
+            ).alias("s"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.length("s").cast("long").alias("seq_len"),
+        F.col("s").rlike("c[^e]*p").alias("converted_clean"),
+        F.col("s").rlike("s.*c.*p").alias("full_funnel"),
+    )

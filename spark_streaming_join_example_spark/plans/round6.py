@@ -211,3 +211,55 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").rlike("c[^e]*p").alias("converted_clean"),
         F.col("s").rlike("s.*c.*p").alias("full_funnel"),
     )
+
+
+@register(
+    "q_inverted_index",
+    tags=("X5", "A1", "FN-array", "O2"),
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+idx AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+  FROM toks WHERE tok <> '' GROUP BY tok
+)
+SELECT tok, df, postings
+FROM idx WHERE df BETWEEN 5 AND 40
+ORDER BY df DESC, tok LIMIT 50
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the retrieval-infrastructure
+    primitive under BM25/keyword search: token → document frequency +
+    SORTED posting list, here materialized for the discriminative
+    band (5 ≤ df ≤ 40; stopword-frequency tokens are exactly the ones
+    whose posting lists you'd store as bitmaps instead).
+
+    Determinism: postings serialize as comma-joined sorted doc_id
+    strings (the driver hashes scalar columns only) and the final
+    top-50 orders by (df DESC, tok) — a total order.
+
+    Scale rationale: distinct-(doc,token) then groupBy(token) = two
+    shuffles on the token key, both partial-aggregable; posting lists
+    for df-bounded tokens are small by selection, and the hot
+    (high-df) tail is explicitly excluded — at 100 TB those become
+    roaring bitmaps per shard (the q_bitmap_distinct machinery), while
+    this query's band stays array-sized."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    idx = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
+    )
+    return (
+        idx.filter(F.col("df").between(5, 40))
+        .orderBy(F.desc("df"), "tok")
+        .limit(50)
+    )

@@ -263,3 +263,80 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "tok")
         .limit(50)
     )
+
+
+@register(
+    "q_reconcile_totals",
+    tags=("J10", "A1", "P5"),
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS li_total_c,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o_orderkey, l_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_total_c,
+         li_total_c, n_lines
+  FROM orders FULL OUTER JOIN li ON o_orderkey = l_orderkey
+)
+SELECT
+  CASE WHEN o_orderkey IS NULL THEN 'orphan_lineitems'
+       WHEN l_orderkey IS NULL THEN 'empty_order'
+       WHEN o_total_c = li_total_c THEN 'exact'
+       WHEN ABS(o_total_c - li_total_c) * 100 <= o_total_c THEN 'within_1pct'
+       ELSE 'mismatch' END AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(COALESCE(n_lines, 0)) AS BIGINT) AS n_lines,
+  CAST(SUM(ABS(COALESCE(o_total_c, 0) - COALESCE(li_total_c, 0))) AS BIGINT)
+    AS abs_delta_c
+FROM j GROUP BY bucket
+""",
+)
+def q_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact reconciliation audit — the production data-quality
+    query every warehouse runs nightly: does each order header's total
+    agree with the sum of its lines?  FULL OUTER join surfaces BOTH
+    orphan classes (lines without a header, headers without lines) and
+    the delta distribution buckets in exact cents.
+
+    Scale rationale: the lineitem side pre-aggregates to one row per
+    order BEFORE the join (partial-agg'd |lineitem| shuffle), so the
+    full-outer join is order-cardinality × order-cardinality on the
+    same key — co-partitioned, skew-safe under AQE; the report is 5
+    bucket rows.  Integer-cents comparisons make the bucket boundaries
+    engine-exact (the 1% band compares ABS(delta)*100 ≤ total — no
+    division)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("li_total_c"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    j = o.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("o_total_c")
+    ).join(li_agg, F.col("o_orderkey") == F.col("l_orderkey"), "full_outer")
+    bucket = (
+        F.when(F.col("o_orderkey").isNull(), "orphan_lineitems")
+        .when(F.col("l_orderkey").isNull(), "empty_order")
+        .when(F.col("o_total_c") == F.col("li_total_c"), "exact")
+        .when(
+            F.abs(F.col("o_total_c") - F.col("li_total_c")) * 100 <= F.col("o_total_c"),
+            "within_1pct",
+        )
+        .otherwise("mismatch")
+    )
+    return (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.coalesce(F.col("n_lines"), F.lit(0))).alias("n_lines"),
+            F.sum(
+                F.abs(
+                    F.coalesce(F.col("o_total_c"), F.lit(0))
+                    - F.coalesce(F.col("li_total_c"), F.lit(0))
+                )
+            ).alias("abs_delta_c"),
+        )
+    )

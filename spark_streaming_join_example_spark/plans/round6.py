@@ -340,3 +340,68 @@ def q_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_delta_c"),
         )
     )
+
+
+@register(
+    "q_active_users_rolling",
+    tags=("A1", "A2", "FN-datetime", "J5"),
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+),
+spread AS (
+  SELECT user_id, day + INTERVAL (o) DAY AS target_day
+  FROM ud, (SELECT unnest(range(0, 7)) AS o)
+),
+wau AS (
+  SELECT CAST(target_day AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM spread GROUP BY 1
+)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+""",
+)
+def q_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the growth
+    metric every product team runs.  A trailing-window COUNT(DISTINCT)
+    is NOT window-frame-expressible, so the scalable form is the
+    explode-over-offsets trick: each (user, active-day) row is
+    replicated to the 7 target days it keeps the user 'weekly-active'
+    for, then a plain distinct count per target day.
+
+    Scale rationale: the (user, day) dedup collapses events to at most
+    |users|×|days| rows in one shuffle; the 7× row expansion happens
+    AFTER that collapse (7·|user-days|, not 7·|events|); both counts
+    are partial-aggregable.  The exact-distinct swaps for HLL sketches
+    (q_hll_sketch's union machinery) when user-days outgrow a shuffle.
+    Stickiness divides two exact BIGINTs once — engine-stable.  The
+    inner join on DAU days trims the trailing window's synthetic
+    future days (offset 0 guarantees every DAU day has a WAU row)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spread = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("o")).alias("day"))
+    wau = spread.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )

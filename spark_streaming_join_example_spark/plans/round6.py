@@ -405,3 +405,116 @@ def q_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_mrl_truncation",
+    tags=("X3", "FN-array", "W1"),
+    oracle="""
+WITH p AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cos_full,
+         round(list_cosine_similarity(CAST(a.embedding[1:16] AS DOUBLE[]),
+                                      CAST(b.embedding[1:16] AS DOUBLE[])), 6) AS cos_16
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT qid, cid, cos_full, cos_16,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_full DESC, cid) AS r_full,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_16 DESC, cid) AS r_16
+  FROM p
+),
+fullnn AS (SELECT qid, cid AS nn_full, cos_full AS best_full FROM r WHERE r_full = 1),
+shortnn AS (SELECT qid, cid AS nn_16 FROM r WHERE r_16 = 1),
+retr AS (
+  SELECT p.qid, p.cos_full AS full_of_16
+  FROM p JOIN shortnn s ON p.qid = s.qid AND p.cid = s.nn_16
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN nn_full = nn_16 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(SUM(CASE WHEN nn_full = nn_16 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall_at_1,
+       CAST(SUM(CAST(ROUND((best_full - full_of_16) * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_quality_drop_micro
+FROM fullnn
+JOIN shortnn USING (qid)
+JOIN retr USING (qid)
+""",
+)
+def q_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: if embeddings were
+    truncated from 64 to their FIRST 16 dimensions, how often does the
+    1-NN retrieved under truncated cosine match the full-dim 1-NN
+    (recall@1), and how much full-dim similarity does the truncated
+    retrieval give up (exact micro-unit sum)?  This is the measurement
+    behind every 'can we store fewer dims' decision.
+
+    Determinism: cosines round to 6dp before ANY comparison (the
+    q_cosine_topk discipline — absorbs engine last-bit drift), both
+    argmaxes tie-break by candidate id, and the quality drop sums as
+    micro-unit BIGINTs.
+
+    Scale rationale: the all-pairs join is an EVAL over a bounded
+    validation sample (500 vectors here; at scale you sample queries
+    and use the IVF/LSH kernels for candidates), computed as one
+    broadcast nested-loop over the broadcast-sized sample; the two
+    rankings share one key-cardinality window partitioning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from ..operators.similarity import as_double_array
+
+    a = emb.select(
+        F.col("vec_id").alias("qid"), as_double_array("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("cid"), as_double_array("embedding").alias("vb")
+    )
+
+    def cos(x, y):
+        dot = F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+        nx = F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v)
+        ny = F.aggregate(y, F.lit(0.0), lambda acc, v: acc + v * v)
+        return F.round(dot / (F.sqrt(nx) * F.sqrt(ny)), 6)
+
+    p = (
+        a.join(F.broadcast(b), F.col("qid") != F.col("cid"))  # bounded: eval sample is dimension-sized
+        .select(
+            "qid",
+            "cid",
+            cos(F.col("va"), F.col("vb")).alias("cos_full"),
+            cos(F.slice("va", 1, 16), F.slice("vb", 1, 16)).alias("cos_16"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w_full = W.partitionBy("qid").orderBy(F.desc("cos_full"), "cid")
+    w_16 = W.partitionBy("qid").orderBy(F.desc("cos_16"), "cid")
+    r = p.withColumn("r_full", F.row_number().over(w_full)).withColumn(
+        "r_16", F.row_number().over(w_16)
+    )
+    fullnn = r.filter(F.col("r_full") == 1).select(
+        "qid", F.col("cid").alias("nn_full"), F.col("cos_full").alias("best_full")
+    )
+    shortnn = r.filter(F.col("r_16") == 1).select(
+        F.col("qid").alias("sqid"), F.col("cid").alias("nn_16")
+    )
+    retr = p.join(
+        shortnn, (F.col("qid") == F.col("sqid")) & (F.col("cid") == F.col("nn_16"))
+    ).select(F.col("qid").alias("rqid"), F.col("cos_full").alias("full_of_16"))
+    joined = (
+        fullnn.join(shortnn, F.col("qid") == F.col("sqid"))
+        .join(retr, F.col("qid") == F.col("rqid"))
+    )
+    agree = F.when(F.col("nn_full") == F.col("nn_16"), 1).otherwise(0)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(agree).alias("n_agree"),
+        (F.sum(agree).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "recall_at_1"
+        ),
+        F.sum(
+            F.round((F.col("best_full") - F.col("full_of_16")) * 1_000_000).cast("long")
+        ).alias("sum_quality_drop_micro"),
+    )

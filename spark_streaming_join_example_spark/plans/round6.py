@@ -518,3 +518,81 @@ def q_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("best_full") - F.col("full_of_16")) * 1_000_000).cast("long")
         ).alias("sum_quality_drop_micro"),
     )
+
+
+@register(
+    "q_burstiness",
+    tags=("W2", "A1", "FN-datetime"),
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS sum_s,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_s2
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps, sum_s, sum_s2,
+       CAST(n_gaps * sum_s2 - sum_s * sum_s AS DOUBLE)
+         / CAST(sum_s * sum_s AS DOUBLE) AS cv2
+FROM m WHERE n_gaps >= 2 AND sum_s > 0
+""",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per user: CV² of inter-arrival gaps (CV²≈1
+    → Poisson-like arrivals, ≫1 → bursty, ≪1 → regular) — the
+    arrival-process statistic behind rate-limiting, bot detection,
+    and session-gap tuning.
+
+    Determinism: gaps floor-divide to whole seconds from µs epochs
+    (identical integer math both engines), the three moments
+    (n, Σg, Σg²) are exact BIGINTs, and CV² = (nΣg² − (Σg)²)/(Σg)²
+    is ONE double division of exact integers.  Envelope: gap ≤ 2.6e6 s
+    (the fixture month), gap² ≤ 6.8e12, × ~10³ gaps/user → Σg² ≲ 1e16,
+    4 orders inside int64 even at 100× the per-user density.
+
+    Scale rationale: one shuffle on user_id serves both the lag
+    window and the grouped moments (Catalyst shares the partitioning);
+    per-key series are user-sized.  W2's lag is the only ordered
+    dependency — no global sort anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: (F.unix_micros(F.col(c)))
+    gap_us = us("ts") - F.lag(us("ts")).over(w)
+    gaps = ev.select(
+        "user_id",
+        # integer floor division, matching the oracle's `//` exactly
+        # (a double divide-then-cast would truncate, not floor, and
+        # ride on float quotient rounding)
+        F.try_divide(gap_us - gap_us % F.lit(1_000_000), F.lit(1_000_000))
+        .cast("long")
+        .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    m = gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.sum("gap_s").alias("sum_s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sum_s2"),
+    )
+    return (
+        m.filter((F.col("n_gaps") >= 2) & (F.col("sum_s") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            "sum_s",
+            "sum_s2",
+            (
+                (
+                    F.col("n_gaps") * F.col("sum_s2")
+                    - F.col("sum_s") * F.col("sum_s")
+                ).cast("double")
+                / (F.col("sum_s") * F.col("sum_s")).cast("double")
+            ).alias("cv2"),
+        )
+    )

@@ -596,3 +596,64 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv2"),
         )
     )
+
+
+@register(
+    "q_peak_detection",
+    tags=("W2", "A1", "O2"),
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+nb AS (
+  SELECT h, n,
+         lag(n)  OVER (ORDER BY h) AS prev_n,
+         lead(n) OVER (ORDER BY h) AS next_n
+  FROM hourly
+)
+SELECT h, n, prev_n, next_n
+FROM nb
+WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+  AND n > prev_n AND n > next_n
+ORDER BY n DESC, h LIMIT 20
+""",
+)
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection over the hourly event-rate series
+    (strict peaks: louder than BOTH neighbors; endpoints excluded),
+    top-20 by height — the signal-processing primitive under alerting
+    and anomaly triage.
+
+    Determinism: hourly counts are exact BIGINTs, the neighborhood
+    predicate is integer comparison, and the top-20 orders by
+    (n DESC, h) — a total order.
+
+    Scale rationale: the raw stream collapses to |hours| rows in one
+    partial-agg'd shuffle BEFORE any window; the lag/lead window runs
+    over that BOUNDED series (8,760 rows/year — metadata-scale, the
+    legitimate single-partition case the plan pins distinguish from
+    data-cardinality windows); top-20 is TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("h")
+    nb = hourly.select(
+        "h",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return (
+        nb.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") > F.col("next_n"))
+        )
+        .orderBy(F.desc("n"), "h")
+        .limit(20)
+    )

@@ -701,3 +701,42 @@ def test_no_unintended_cartesian_product_registry_wide(spark, sf_dir, qd):
         if "CartesianProduct" in p and name not in allowed_cartesian:
             offenders[name] = "CartesianProduct"
     assert not offenders, offenders
+
+
+def test_temporal_join_plan_single_keyed_shuffle(spark, sf_dir, tmp_path):
+    """The streaming temporal join must plan as ONE
+    FlatMapGroupsInPandasWithState over a single keyed exchange of the
+    tagged union — tagging both inputs before the groupBy is what
+    keeps the two-input operator at one shuffle instead of two."""
+    from spark_streaming_join_example_spark.streaming import (
+        chunk_events,
+        read_event_stream,
+    )
+    from spark_streaming_join_example_spark.streaming.temporal import (
+        temporal_join_events,
+    )
+
+    d = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(d), n_chunks=2)
+    stream = read_event_stream(spark, str(d))
+    q = (
+        temporal_join_events(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain()
+        plan = buf.getvalue()
+        assert "FlatMapGroupsInPandasWithState" in plan
+        # exactly one keyed exchange feeds the operator (q.explain()
+        # shows the LAST micro-batch — possibly the empty timer-flush
+        # batch, where the union has collapsed to an empty scan, so
+        # the union node itself is not assertable here)
+        assert plan.count("Exchange hashpartitioning(user_id") == 1
+    finally:
+        q.stop()

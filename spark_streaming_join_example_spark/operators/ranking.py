@@ -57,7 +57,11 @@ def _resolve_partitions(df: DataFrame, num_partitions: int | None) -> int:
     try:
         n = int(raw)
     except (TypeError, ValueError):
-        n = df.rdd.getNumPartitions()
+        # e.g. "auto" on AQE-managed deployments.  defaultParallelism is
+        # a driver-side scalar; materializing df.rdd here would force a
+        # plan-to-RDD conversion and return scan-partition counts that
+        # can be far from a sensible shuffle parallelism.
+        n = df.sparkSession.sparkContext.defaultParallelism
     return max(1, n)
 
 
@@ -70,11 +74,33 @@ def _check_reserved(df: DataFrame, reserved: set[str]) -> None:
         )
 
 
+def _check_outputs(df: DataFrame, outputs: set[str]) -> None:
+    """Reject user-supplied OUTPUT names that already exist on the
+    input: ``withColumn`` would silently replace the same-named input
+    column, corrupting data with no error."""
+    clash = outputs & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global ranking: output names {sorted(clash)} already exist "
+            "as input columns — pick different output names or drop/"
+            "rename the inputs first"
+        )
+
+
 def _range_partitioned(
-    df: DataFrame, cols: list[Column], n: int
+    df: DataFrame, cols: list[Column], n: int, reliable: bool = False
 ) -> DataFrame:
     """Range-partition ``df`` on ``cols`` and pin the partition
     assignment with a lineage cut.
+
+    Fault-tolerance note: ``localCheckpoint`` trades lineage for speed
+    — the checkpointed partitions live on executor storage only, so an
+    executor loss (spot kill, decommission) makes them unrecoverable
+    and fails the job instead of recomputing.  For long-running
+    production jobs on preemptible nodes, pass ``reliable=True`` to the
+    public kernels to use ``df.checkpoint`` (HDFS/object-store-backed;
+    requires ``sparkContext.setCheckpointDir``).  The failure mode and
+    the trade-off are documented in SCALE.md §ranking.
 
     The pin is load-bearing for CORRECTNESS, not a cache hint:
     ``repartitionByRange`` samples its split points per evaluation
@@ -96,11 +122,17 @@ def _range_partitioned(
     hold — and is exactly the lineage-cut discipline the iterative
     graph kernels use (operators/graph.py).
     """
-    return (
-        df.repartitionByRange(n, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    base = df.repartitionByRange(n, *cols).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    if reliable:
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True requires sparkContext.setCheckpointDir(...) "
+                "— a fault-tolerant (HDFS/object-store) checkpoint location"
+            )
+        return base.checkpoint(eager=False)
+    return base.localCheckpoint(eager=False)
 
 
 def global_row_number(
@@ -108,6 +140,7 @@ def global_row_number(
     order_cols: list[str | Column],
     out: str = "rn",
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Append a global 1-based row number under ``order_cols`` (which
     MUST form a total order — include a unique id as the last column)
@@ -116,11 +149,16 @@ def global_row_number(
     Returns ``df``'s columns plus ``out``.  Deterministic at any
     partition count: range partitioning only moves WHERE local ranking
     happens; offsets restore the global positions exactly.
+
+    ``reliable=True`` swaps the lineage pin from ``localCheckpoint``
+    (executor-storage-only; fails on executor loss) to a reliable
+    ``checkpoint`` — see ``_range_partitioned``.
     """
     _check_reserved(df, {"_pid", "_local_rn", "_offset"})
+    _check_outputs(df, {out})
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = _resolve_partitions(df, num_partitions)
-    d = _range_partitioned(df, cols, n)
+    d = _range_partitioned(df, cols, n, reliable=reliable)
     w_local = Window.partitionBy("_pid").orderBy(*cols)
     local = d.withColumn("_local_rn", F.row_number().over(w_local))
     # partition sizes: one row per partition — broadcast-sized by
@@ -150,6 +188,7 @@ def global_cumsum(
     sums: dict[str, str | Column],
     rn_out: str | None = None,
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Append one global running SUM per ``sums`` entry (rows between
     unbounded preceding and current row under the TOTAL order
@@ -173,12 +212,16 @@ def global_cumsum(
     for name in sums:
         reserved.update({f"_lc_{name}", f"_t_{name}", f"_o_{name}"})
     _check_reserved(df, reserved)
+    outputs = set(sums)
+    if rn_out is not None:
+        outputs.add(rn_out)
+    _check_outputs(df, outputs)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     vals = {
         out: (F.col(c) if isinstance(c, str) else c) for out, c in sums.items()
     }
     n = _resolve_partitions(df, num_partitions)
-    d = _range_partitioned(df, cols, n)
+    d = _range_partitioned(df, cols, n, reliable=reliable)
     w_cum = (
         Window.partitionBy("_pid")
         .orderBy(*cols)
@@ -228,6 +271,7 @@ def global_ntile(
     order_cols: list[str | Column],
     out: str = "bucket",
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Append ``NTILE(k) OVER (ORDER BY order_cols)`` (SQL-standard
     distribution: the first ``n % k`` buckets take ``n div k + 1``
@@ -242,8 +286,10 @@ def global_ntile(
     if not isinstance(k, int) or isinstance(k, bool) or k < 1:
         raise ValueError(f"global_ntile: k must be a positive int, got {k!r}")
     _check_reserved(df, {"_gn_rn", "_gn_n"})
+    _check_outputs(df, {out})
     ranked = global_row_number(
-        df, order_cols, out="_gn_rn", num_partitions=num_partitions
+        df, order_cols, out="_gn_rn", num_partitions=num_partitions,
+        reliable=reliable,
     )
     # total count from the ranked relation, NOT a second scan of df:
     # the aggregate reuses the range exchange, and n = max(rn) by

@@ -552,22 +552,72 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k-core decomposition membership (rows-only: iterative peel, unique
-# fixpoint; property-tested against a Python model in tests/).
+# k-core decomposition membership (iterative peel, unique fixpoint;
+# oracle: DuckDB recursive CTE carrying the shrinking edge set).
 # ---------------------------------------------------------------------------
 
 
-@register("q_kcore", tags=("J5", "A1", "X2"))
+@register(
+    "q_kcore",
+    tags=("J5", "A1", "X2"),
+    oracle="""
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok
+  WHERE a.pk <> b.pk
+),
+-- Iterative peel as a recursive CTE: each round re-emits the edges
+-- whose BOTH endpoints keep degree >= k in the previous round's set,
+-- tagged with an incremented round number; the n < prev_n guard stops
+-- the recursion at the fixpoint (re-emitting an unchanged set forever
+-- would otherwise never terminate under UNION ALL).
+peel(u, v, r, n) AS (
+  SELECT u, v, 0, COUNT(*) OVER () FROM edges
+  UNION ALL
+  SELECT u, v, r, n FROM (
+    SELECT u, v, r, COUNT(*) OVER () AS n, prev_n FROM (
+      SELECT u, v, r + 1 AS r, n AS prev_n,
+             COUNT(*) OVER (PARTITION BY u) AS du,
+             COUNT(*) OVER (PARTITION BY v) AS dv
+      FROM peel
+    ) s WHERE du >= 16 AND dv >= 16
+  ) t WHERE n < prev_n
+),
+last AS (
+  SELECT u, v FROM peel WHERE r = (SELECT MAX(r) FROM peel)
+),
+chk AS (
+  SELECT u, v,
+         COUNT(*) OVER (PARTITION BY u) AS du,
+         COUNT(*) OVER (PARTITION BY v) AS dv,
+         COUNT(*) OVER () AS n
+  FROM last
+),
+-- The recursion stops either at a stable set (last round IS the core)
+-- or because the next filter would drop EVERYTHING (core is empty —
+-- zero rows cannot be emitted, so 'last' is the pre-collapse round).
+-- Emit rows only in the stable case.
+stable AS (
+  SELECT u, v FROM chk
+  WHERE (SELECT COUNT(*) FROM chk WHERE du >= 16 AND dv >= 16)
+        = (SELECT MAX(n) FROM chk)
+)
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM stable GROUP BY u ORDER BY node
+""",
+)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 16-core of the co-purchase graph with their
     in-core degree — the density-tier primitive for community mining
     and for deciding which subgraph is worth running expensive kernels
     (triangles, embeddings) on.
 
-    Rows-only lane: the peel loop (operators/graph.py:kcore) is not
-    SQL-expressible in one DuckDB statement (the induced-subgraph
-    recursion is not monotone, so WITH RECURSIVE can't carry it);
-    correctness is pinned instead by
+    Oracle: DuckDB recursive CTE that carries the shrinking edge set
+    round by round (round counter + a strictly-decreasing-count guard
+    for termination; k-core is a unique fixpoint so the peel order
+    cannot matter).  Additionally pinned by
     tests/test_properties.py::test_kcore_matches_model, which
     checks the operator's fixpoint against a brute-force Python peel
     on randomized graphs plus invariants (every returned degree ≥ k,

@@ -168,23 +168,38 @@ FROM seq
 )
 def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-pattern detection (MATCH_RECOGNIZE-style, which Spark
-    SQL lacks): encode each user's chronologically-ordered event-type
-    initials into one string, then run ordinary regexes over it —
-    'c[^e]*p' = a click eventually converting to a purchase with NO
-    error in between; 's.*c.*p' = the full signup→click→purchase
-    funnel.  Subsumes fixed-step funnels (q_funnel) for patterns with
-    exclusions and unbounded gaps.
+    SQL lacks): detect, per user over the chronologically-ordered
+    event-type initials, 'c[^e]*p' = a click eventually converting to
+    a purchase with NO error in between, and 's.*c.*p' = the full
+    signup→click→purchase funnel.  Subsumes fixed-step funnels
+    (q_funnel) for patterns with exclusions and unbounded gaps.
 
-    Determinism: the per-user order is the total order (ts, event_id),
-    so the encoded string — and hence every regex verdict — is unique;
-    the initials v/c/p/s/e are distinct for the fixture's five event
-    types.
+    DAY-BOUNDED state (the 100 TB form): instead of encoding each
+    user's ENTIRE history into one string (unbounded per-key state — a
+    hot key with 10⁸ events would OOM a task), the events are first
+    bucketed by (user_id, day).  Each day's bounded string is then
+    collapsed into a constant-size automaton summary — the regexes
+    compile to tiny NFAs whose day-chunk behavior is a transition
+    FUNCTION, and transition functions compose associatively:
 
-    Scale rationale: one shuffle to (user_id); the encoded sequence is
-    ~1 byte/event, so even a 10⁵-event user is a 100 KB string —
-    regex over it is linear and local.  For the 100 TB variant,
-    pre-bucket by (user, day) exactly like q_top_paths to bound any
-    single string, and run the pattern per day-window."""
+    - ``s.*c.*p`` is a 4-state prefix automaton; a day's summary is
+      the vector (f0,f1,f2) = "state reached when entering the day in
+      state 0/1/2" (state 3 absorbs), computable with three locate()
+      chains over the day string;
+    - ``c[^e]*p`` needs three bits per day: matched-within
+      (`c[^e]*p`), match-on-entry-if-open (`^[^e]*p`), plus the
+      open/no-e carry bits (`c[^e]*$`, absence of 'e').
+
+    The per-user fold then runs over #days constant-size summaries
+    (array_sort + F.aggregate), never over events — per-key state is
+    bounded by events/day in the first aggregate and by days in the
+    second, and the verdicts are IDENTICAL to the global regex (the
+    oracle below still runs the plain regexes over the full string).
+
+    Determinism: the per-day order is the total order (ts, event_id),
+    day boundaries respect ts order, and the initials v/c/p/s/e are
+    distinct for the fixture's five event types.
+    """
     ev = _t(spark, sf_dir, "events")
     ordered = F.array_sort(
         F.collect_list(
@@ -195,21 +210,87 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    seq = (
-        ev.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.concat_ws(
-                "", F.transform(ordered, lambda x: x.getField("i"))
-            ).alias("s"),
-        )
+    # level 1: (user, day) buckets — collect_list state bounded by one
+    # day's events, exactly the q_top_paths discipline
+    days = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.concat_ws(
+            "", F.transform(ordered, lambda x: x.getField("i"))
+        ).alias("sd"),
     )
-    return seq.select(
+    # constant-size per-day automaton summaries (then the string dies)
+    summarized = days.select(
+        "user_id",
+        "day",
+        "n_d",
+        F.length("sd").cast("long").alias("len_d"),
+        F.col("sd").rlike("c[^e]*p").alias("m_within"),
+        F.col("sd").rlike("^[^e]*p").alias("m_enter"),
+        F.col("sd").rlike("c[^e]*$").alias("open_end"),
+        (~F.col("sd").contains("e")).alias("no_e"),
+        F.expr(
+            "CAST(CASE WHEN locate('s', sd) = 0 THEN 0 "
+            " WHEN locate('c', sd, locate('s', sd) + 1) = 0 THEN 1 "
+            " WHEN locate('p', sd, "
+            "        locate('c', sd, locate('s', sd) + 1) + 1) = 0 THEN 2 "
+            " ELSE 3 END AS INT)"
+        ).alias("f0"),
+        F.expr(
+            "CAST(CASE WHEN locate('c', sd) = 0 THEN 1 "
+            " WHEN locate('p', sd, locate('c', sd) + 1) = 0 THEN 2 "
+            " ELSE 3 END AS INT)"
+        ).alias("f1"),
+        F.expr(
+            "CAST(CASE WHEN locate('p', sd) = 0 THEN 2 ELSE 3 END AS INT)"
+        ).alias("f2"),
+    )
+    # level 2: fold the day summaries in day order — #days entries of
+    # ~30 bytes each per user, not #events
+    per_user = summarized.groupBy("user_id").agg(
+        F.sum("n_d").alias("n_events"),
+        F.sum("len_d").cast("long").alias("seq_len"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "day", "m_within", "m_enter", "open_end",
+                    "no_e", "f0", "f1", "f2",
+                )
+            )
+        ).alias("ds"),
+    )
+    folded = per_user.withColumn(
+        "acc",
+        F.aggregate(
+            "ds",
+            F.struct(
+                F.lit(False).alias("m"),
+                F.lit(False).alias("o"),
+                F.lit(0).cast("int").alias("st"),
+            ),
+            lambda acc, d: F.struct(
+                (
+                    acc.getField("m")
+                    | d.getField("m_within")
+                    | (acc.getField("o") & d.getField("m_enter"))
+                ).alias("m"),
+                (
+                    d.getField("open_end")
+                    | (acc.getField("o") & d.getField("no_e"))
+                ).alias("o"),
+                F.when(acc.getField("st") == 0, d.getField("f0"))
+                .when(acc.getField("st") == 1, d.getField("f1"))
+                .when(acc.getField("st") == 2, d.getField("f2"))
+                .otherwise(F.lit(3).cast("int"))
+                .alias("st"),
+            ),
+        ),
+    )
+    return folded.select(
         "user_id",
         "n_events",
-        F.length("s").cast("long").alias("seq_len"),
-        F.col("s").rlike("c[^e]*p").alias("converted_clean"),
-        F.col("s").rlike("s.*c.*p").alias("full_funnel"),
+        "seq_len",
+        F.col("acc.m").alias("converted_clean"),
+        (F.col("acc.st") == 3).alias("full_funnel"),
     )
 
 

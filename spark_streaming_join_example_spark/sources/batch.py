@@ -59,7 +59,19 @@ def _sniff_ts_unit(footer_file: str, mtime_ns: int, size: int) -> bool | None:
 
         t = pq.read_schema(footer_file).field("ts").type
         if pa.types.is_timestamp(t):
-            return t.unit == "ns"
+            if t.unit != "ns":
+                return False
+            # pyarrow reports BOTH int96 (Spark's legacy default
+            # writer encoding) and TIMESTAMP(NANOS) as timestamp[ns];
+            # only the latter needs the raw-long read path — Spark
+            # reads int96 as TimestampType natively, and forcing a
+            # LongType schema on it throws PARQUET_COLUMN_DATA_TYPE_
+            # MISMATCH.  Disambiguate on the parquet PHYSICAL type.
+            md = pq.ParquetFile(footer_file).metadata
+            idx = pq.read_schema(footer_file).get_field_index("ts")
+            if md.num_row_groups > 0:
+                return md.row_group(0).column(idx).physical_type != "INT96"
+            return False  # empty file: either read path yields 0 rows
         return True  # plain integer column = raw nanos convention
     except Exception:
         return None

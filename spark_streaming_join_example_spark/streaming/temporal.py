@@ -94,18 +94,21 @@ def temporal_join(
     """
     tol_us: int | None = None
     if tolerance is not None:
-        n, unit = tolerance.split()
         per_us = {
             "second": _US, "seconds": _US,
             "minute": 60 * _US, "minutes": 60 * _US,
             "hour": 3600 * _US, "hours": 3600 * _US,
             "day": 86400 * _US, "days": 86400 * _US,
         }
+        # one error surface for every malformed shape: "1h" (no
+        # space), "1.5 hours" (non-int), "1 fortnight" (bad unit)
         try:
+            n, unit = tolerance.split()
             tol_us = int(n) * per_us[unit.lower()]
-        except KeyError:
+        except (KeyError, ValueError):
             raise ValueError(
-                f"temporal_join: unsupported tolerance unit {unit!r}"
+                f"temporal_join: tolerance {tolerance!r} must be "
+                f"'<int> <unit>' with unit one of {sorted(set(per_us))}"
             ) from None
     # the update fn reads pandas wall-clock timestamps as UTC epoch µs
     # and compares them against the (true-epoch) watermark; pin the

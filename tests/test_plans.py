@@ -740,3 +740,26 @@ def test_temporal_join_plan_single_keyed_shuffle(spark, sf_dir, tmp_path):
         assert plan.count("Exchange hashpartitioning(user_id") == 1
     finally:
         q.stop()
+
+
+def test_event_pattern_state_is_day_bounded(spark, sf_dir, qd):
+    """q_event_pattern's per-key state must be day-bounded: the raw
+    event collect_list may only appear under an Aggregate keyed by
+    (user_id, day), and the per-user fold must run over the
+    constant-size day summaries — never over raw events."""
+    df = qd["q_event_pattern"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_lines = [ln for ln in opt.splitlines() if "Aggregate [" in ln]
+    # exactly one event-level collect_list, keyed by user_id AND the
+    # day bucketing expression (cast(ts as date) is pulled out as a
+    # _groupingexpression by the optimizer)
+    ev_aggs = [ln for ln in agg_lines if "struct(ts," in ln]
+    assert len(ev_aggs) == 1, opt
+    keys = ev_aggs[0].split("], [")[0]
+    assert "user_id" in keys and "_groupingexpression" in keys, keys
+    assert "as date" in opt
+    # the user-level aggregate folds day summaries (m_within etc.),
+    # not raw event structs
+    user_aggs = [ln for ln in agg_lines if "m_within" in ln]
+    assert len(user_aggs) == 1, opt
+    assert "struct(ts," not in user_aggs[0]

@@ -611,3 +611,66 @@ def test_temporal_join_matches_asof_model(spark, rows, split):
         g_ts, g_val = got[eid]
         g_ts = None if g_ts is None else pd.Timestamp(g_ts)
         assert g_ts == dts and g_val == dval, (eid, g_ts, g_val, dts, dval)
+
+
+# --- q_event_pattern day-monoid equivalence --------------------------------
+# The day-bucketed automaton composition must agree with the plain
+# regexes over the full concatenated sequence for ANY sequence and ANY
+# split into days — hypothesis drives both the string and the split.
+
+SEQ = st.lists(st.sampled_from("vcpse"), min_size=1, max_size=40)
+SPLITS = st.lists(st.integers(1, 6), min_size=1, max_size=12)
+
+
+@given(seq=SEQ, splits=SPLITS)
+@settings(**SETTINGS)
+def test_event_pattern_day_fold_matches_global_regex(
+    spark, tmp_path_factory, seq, splits
+):
+    import datetime
+    import itertools
+    import re
+
+    from spark_streaming_join_example_spark.plans.registry import (
+        queries_dict,
+    )
+
+    # assign events to days: splits gives per-day chunk lengths,
+    # cycled until the sequence is consumed
+    days, i = [], 0
+    for w in itertools.cycle(splits):
+        if i >= len(seq):
+            break
+        days.append(seq[i : i + w])
+        i += w
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for d, chunk in enumerate(days):
+        for j, ch in enumerate(chunk):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(days=d, seconds=j),
+                    7,
+                    ch,
+                    0.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = tmp_path_factory.mktemp("evpat")
+    df.write.mode("overwrite").parquet(str(out / "events.parquet"))
+    got = queries_dict()["q_event_pattern"](spark, str(out)).collect()
+    assert len(got) == 1
+    s = "".join(seq)
+    r = got[0]
+    assert r.n_events == len(seq)
+    assert r.seq_len == len(seq)
+    assert r.converted_clean == bool(re.search("c[^e]*p", s)), (s, days)
+    assert r.full_funnel == bool(re.search("s.*c.*p", s)), (s, days)

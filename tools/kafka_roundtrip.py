@@ -22,8 +22,12 @@ Steps:
    to the topic via write_kafka_stream (availableNow trigger);
 2. readStream the topic from earliest via read_kafka_stream,
    parse_json_payload back to typed columns;
-3. foreachBatch-append the parsed rows to parquet (exactly-once per
-   micro-batch id, offsets tracked in the checkpoint WAL);
+3. foreachBatch-land the parsed rows to parquet.  foreachBatch is
+   AT-LEAST-ONCE: a batch retried after a crash between the parquet
+   write and the checkpoint commit re-runs with the same batch_id, so
+   the sink must be idempotent per batch_id — each batch writes to a
+   batch_id-named subdirectory with overwrite, making the retry a
+   harmless rewrite instead of a duplicate append;
 4. compare row count + per-column checksums against the source table.
 """
 
@@ -82,7 +86,12 @@ def main() -> int:
     ).select("event_id", "user_id", "event_type", "ts", "value")
 
     def land(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(args.out + "/data")
+        # idempotent per batch_id: a retried batch overwrites its own
+        # subdir rather than appending duplicates (foreachBatch is
+        # at-least-once; exactly-once only if the write is idempotent)
+        batch_df.write.mode("overwrite").parquet(
+            f"{args.out}/data/batch_id={batch_id}"
+        )
 
     q = (
         parsed.writeStream.foreachBatch(land)

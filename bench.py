@@ -148,9 +148,28 @@ def main() -> None:
         heavy_spread[name] = [round(min(samples), 4), round(max(samples), 4)]
     spark.catalog.clearCache()
 
+    # ------------------------------------------------------------------
+    # Streaming throughput: end-to-end rows/s for the five core
+    # streaming jobs (enrich, stream-stream join, tumbling agg, dedup,
+    # temporal join) draining the chunked events fixture under
+    # trigger(availableNow) into a noop sink — batched mode only here
+    # (~25 s; the chunked sustained-latency mode stays in
+    # tools/stress_stream.py).  Recorded so streaming regressions are
+    # as visible round-over-round as batch ones.
+    # ------------------------------------------------------------------
+    streaming = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        try:
+            from tools.stress_stream import probe as stream_probe
+
+            streaming = stream_probe(spark, sf_dir, modes=("batched",))
+        except Exception as e:  # never let the probe sink the artifact
+            streaming = {"error": f"{type(e).__name__}: {e}"}
+
+    value = round(sum(times.values()), 4)
     out = {
         "metric": "warm_total_headline_queries",
-        "value": round(sum(times.values()), 4),
+        "value": value,
         "unit": "sec",
         "queries": times,
         "spread": spread,
@@ -158,9 +177,70 @@ def main() -> None:
         "heavy": heavy,
         "heavy_spread": heavy_spread,
         "heavy_runs": n_heavy_runs,
+        "streaming": streaming,
         "sf": sf,
     }
+
+    # ------------------------------------------------------------------
+    # Round-over-round drift guard (the r6 lesson: a uniform +28%
+    # environmental drift shipped unexplained).  Compare this total
+    # against the newest BENCH_r*.json artifact; always RECORD the
+    # ratio + any named cause in the artifact so drift can never ship
+    # silently, and fail hard only under the builder's own gate
+    # (SPARK_GRAFT_BENCH_GUARD=1) — the driver's recording run must
+    # still produce an artifact on a noisy box.
+    # ------------------------------------------------------------------
+    prev_total, prev_name = _latest_recorded_total()
+    if prev_total:
+        out["prev_artifact"] = prev_name
+        out["prev_total"] = prev_total
+        out["drift_vs_prev"] = round(value / prev_total, 3)
+        cause = os.environ.get("SPARK_GRAFT_DRIFT_CAUSE")
+        if cause:
+            out["drift_cause"] = cause
+        if out["drift_vs_prev"] > 1.5 and not cause:
+            msg = (
+                f"BENCH GUARD: headline total {value}s is "
+                f"{out['drift_vs_prev']}x {prev_name}'s {prev_total}s "
+                "(>1.5x) with no named cause — re-run on a quiet box or "
+                "set SPARK_GRAFT_DRIFT_CAUSE to record an explanation"
+            )
+            print(msg, file=sys.stderr)
+            if os.environ.get("SPARK_GRAFT_BENCH_GUARD") == "1":
+                print(json.dumps(out))
+                sys.exit(3)
     print(json.dumps(out))
+
+
+def _latest_recorded_total() -> tuple[float | None, str | None]:
+    """Headline total from the newest BENCH_r*.json in the repo root.
+
+    The driver wraps bench.py's JSON line in its own artifact (the line
+    lands inside a "tail" field with progress-bar noise around it), so
+    accept both the wrapped and the plain format."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(arts):
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+            if "value" in raw:
+                return float(raw["value"]), os.path.basename(path)
+            m = None
+            for m in re.finditer(r'\{"metric".*?"sf": [0-9.]+\}',
+                                 raw.get("tail", "")):
+                pass
+            if m:
+                return (
+                    float(json.loads(m.group(0))["value"]),
+                    os.path.basename(path),
+                )
+        except Exception:
+            continue
+    return None, None
 
 
 if __name__ == "__main__":

@@ -42,12 +42,18 @@ from spark_streaming_join_example_spark.streaming.temporal import (
 )
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    spark = get_spark("stress-stream")
-    spark.sparkContext.setLogLevel("ERROR")
+def probe(
+    spark,
+    sf_dir: str,
+    n_chunks: int = 8,
+    modes: tuple[str, ...] = ("batched", "chunked"),
+) -> dict:
+    """Run the five core streaming jobs over the chunked events fixture
+    and return ``{"rows": N, "n_chunks": K, "jobs": {...}}``.
 
+    Importable so bench.py can embed a streaming-throughput section in
+    the per-round artifact (batched mode only there, to bound bench
+    wall-clock); the CLI below runs both modes."""
     work = tempfile.mkdtemp(prefix="stress_stream_")
     replay = os.path.join(work, "replay")
     chunk_events(spark, sf_dir, replay, n_chunks=n_chunks)
@@ -90,14 +96,22 @@ def main() -> None:
     for job in (j_enrich, j_ss_join, j_tumbling, j_dedup, j_temporal):
         name = job.__name__[2:]
         out[name] = {}
-        for mode in ("batched", "chunked"):
+        for mode in modes:
             s = drain(job, mode)
             out[name][mode] = {
                 "s": round(s, 3),
                 "rows_per_s": int(n_rows / s),
             }
-    print(json.dumps({"rows": n_rows, "n_chunks": n_chunks, "jobs": out}))
     shutil.rmtree(work, ignore_errors=True)
+    return {"rows": n_rows, "n_chunks": n_chunks, "jobs": out}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_spark("stress-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(probe(spark, sf_dir, n_chunks)))
 
 
 if __name__ == "__main__":

@@ -458,6 +458,49 @@ def _deterministic_sample(df: DataFrame, col: str, n: int = 4096) -> list:
     return df.select(col).orderBy(F.xxhash64(c), c).limit(n).collect()
 
 
+def _assign_cells(
+    df: DataFrame,
+    bc,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Linear IVF cell-assignment pass shared by ivf_topk_pairs /
+    knn_join_ivf (and the candidate-count scale probe in
+    tools/stress_vectors.py): each row emits its ``n_probe`` nearest
+    broadcast centroids — d·n_cells flops per row, no shuffle."""
+    import numpy as np
+
+    def fn(batches):
+        import pandas as pd
+
+        c = bc.value
+        # the quantizer may hold fewer centroids than requested (tiny
+        # corpus sample / n_cells > sample size) — probing more cells
+        # than exist would misalign repeat vs ravel
+        k_out = min(n_probe, len(c))
+        for pdf in batches:
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ c.T
+            order = np.argsort(-sims, axis=1)[:, :k_out]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), k_out),
+                    "cell": order.ravel().astype("int32"),
+                    vec_col: [
+                        pdf[vec_col].iloc[i]
+                        for i in range(n)
+                        for _ in range(k_out)
+                    ],
+                }
+            )
+
+    schema = f"{id_col} long, cell int, {vec_col} array<float>"
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
 def ivf_topk_pairs(
     emb: DataFrame,
     k: int = 10,
@@ -492,30 +535,7 @@ def ivf_topk_pairs(
     cent = _kmeans_centroids(mat, n_cells, seed=seed)
     bc = spark.sparkContext.broadcast(cent)
     keep = max(3 * k, 64)
-
-    def assign(batches):
-        import pandas as pd
-
-        c = bc.value
-        for pdf in batches:
-            v = np.array(list(pdf["embedding"]), dtype=np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
-            sims = v @ c.T
-            order = np.argsort(-sims, axis=1)[:, :n_probe]
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_probe),
-                    "cell": order.ravel().astype("int32"),
-                    "embedding": [
-                        pdf["embedding"].iloc[i] for i in range(n) for _ in range(n_probe)
-                    ],
-                }
-            )
-
-    assigned = emb.select("vec_id", "embedding").mapInPandas(
-        assign, "vec_id long, cell int, embedding array<float>"
-    )
+    assigned = _assign_cells(emb, bc, n_probe)
 
     def cell_topk(pdf):
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -654,41 +674,8 @@ def knn_join_ivf(
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     cent = _kmeans_centroids(mat, n_cells, seed=seed)
     bc = spark.sparkContext.broadcast(cent)
-
-    def assign(n_out: int):
-        def fn(batches):
-            import pandas as pd
-
-            c = bc.value
-            # the quantizer may hold fewer centroids than requested
-            # (tiny corpus sample / n_cells > sample size) — probing
-            # more cells than exist would misalign repeat vs ravel
-            k_out = min(n_out, len(c))
-            for pdf in batches:
-                v = np.array(list(pdf[vec_col]), dtype=np.float64)
-                v /= np.linalg.norm(v, axis=1, keepdims=True)
-                sims = v @ c.T
-                order = np.argsort(-sims, axis=1)[:, :k_out]
-                n = len(pdf)
-                yield pd.DataFrame(
-                    {
-                        id_col: np.repeat(pdf[id_col].to_numpy(), k_out),
-                        "cell": order.ravel().astype("int32"),
-                        vec_col: [
-                            pdf[vec_col].iloc[i]
-                            for i in range(n)
-                            for _ in range(k_out)
-                        ],
-                    }
-                )
-
-        return fn
-
-    schema = f"{id_col} long, cell int, {vec_col} array<float>"
-    q_assigned = queries.select(id_col, vec_col).mapInPandas(
-        assign(n_probe), schema
-    )
-    c_assigned = corpus.select(id_col, vec_col).mapInPandas(assign(1), schema)
+    q_assigned = _assign_cells(queries, bc, n_probe, id_col, vec_col)
+    c_assigned = _assign_cells(corpus, bc, 1, id_col, vec_col)
 
     def cell_knn(qpdf, cpdf):
         import pandas as pd

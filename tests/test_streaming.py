@@ -1830,3 +1830,98 @@ def test_temporal_join_tolerance_equivalence(spark, sf_dir, replay_dir, tmp_path
     full_twin = _batch_temporal_twin(spark, sf_dir)
     n_full = full_twin.filter(F.col("dim_value").isNotNull()).count()
     assert 0 < n_matched < n_full
+
+
+# ---------------------------------------------------------------------------
+# Chaos: crash/stop INSIDE a non-final micro-batch (every other restart
+# test stops at a clean batch boundary).
+# ---------------------------------------------------------------------------
+
+
+def test_midbatch_crash_exactly_once(spark, sf_dir, tmp_path):
+    """S7/S8 chaos: a crash AFTER the sink write but BEFORE the
+    checkpoint commit of a NON-final micro-batch must neither
+    duplicate nor lose rows, given an idempotent-per-batch_id sink.
+
+    The failure is injected deterministically: batch 1's first attempt
+    lands its parquet output and THEN raises — exactly the window where
+    foreachBatch's at-least-once contract re-delivers the batch.  On
+    restart, batch 1 re-runs with the SAME batch_id; the overwrite of
+    its own subdirectory makes the retry a harmless rewrite."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from spark_streaming_join_example_spark.sources.sinks import (
+        to_foreach_batch,
+    )
+
+    replay = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(replay), n_chunks=4)
+    out_dir = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed_once"
+
+    def land(batch_df, batch_id: int) -> None:
+        batch_df.select("event_id", "user_id").write.mode(
+            "overwrite"
+        ).parquet(str(out_dir / f"batch_id={batch_id}"))
+        if batch_id == 1 and not marker.exists():
+            marker.write_text("crashed")
+            raise RuntimeError(
+                "injected crash between sink write and checkpoint commit"
+            )
+
+    def run():
+        stream = read_event_stream(
+            spark, str(replay), max_files_per_trigger=1
+        )
+        q = to_foreach_batch(stream, land, ckpt)
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        run()
+    assert marker.exists()
+    # batch 1's data is on disk although its commit never happened —
+    # the dangerous half-written state the restart must absorb
+    assert (out_dir / "batch_id=1").exists()
+    run()  # restart mid-stream: re-runs batch 1, then drains 2..3
+    got = spark.read.parquet(str(out_dir))
+    be = _batch_events(spark, sf_dir)
+    assert got.count() == be.count()
+    assert collect_sorted(got.select("event_id")) == collect_sorted(
+        be.select("event_id")
+    )
+
+
+def test_stop_midstream_file_sink_exactly_once(spark, sf_dir, tmp_path):
+    """S7 chaos: q.stop() fired while micro-batches are in flight (not
+    at a drained boundary) must leave the file sink consistent — the
+    restarted query completes the drain with no duplicates and no
+    loss, because offsets commit to the WAL before execution and the
+    parquet sink's manifest only references committed files."""
+    import time as _time
+
+    replay = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(replay), n_chunks=8)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = read_event_stream(
+            spark, str(replay), max_files_per_trigger=1
+        )
+        return to_parquet(stream.select("event_id", "user_id"), out_dir, ckpt)
+
+    q = start()
+    # interrupt wherever execution happens to be — deliberately NOT
+    # synchronized to a batch boundary; 8 single-file batches take
+    # several seconds, so this lands mid-stream
+    _time.sleep(1.5)
+    q.stop()
+    q2 = start()  # resume from the WAL and drain the rest
+    q2.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    be = _batch_events(spark, sf_dir)
+    assert got.count() == be.count()
+    assert collect_sorted(got.select("event_id")) == collect_sorted(
+        be.select("event_id")
+    )

@@ -6,11 +6,22 @@ definition — the probe shows the distributed block-pair layout absorbs
 K× data with ~K²/cores compute and NO driver-bound step; the ANN path
 shows the sub-quadratic alternative at the same recall target.
 
+A second section (STRESS_CAND_K, default 30) MEASURES the central
+scale claim instead of arguing it: the number of candidate pairs the
+banded-LSH (minhash_neardup) and IVF (knn_join_ivf) kernels actually
+form at 1x and Kx corpus size, against the n(n-1)/2 all-pairs count a
+quadratic method would touch.  The blow-ups keep the dup structure
+honest — documents get per-replica token suffixes (cross-replica
+Jaccard = 0: the corpus grows, the dup rate doesn't), embeddings get
+deterministic per-replica jitter, and the IVF quantizer scales
+n_cells with n (constant target cell size, standard IVF practice).
+
 Usage: python tools/stress_vectors.py [K] [sf_dir]
 Prints one JSON line.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -19,11 +30,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
 
 from spark_streaming_join_example_spark import get_spark
+from spark_streaming_join_example_spark.operators.dedup import (
+    distinct_tokens,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
 from spark_streaming_join_example_spark.operators.similarity import (
+    _assign_cells,
+    _deterministic_sample,
+    _kmeans_centroids,
     ann_topk_pairs,
     cosine_topk_pairs,
+    knn_join_ivf,
 )
 from spark_streaming_join_example_spark.sources.batch import load_table
 
@@ -93,7 +114,132 @@ def main() -> None:
     res["skew_speedup"] = round(
         res["ann_skew_unsalted"] / max(res["ann_skew_salted"], 1e-9), 2
     )
+    res["candidates"] = candidate_probe(
+        spark, sf_dir, int(os.environ.get("STRESS_CAND_K", "30"))
+    )
     print(json.dumps(res))
+
+
+def candidate_probe(spark, sf_dir: str, k: int) -> dict:
+    """Candidate-pair counts vs all-pairs at 1x and Kx corpus size for
+    the two bucketed kernels (see module docstring)."""
+
+    def pairs(n: int) -> int:
+        return n * (n - 1) // 2
+
+    # ---- banded MinHash LSH over documents --------------------------
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    shift = n_docs + 1
+
+    def rep_doc(i: int) -> DataFrame:
+        # per-replica token suffix: replicas share ZERO tokens, so the
+        # Kx corpus has K independent copies of the 1x dup structure
+        return docs.select(
+            (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(t, F.lit(f"_{i}")),
+                ),
+            ).alias("text"),
+        )
+
+    def mh_candidates(d: DataFrame) -> int:
+        toks = d.select("doc_id", distinct_tokens("text").alias("toks"))
+        sig = minhash_signatures(toks, "doc_id", F.col("toks"), 16)
+        return lsh_candidate_pairs(sig, "doc_id", 16, 4).count()
+
+    big_docs = functools.reduce(
+        DataFrame.unionByName, [rep_doc(i) for i in range(k)]
+    ).localCheckpoint(eager=True)
+    mh = {
+        "n_1x": n_docs,
+        "cand_1x": mh_candidates(docs),
+        "allpairs_1x": pairs(n_docs),
+        "n_kx": n_docs * k,
+        "cand_kx": mh_candidates(big_docs),
+        "allpairs_kx": pairs(n_docs * k),
+    }
+    mh["cand_growth"] = round(mh["cand_kx"] / max(mh["cand_1x"], 1), 2)
+    mh["allpairs_growth"] = round(mh["allpairs_kx"] / mh["allpairs_1x"], 2)
+    big_docs.unpersist()
+
+    # ---- IVF kNN join over embeddings -------------------------------
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_emb = emb.count()
+    vshift = n_emb + 1
+
+    def rep_emb(i: int) -> DataFrame:
+        # deterministic per-replica jitter so the Kx corpus fills the
+        # vector space instead of stacking K identical piles
+        return emb.select(
+            (F.col("vec_id") + F.lit(i * vshift)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, j: (
+                    x
+                    + 0.08
+                    * F.sin(
+                        (F.pmod(F.col("vec_id"), F.lit(997)) + 1)
+                        * (j + 1)
+                        * (i + 1)
+                    )
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+
+    def ivf_comparisons(d: DataFrame, n_cells: int, n_probe: int = 2) -> int:
+        """Sum over cells of |Q_cell|*|C_cell| — the exact number of
+        query-corpus cosine evaluations knn_join_ivf(d, d) performs."""
+        import numpy as np
+
+        sample = _deterministic_sample(d, "embedding")
+        mat = np.array([r[0] for r in sample], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast(
+            _kmeans_centroids(mat, n_cells, seed=42)
+        )
+        qn = _assign_cells(d, bc, n_probe).groupBy("cell").agg(
+            F.count("*").alias("qn")
+        )
+        cn = _assign_cells(d, bc, 1).groupBy("cell").agg(
+            F.count("*").alias("cn")
+        )
+        return qn.join(cn, "cell").agg(
+            F.sum(F.col("qn") * F.col("cn"))
+        ).collect()[0][0]
+
+    big_emb = functools.reduce(
+        DataFrame.unionByName, [rep_emb(i) for i in range(k)]
+    ).localCheckpoint(eager=True)
+    cells_1x = 16
+    cells_kx = cells_1x * k  # n_cells scales with n: constant cell size
+    t0 = time.time()
+    knn_join_ivf(emb, emb, k=5, n_cells=cells_1x).collect()
+    t_1x = round(time.time() - t0, 3)
+    t0 = time.time()
+    knn_join_ivf(big_emb, big_emb, k=5, n_cells=cells_kx).collect()
+    t_kx = round(time.time() - t0, 3)
+    ivf = {
+        "n_1x": n_emb,
+        "comparisons_1x": ivf_comparisons(emb, cells_1x),
+        "allpairs_1x": n_emb * n_emb,
+        "knn_join_s_1x": t_1x,
+        "n_kx": n_emb * k,
+        "comparisons_kx": ivf_comparisons(big_emb, cells_kx),
+        "allpairs_kx": (n_emb * k) ** 2,
+        "knn_join_s_kx": t_kx,
+        "n_cells_1x": cells_1x,
+        "n_cells_kx": cells_kx,
+    }
+    ivf["cand_growth"] = round(
+        ivf["comparisons_kx"] / max(ivf["comparisons_1x"], 1), 2
+    )
+    ivf["allpairs_growth"] = round(ivf["allpairs_kx"] / ivf["allpairs_1x"], 2)
+    big_emb.unpersist()
+    return {"k": k, "minhash_lsh": mh, "knn_join_ivf": ivf}
 
 
 if __name__ == "__main__":

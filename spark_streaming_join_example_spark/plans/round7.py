@@ -1,0 +1,197 @@
+"""Round-7 additions: the two corpus-quality signals every
+pretraining-data pipeline computes that the registry did not yet have
+as first-class queries —
+
+- cross-document duplicated n-gram fraction (the RefinedWeb/Gopher
+  "fraction of the document that is boilerplate shared with the rest
+  of the corpus" signal; within-doc repetition already exists as
+  q_ngram_repetition), and
+- a Gopher-style per-document quality-rule battery (word-count and
+  mean-word-length bounds, stopword containment, type-token ratio,
+  single-word domination), adapted to the fixture corpus (synthetic
+  space-separated words: no punctuation or line structure, so the
+  line-shape rules don't apply).
+
+Both are pure JVM-side DataFrame compositions with exact DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.batch import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_cross_doc_ngram_dup",
+    tags=("X1", "X2", "X5", "A1", "J4"),
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS s
+  FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i)
+  WHERE len(ws) >= 5
+),
+cnt AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       ROUND(SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS dup_frac
+FROM sh JOIN cnt USING (s)
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+""",
+)
+def q_cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: the fraction of its distinct 5-gram word shingles
+    that also occur in at least one OTHER place in the corpus — the
+    cross-document boilerplate signal used to down-weight or drop
+    template-heavy pages when assembling a pretraining mix (within-doc
+    repetition is q_ngram_repetition; this is the corpus-wide
+    complement).
+
+    Plan: one explode to distinct (doc, shingle) pairs, then an
+    unordered COUNT window partitioned by shingle tags every pair with
+    its corpus frequency IN PLACE — one keyed shuffle, no self-join,
+    no second scan of the explode (the groupBy-count + join-back
+    formulation reads the exploded relation twice and shuffles once
+    more) — then one per-doc aggregate.  Nothing quadratic; the
+    dominant cost is the shingle shuffle, linear in corpus tokens.
+
+    100 TB: identical shape with two standard reductions — key the
+    count/join on ``xxhash64(shingle)`` instead of the string (8-byte
+    shuffle keys; the 64-bit collision risk only starts to bite past
+    ~10⁹ distinct shingles, where a 128-bit hash pair takes over), and
+    pre-aggregate the shingle counts per partition (already automatic:
+    partial HashAggregate).  The (doc, shingle) distinct is the same
+    dedup-before-count discipline q_exact_dedup_docs uses.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    shingles = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(1), n - 4),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        docs.select("doc_id", F.explode(shingles).alias("s"))
+        .distinct()
+    )
+    tagged = sh.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_gopher_rules",
+    tags=("X5", "A1", "P5", "FN-string"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_word_n,
+         CAST(SUM(c * length(w)) AS BIGINT) AS n_letters,
+         CAST(SUM(CASE WHEN w IN ('the', 'a', 'of', 'to', 'and')
+                       THEN c ELSE 0 END) AS BIGINT) AS stop_hits
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_distinct, top_word_n, stop_hits,
+       ROUND(n_letters * 1.0 / n_words, 6) AS mean_word_len,
+       ROUND(n_distinct * 1.0 / n_words, 6) AS ttr,
+       ROUND(top_word_n * 1.0 / n_words, 6) AS top_word_share,
+       (n_words BETWEEN 10 AND 1000)
+         AND (n_letters * 1.0 / n_words BETWEEN 2.0 AND 10.0)
+         AND stop_hits >= 1
+         AND top_word_n * 1.0 / n_words <= 0.2 AS keep
+FROM agg
+ORDER BY doc_id
+""",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality-rule battery: word-count
+    bounds, mean-word-length bounds, stopword containment,
+    single-word domination — the and-of-rules ``keep`` flag a
+    pretraining filter applies before dedup.  (Type-token ratio is
+    reported alongside; the original line-shape rules — bullet/ellipsis
+    line fractions — don't exist in a corpus with no line structure,
+    so they are deliberately absent rather than vacuously true.)
+
+    Plan: explode → (doc, word) counts → per-doc aggregate, all
+    partial-aggregable; the per-word level is required anyway for
+    top_word_n (max term frequency), and every rule folds into the
+    same two HashAggregates — no second scan, no window.  Scales as
+    one token-linear shuffle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stop = F.col("w").isin("the", "a", "of", "to", "and")
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_word_n"),
+        F.sum(F.col("c") * F.length("w")).cast("long").alias("n_letters"),
+        F.sum(F.when(stop, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    mean_len = F.col("n_letters") / F.col("n_words")
+    top_share = F.col("top_word_n") / F.col("n_words")
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "top_word_n",
+        "stop_hits",
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(F.col("n_distinct") / F.col("n_words"), 6).alias("ttr"),
+        F.round(top_share, 6).alias("top_word_share"),
+        (
+            F.col("n_words").between(10, 1000)
+            & mean_len.between(2.0, 10.0)
+            & (F.col("stop_hits") >= 1)
+            & (top_share <= 0.2)
+        ).alias("keep"),
+    ).orderBy("doc_id")

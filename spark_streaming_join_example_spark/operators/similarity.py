@@ -377,6 +377,214 @@ def ann_topk_pairs(
     )
 
 
+def _kmeans_l2(mat, kk: int, n_iter: int = 10, seed: int = 42):
+    """Plain Euclidean k-means for PQ sub-quantizers (the cosine
+    variant `_kmeans_centroids` re-normalizes centroids — wrong for
+    subspace residuals, whose magnitude carries information)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cent = mat[
+        rng.choice(len(mat), size=min(kk, len(mat)), replace=False)
+    ].copy()
+    for _ in range(n_iter):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cent)):
+            mem = mat[assign == c]
+            if len(mem):
+                cent[c] = mem.mean(axis=0)
+    return cent
+
+
+def pq_codebooks(
+    emb: DataFrame, m: int = 4, nbits: int = 4, seed: int = 42
+):
+    """Train product-quantization codebooks on the deterministic
+    bounded sample (same discipline as the IVF coarse quantizer):
+    unit-normalize, split the dimension into ``m`` subspaces, run L2
+    k-means with ``2**nbits`` centroids per subspace.  Returns
+    ``(books, tables)`` where ``books[j]`` is the subspace-j codebook
+    and ``tables[j][a][b] = books[j][a] · books[j][b]`` is the
+    symmetric-distance-computation (SDC) lookup table."""
+    import numpy as np
+
+    sample = _deterministic_sample(emb, "embedding")
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    ds = d // m
+    books = [
+        _kmeans_l2(mat[:, j * ds : (j + 1) * ds], 2**nbits, seed=seed + j)
+        for j in range(m)
+    ]
+    tables = [b @ b.T for b in books]
+    return books, tables
+
+
+def pq_encode(
+    emb: DataFrame, books, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """PQ-encode every vector: per subspace, the index of its nearest
+    codebook centroid (L2, on the unit-normalized vector).  A d-dim
+    float vector becomes ``m`` small ints — at (d=16, m=4, nbits=4)
+    that is 64 bytes → 4 codes, the 10-100× shuffle/memory shrink that
+    makes billion-vector pair search feasible."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+
+    def fn(batches):
+        import pandas as pd
+
+        bks = bc.value
+        ds = bks[0].shape[1]
+        for pdf in batches:
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            codes = np.empty((len(v), len(bks)), dtype=np.int32)
+            for j, b in enumerate(bks):
+                sub = v[:, j * ds : (j + 1) * ds]
+                d2 = (
+                    (sub**2).sum(1, keepdims=True)
+                    - 2.0 * (sub @ b.T)
+                    + (b**2).sum(1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_topk_pairs(
+    emb: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 4,
+    round_to: int = 6,
+    seed: int = 42,
+    n_blocks: int | None = None,
+    n_rows: int | None = None,
+    keep: int | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k cosine pairs: the X3
+    memory-side scale path, complementing IVF (which prunes the
+    CANDIDATE set; PQ shrinks the PER-CANDIDATE cost).
+
+    Vectors are PQ-encoded once (a linear mapInPandas pass), then the
+    same triangular block-pair layout as the exact kernel runs over
+    CODES instead of floats — the shuffle moves m small ints per row
+    instead of d floats, and each candidate pair costs m table lookups
+    instead of d multiplies, from broadcast ksub×ksub SDC tables.  The
+    estimate is the cosine of the RECONSTRUCTIONS (dot normalized by
+    reconstruction norms — unnormalized SDC is biased low because
+    centroids shrink toward subspace means).  Each group emits its
+    top-`keep` pairs BY ESTIMATE; an exact re-rank then joins the raw
+    vectors back for only those O(P²·keep) candidates — the standard
+    PQ-then-rerank retrieval shape, so reported similarities are
+    exact and recall depends only on the candidate stage.  At 100 TB
+    this is the difference between shuffling 4 KB and 8-64 B per
+    vector in the quadratic stage; recall is tuned by (m, nbits,
+    keep) exactly as in FAISS.  ``keep`` (candidates emitted per
+    group, default 50·k) is deliberately much larger than the exact
+    kernel's 3·k margin: quantization noise means a true top-k pair
+    may rank hundreds deep in the ESTIMATE order, and candidates are
+    cheap — the re-rank join is linear in P²·keep.  Note the fixture
+    embeddings are near-random (dims uncorrelated): PQ's adversarial
+    case, where sub-quantizers find no structure — real embedding
+    corpora (which are anisotropic) quantize far better at the same
+    bit budget.  Recall vs the exact kernel is pinned in
+    tests/test_extensions.py."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    books, tables = pq_codebooks(emb, m=m, nbits=nbits, seed=seed)
+    bc_tables = spark.sparkContext.broadcast(np.stack(tables))
+    codes = pq_encode(emb, books)
+    p = _auto_blocks(codes, n_blocks, n_rows)
+    keep = max(50 * k, 256) if keep is None else keep
+
+    blk = F.pmod(F.col("vec_id"), F.lit(p)).cast("int")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.least(blk, F.lit(j)).alias("gi"),
+                F.greatest(blk, F.lit(j)).alias("gj"),
+            )
+            for j in range(p)
+        ]
+    )
+    grouped = (
+        codes.withColumn("blk", blk)
+        .withColumn("g", F.explode(pairs))
+        .select("vec_id", "codes", "blk", "g.gi", "g.gj")
+    )
+
+    def group_pq(pdf):
+        t = bc_tables.value
+        gi = int(pdf["gi"].iloc[0])
+        gj = int(pdf["gj"].iloc[0])
+        blk_ = pdf["blk"].to_numpy()
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        cds = np.array(list(pdf["codes"]), dtype=np.int64)
+        a_sel, b_sel = blk_ == gi, blk_ == gj
+        a_ids, a_c = ids[a_sel], cds[a_sel]
+        b_ids, b_c = ids[b_sel], cds[b_sel]
+        sims = np.zeros((len(a_ids), len(b_ids)))
+        # |recon|² = Σ_j T[j][c][c] — diagonal lookups, m per row
+        na2 = np.zeros(len(a_ids))
+        nb2 = np.zeros(len(b_ids))
+        for j in range(t.shape[0]):
+            sims += t[j][a_c[:, j]][:, b_c[:, j]]
+            na2 += t[j][a_c[:, j], a_c[:, j]]
+            nb2 += t[j][b_c[:, j], b_c[:, j]]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims /= np.sqrt(na2)[:, None] * np.sqrt(nb2)[None, :]
+        sims = np.nan_to_num(sims, nan=-2.0)
+        if gi == gj:
+            mask = a_ids[:, None] < b_ids[None, :]
+        else:
+            mask = np.ones_like(sims, dtype=bool)
+        return _pairs_topk_frame(
+            a_ids, b_ids, sims, mask, keep, reorient=True
+        ).rename(columns={"cos_sim": "pq_sim"})
+
+    cand = (
+        grouped.groupBy("gi", "gj")
+        .applyInPandas(group_pq, "a_id long, b_id long, pq_sim double")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    # exact re-rank: raw vectors join back for ONLY the O(P²·keep)
+    # candidates; reported similarity is exact JVM-side cosine
+    va = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("_va")
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("_vb")
+    )
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                cosine(as_double_array("_va"), as_double_array("_vb")),
+                round_to,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "a_id", "b_id")
+        .limit(k)
+    )
+
+
 def cosine_pairs_above(
     emb: DataFrame,
     threshold: float,

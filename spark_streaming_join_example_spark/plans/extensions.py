@@ -357,6 +357,26 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_pairs(emb, k=10, n_rows=parquet_num_rows(sf_dir, "embeddings"))
 
 
+@register("q_pq_topk", tags=("X3",))
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-10 cosine pairs (SDC over
+    broadcast codebook tables; rows-only — recall vs the exact kernel
+    pinned in tests/test_extensions.py).  PQ is the memory-side scale
+    path: codes shuffle at m ints/vector instead of d floats, each
+    pair costs m table lookups instead of d multiplies.  The fixture
+    embeddings are near-random — PQ's adversarial case — so the
+    registered settings are scalar-quantization-grade (m=16, nbits=8:
+    one byte per dim, still a 4x shrink vs float32); real anisotropic
+    embedding corpora sustain far higher compression."""
+    from ..operators.similarity import pq_topk_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk_pairs(
+        emb, k=10, m=16, nbits=8,
+        n_rows=parquet_num_rows(sf_dir, "embeddings"),
+    )
+
+
 @register(
     "q_embedding_centroid",
     tags=("X3", "F3", "FN-array"),

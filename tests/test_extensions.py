@@ -339,3 +339,79 @@ def test_knn_join_empty_and_tiny_inputs(spark):
     assert got.count() > 0
     # empty corpus: typed empty result
     assert knn_join_ivf(corpus, empty, k=2).count() == 0
+
+
+def test_pq_recall_against_exact(spark, sf_dir):
+    """PQ-SDC top-10 must substantially agree with the exact kernel —
+    the fixture's near-random embeddings are PQ's adversarial case,
+    so this pins the scalar-quantization-grade setting (m=16,
+    nbits=8) the registered query uses; the wide candidate margin +
+    exact re-rank does the rest."""
+    from spark_streaming_join_example_spark.operators.similarity import (
+        cosine_topk_pairs,
+        pq_topk_pairs,
+    )
+    from spark_streaming_join_example_spark import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.a_id, r.b_id) for r in cosine_topk_pairs(emb, k=10).collect()}
+    got = {
+        (r.a_id, r.b_id)
+        for r in pq_topk_pairs(emb, k=10, m=16, nbits=8).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} ({got & exact})"
+
+
+def test_pq_encode_deterministic_and_bounded(spark, sf_dir):
+    """PQ codes are layout-independent (deterministic sample +
+    seeded k-means + argmin) and every code addresses a real centroid."""
+    from spark_streaming_join_example_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+    from spark_streaming_join_example_spark import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, tables = pq_codebooks(emb, m=4, nbits=4)
+    assert len(books) == 4 and len(tables) == 4
+    a = {r.vec_id: tuple(r.codes) for r in pq_encode(emb, books).collect()}
+    b = {
+        r.vec_id: tuple(r.codes)
+        for r in pq_encode(emb.repartition(7), books).collect()
+    }
+    assert a == b
+    ksubs = [len(bk) for bk in books]
+    for codes in a.values():
+        assert len(codes) == 4
+        for j, c in enumerate(codes):
+            assert 0 <= c < ksubs[j]
+
+
+def test_pq_sdc_approximates_cosine(spark, sf_dir):
+    """The SDC estimate (sum of codebook-dot lookups) must track true
+    cosine
+    (normalized SDC = cosine of reconstructions): over the exact
+    top-50 pairs, mean absolute error < 0.3 — coarse, which is exactly
+    why the kernel re-ranks candidates with exact cosine."""
+    import numpy as np
+
+    from spark_streaming_join_example_spark.operators.similarity import (
+        cosine_topk_pairs,
+        pq_codebooks,
+        pq_encode,
+    )
+    from spark_streaming_join_example_spark import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, tables = pq_codebooks(emb, m=8, nbits=4)
+    codes = {r.vec_id: r.codes for r in pq_encode(emb, books).collect()}
+    exact = cosine_topk_pairs(emb, k=50).collect()
+    errs = []
+    for r in exact:
+        ca, cb = codes[r.a_id], codes[r.b_id]
+        dot = sum(tables[j][ca[j]][cb[j]] for j in range(8))
+        na = sum(tables[j][ca[j]][ca[j]] for j in range(8)) ** 0.5
+        nb = sum(tables[j][cb[j]][cb[j]] for j in range(8)) ** 0.5
+        errs.append(abs(dot / (na * nb) - r.cos_sim))
+    assert np.mean(errs) < 0.3, np.mean(errs)

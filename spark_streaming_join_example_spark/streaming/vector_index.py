@@ -1,0 +1,135 @@
+"""Streaming ANN-index maintenance (S8 + X3): continuously ingest an
+embedding stream into a cell-partitioned IVF index.
+
+The production retrieval-pipeline shape: the coarse quantizer is
+trained OFFLINE on a bounded corpus sample and then FROZEN (FAISS
+practice — a quantizer change is a versioned index rebuild, never an
+in-place upsert, because cell assignment must stay consistent across
+every batch ever written).  Each micro-batch then runs the linear
+cell-assignment pass against the broadcast centroids and lands under
+``batch_id=N/cell=C/`` — idempotent per batch_id (foreachBatch is
+at-least-once; a retried batch overwrites its own subtree), and
+queries prune to their probed cells via ordinary partition pruning:
+a kNN probe reads n_probe/n_cells of the index, not all of it.
+
+At 100 TB: assignment is d·n_cells flops per row with no shuffle (the
+sink's partitionBy is a local sort within each task), the index only
+ever appends, and compaction of small batch files is an orthogonal
+OPTIMIZE pass over closed batch_id directories.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import (
+    _assign_cells,
+    _deterministic_sample,
+    _kmeans_centroids,
+)
+
+
+def train_quantizer(corpus: DataFrame, n_cells: int = 16, seed: int = 42):
+    """Train the frozen coarse quantizer on the deterministic bounded
+    sample of a (batch) corpus.  Returns the centroid matrix."""
+    import numpy as np
+
+    sample = _deterministic_sample(corpus, "embedding")
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return _kmeans_centroids(mat, n_cells, seed=seed)
+
+
+def maintain_vector_index(
+    stream: DataFrame,
+    centroids,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Start the index-maintenance query: assign each streamed vector
+    to its nearest cell and append it to the cell-partitioned index,
+    exactly-once via per-batch_id idempotent writes."""
+    spark = stream.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    assigned = _assign_cells(stream, bc, 1)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    return (
+        assigned.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def knn_query_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[float]]],
+    centroids,
+    k: int = 5,
+    n_probe: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Answer a small kNN query batch against the maintained index:
+    probe each query's ``n_probe`` nearest cells (driver-side flops —
+    the query set is broadcast-sized by definition), read ONLY those
+    cells' partitions, exact-cosine re-rank inside them.
+
+    The cell filter is a partition-column predicate, so the scan
+    prunes to the probed directories — the plan-visible analogue of an
+    inverted-file lookup."""
+    import numpy as np
+
+    q = np.array([v for _, v in queries], dtype=np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    cent = np.asarray(centroids)
+    order = np.argsort(-(q @ cent.T), axis=1)[:, : min(n_probe, len(cent))]
+    q_rows = [
+        (int(qid), [float(x) for x in vec], [int(c) for c in order[i]])
+        for i, (qid, vec) in enumerate(queries)
+    ]
+    qdf = spark.createDataFrame(
+        q_rows, "q_id long, q_vec array<double>, cells array<int>"
+    ).select("q_id", "q_vec", F.explode("cells").alias("cell"))
+    probed = sorted({int(c) for row in order for c in row})
+    idx = spark.read.parquet(index_dir).filter(F.col("cell").isin(probed))
+    dot = F.aggregate(
+        F.zip_with(
+            "q_vec",
+            F.col("embedding").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qn = F.sqrt(F.aggregate("q_vec", F.lit(0.0), lambda a, x: a + x * x))
+    vn = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        idx.join(F.broadcast(qdf), "cell")
+        .withColumn("cos_sim", F.round(dot / (qn * vn), round_to))
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )

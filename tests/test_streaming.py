@@ -1925,3 +1925,77 @@ def test_stop_midstream_file_sink_exactly_once(spark, sf_dir, tmp_path):
     assert collect_sorted(got.select("event_id")) == collect_sorted(
         be.select("event_id")
     )
+
+
+def test_streaming_vector_index_equivalence(spark, sf_dir, tmp_path):
+    """S8+X3: the streaming-maintained IVF index must be
+    INDISTINGUISHABLE from a batch build with the same frozen
+    quantizer — same (vec_id, cell) assignment for every vector, and
+    identical kNN answers through the same query path; and the kNN
+    read must prune to the probed cells' partitions."""
+    from spark_streaming_join_example_spark.operators.similarity import (
+        _assign_cells,
+    )
+    from spark_streaming_join_example_spark.streaming.vector_index import (
+        knn_query_index,
+        maintain_vector_index,
+        train_quantizer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cent = train_quantizer(emb, n_cells=8)
+
+    # stream replay: the corpus as 4 arrival chunks
+    replay = tmp_path / "replay"
+    emb.repartition(4).write.mode("overwrite").parquet(str(replay))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    idx_stream = str(tmp_path / "idx_stream")
+    q = maintain_vector_index(
+        stream, cent, idx_stream, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    # batch build with the same quantizer
+    idx_batch = str(tmp_path / "idx_batch")
+    bc = spark.sparkContext.broadcast(cent)
+    _assign_cells(emb, bc, 1).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(idx_batch + "/batch_id=0")
+
+    s_assign = collect_sorted(
+        spark.read.parquet(idx_stream).select("vec_id", "cell")
+    )
+    b_assign = collect_sorted(
+        spark.read.parquet(idx_batch).select("vec_id", "cell")
+    )
+    assert s_assign == b_assign
+    assert len(s_assign) == emb.count()
+
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.orderBy("vec_id").limit(3).collect()
+    ]
+    got_s = knn_query_index(spark, idx_stream, queries, cent, k=5)
+    got_b = knn_query_index(spark, idx_batch, queries, cent, k=5)
+    rows_s = collect_sorted(got_s)
+    assert rows_s == collect_sorted(got_b)
+    assert len(rows_s) == 3 * 5
+    # each query's own vector is its rank-1 neighbour (it IS indexed)
+    top1 = {r[0]: r for r in rows_s if r[2] == 1}  # cols sorted: q_id, rank...
+    cols = sorted(got_s.columns)
+    qi, ri, vi = cols.index("q_id"), cols.index("rank"), cols.index("vec_id")
+    for r in rows_s:
+        if r[ri] == 1:
+            assert r[vi] == r[qi]
+    # partition pruning: the scan's partition filter carries the probed
+    # cells, so only those directories are read
+    plan = got_s._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace(
+        "PartitionFilters: [isnotnull(cell", "PartitionFilters: [cell"
+    ) or "cell#" in plan.split("PartitionFilters")[1].split("]")[0]

@@ -128,6 +128,10 @@ def main() -> None:
             # partsupp catalog (a |lineitem| groupBy) per run
             "q_min_cost_supplier",
             "q_important_stock",
+            # round-7 additions: corpus-wide shingle dup (token-linear
+            # shuffle + count window) and PQ candidate+rerank
+            "q_cross_doc_ngram_dup",
+            "q_pq_topk",
         )
         if n in qd
     ]

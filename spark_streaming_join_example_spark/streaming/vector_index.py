@@ -69,6 +69,37 @@ def maintain_vector_index(
     )
 
 
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+) -> None:
+    """The OPTIMIZE pass: rewrite the accumulated small per-batch
+    files into one file per cell under ``out_dir``.
+
+    Streaming ingestion necessarily writes one file set per
+    (micro-batch, cell); after N batches a cell holds N small files
+    and the kNN read pays N file-open costs per probed cell.
+    Compaction reads the closed index once, drops the batch_id
+    partitioning level, and rewrites cell-partitioned — run it offline
+    on a schedule, then point readers at the compacted dir (the
+    maintenance query keeps appending to the live dir; the next
+    compaction folds both).  Queries are layout-agnostic:
+    knn_query_index works identically on either dir.
+
+    One hash exchange on cell puts each cell's rows in exactly one
+    write task → exactly one file per cell; at 100 TB shard hot cells
+    instead by repartitioning on (cell, pmod(vec_id, shards))."""
+    idx = spark.read.parquet(index_dir).select("vec_id", "cell", "embedding")
+    n = spark.sparkContext.defaultParallelism
+    (
+        idx.repartition(n, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_dir)
+    )
+
+
 def knn_query_index(
     spark: SparkSession,
     index_dir: str,

@@ -1981,10 +1981,25 @@ def test_streaming_vector_index_equivalence(spark, sf_dir, tmp_path):
         (int(r.vec_id), list(r.embedding))
         for r in emb.orderBy("vec_id").limit(3).collect()
     ]
+    # OPTIMIZE: compacting the N-batch layout must not change answers,
+    # and must leave exactly one data file per cell
+    from spark_streaming_join_example_spark.streaming.vector_index import (
+        compact_index,
+    )
+
+    idx_compact = str(tmp_path / "idx_compact")
+    compact_index(spark, idx_stream, idx_compact)
+    import glob as _glob
+
+    for cdir in _glob.glob(idx_compact + "/cell=*"):
+        assert len(_glob.glob(cdir + "/*.parquet")) == 1, cdir
+
     got_s = knn_query_index(spark, idx_stream, queries, cent, k=5)
     got_b = knn_query_index(spark, idx_batch, queries, cent, k=5)
+    got_c = knn_query_index(spark, idx_compact, queries, cent, k=5)
     rows_s = collect_sorted(got_s)
     assert rows_s == collect_sorted(got_b)
+    assert rows_s == collect_sorted(got_c)
     assert len(rows_s) == 3 * 5
     # each query's own vector is its rank-1 neighbour (it IS indexed)
     top1 = {r[0]: r for r in rows_s if r[2] == 1}  # cols sorted: q_id, rank...

@@ -425,3 +425,52 @@ def test_observe_stream_metrics_per_batch(spark, sf_dir, tmp_path):
     total = load_table(spark, sf_dir, "events").count()
     assert sum(m["n_rows"] for m in seen) == total
     assert all(m["null_user"] == 0 for m in seen)
+
+
+def test_global_ranking_rejects_output_collisions(spark):
+    """Output names that already exist on the input must be rejected —
+    withColumn would silently replace the input column otherwise."""
+    import pytest
+
+    from spark_streaming_join_example_spark.operators.ranking import (
+        global_cumsum,
+        global_ntile,
+        global_row_number,
+    )
+
+    df = spark.range(10).withColumn("rn", F.lit(0))
+    with pytest.raises(ValueError, match="already exist"):
+        global_row_number(df, ["id"])  # default out="rn" collides
+    with pytest.raises(ValueError, match="already exist"):
+        global_ntile(df.withColumnRenamed("rn", "bucket"), 4, ["id"])
+    with pytest.raises(ValueError, match="already exist"):
+        global_cumsum(df.withColumnRenamed("rn", "s"), ["id"], sums={"s": "id"})
+
+
+def test_global_row_number_reliable_checkpoint(spark, tmp_path):
+    """reliable=True must (a) demand a checkpoint dir, (b) produce the
+    identical ranking through the fault-tolerant df.checkpoint pin."""
+    import pytest
+
+    from spark_streaming_join_example_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    df = spark.range(0, 1000).withColumn(
+        "v", (F.col("id") * 37) % 101
+    )
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None or True  # may be set by other tests
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            global_row_number(df, ["v", "id"], reliable=True)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    fast = {
+        (r.id, r.rn)
+        for r in global_row_number(df, ["v", "id"]).collect()
+    }
+    durable = {
+        (r.id, r.rn)
+        for r in global_row_number(df, ["v", "id"], reliable=True).collect()
+    }
+    assert fast == durable and len(fast) == 1000

@@ -428,3 +428,109 @@ def test_python_datasource_stream_prefix_equals_batch(spark, tmp_path):
     )
     drain()  # restart on drained checkpoint: no new rows
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_audit_sink_batch_commit(spark, tmp_path):
+    """Custom writer two-phase commit: task messages aggregate on the
+    driver, the manifest publishes atomically, totals are exact."""
+    import json
+
+    from spark_streaming_join_example_spark.sources.audit_sink import (
+        AuditSinkDataSource,
+    )
+
+    spark.dataSource.register(AuditSinkDataSource)
+    path = str(tmp_path / "audit")
+    df = spark.range(0, 1000, numPartitions=7).withColumn(
+        "v", F.col("id") * 2
+    )
+    df.write.format("auditsink").option("path", path).mode("append").save()
+    m = json.load(open(path + "/manifest.json"))
+    assert m["n"] == 1000
+    assert m["key_sum"] == sum(range(1000))
+    assert m["tasks"] == 7
+    # deterministic content checksum: re-writing the same data with a
+    # different partitioning publishes the same checksum (XOR-of-CRC is
+    # order- and partitioning-independent)
+    path2 = str(tmp_path / "audit2")
+    df.repartition(3).write.format("auditsink").option("path", path2).mode(
+        "append"
+    ).save()
+    m2 = json.load(open(path2 + "/manifest.json"))
+    assert m2["checksum"] == m["checksum"] and m2["n"] == m["n"]
+
+
+def test_audit_sink_abort_leaves_tombstone_not_manifest(spark, tmp_path):
+    """A failing write task must route to abort(): no manifest is
+    published, the tombstone is."""
+    import json
+    import os
+
+    import pytest
+
+    from spark_streaming_join_example_spark.sources.audit_sink import (
+        AuditSinkDataSource,
+    )
+
+    spark.dataSource.register(AuditSinkDataSource)
+    path = str(tmp_path / "audit")
+
+    @F.udf("long")
+    def poison(x):
+        if x == 555:
+            raise RuntimeError("poison row")
+        return x
+
+    df = spark.range(0, 1000, numPartitions=4).select(poison("id").alias("id"))
+    with pytest.raises(Exception):
+        df.write.format("auditsink").option("path", path).mode(
+            "append"
+        ).save()
+    assert not os.path.exists(path + "/manifest.json")
+    assert json.load(open(path + "/aborted.json"))["aborted"] is True
+
+
+def test_audit_sink_streaming_per_batch_manifests(spark, sf_dir, tmp_path):
+    """Streaming writer: one manifest per micro-batch keyed by
+    batch_id; their totals equal the batch totals; a restart on the
+    drained checkpoint publishes nothing new."""
+    import glob as _glob
+    import json
+
+    from spark_streaming_join_example_spark import load_table
+    from spark_streaming_join_example_spark.sources.audit_sink import (
+        AuditSinkDataSource,
+    )
+    from spark_streaming_join_example_spark.streaming import (
+        chunk_events,
+        read_event_stream,
+    )
+
+    spark.dataSource.register(AuditSinkDataSource)
+    replay = tmp_path / "replay"
+    chunk_events(spark, sf_dir, str(replay), n_chunks=4)
+    path = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            read_event_stream(spark, str(replay), max_files_per_trigger=1)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("auditsink")
+            .option("path", path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    manifests = sorted(_glob.glob(path + "/batch-*.json"))
+    assert len(manifests) == 4
+    total = sum(json.load(open(p))["n"] for p in manifests)
+    be = load_table(spark, sf_dir, "events")
+    assert total == be.count()
+    key_total = sum(json.load(open(p))["key_sum"] for p in manifests)
+    assert key_total == be.agg(F.sum("event_id")).collect()[0][0]
+    drain()  # restart: drained checkpoint → no new manifests
+    assert sorted(_glob.glob(path + "/batch-*.json")) == manifests

@@ -64,6 +64,30 @@ def _gen(lo: int, hi: int, seed: int):
         )
 
 
+def _gen_arrow(lo: int, hi: int, seed: int):
+    """Arrow fast path: emit one RecordBatch per partition instead of
+    per-row tuples — the Python-source analogue of whole-stage Arrow
+    transfer (tuples serialize row-at-a-time through the Python
+    worker; a RecordBatch crosses in one columnar block).  Values are
+    IDENTICAL to the tuple generator — both derive from _mix."""
+    import pyarrow as pa
+
+    rows = list(_gen(lo, hi, seed))
+    if not rows:
+        return
+    cols = list(zip(*rows))
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(cols[0], pa.int64()),
+            pa.array(cols[1], pa.timestamp("us", tz="UTC")),
+            pa.array(cols[2], pa.int64()),
+            pa.array(cols[3], pa.string()),
+            pa.array(cols[4], pa.float64()),
+        ],
+        names=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
 class _Range(InputPartition):
     def __init__(self, lo: int, hi: int):
         self.lo, self.hi = lo, hi
@@ -92,7 +116,7 @@ class _BatchReader(DataSourceReader):
         return _split(0, self.rows, self.n_parts)
 
     def read(self, partition: _Range):
-        return _gen(partition.lo, partition.hi, self.seed)
+        return _gen_arrow(partition.lo, partition.hi, self.seed)
 
 
 class _StreamReader(DataSourceStreamReader):
@@ -126,7 +150,7 @@ class _StreamReader(DataSourceStreamReader):
         return _split(start["index"], end["index"], self.n_parts)
 
     def read(self, partition: _Range):
-        return _gen(partition.lo, partition.hi, self.seed)
+        return _gen_arrow(partition.lo, partition.hi, self.seed)
 
     def commit(self, end):
         pass

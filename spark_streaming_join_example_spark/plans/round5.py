@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.numeric import VALUE, exact_sum, oracle_exact_sum
+from ..operators.graph import basket_pairs
 from ..sources.batch import load_table
 from .registry import register
 
@@ -334,14 +335,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import bfs_hops
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.toDF("ok", "u")
-    b = li.toDF("ok", "v")
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    edges = basket_pairs(li, "l_orderkey", "l_partkey")
     return bfs_hops(edges, max_depth=3).select(
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("int").alias("dist"),
@@ -663,9 +657,7 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     // on non-negatives), so the histogram is partition-count exact.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.toDF("ok", "u")
-    b = li.toDF("ok", "v")
-    e = a.join(b, "ok").filter(F.col("u") != F.col("v")).select("u", "v").distinct()
+    e = basket_pairs(li, "l_orderkey", "l_partkey")
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     return (
         deg.groupBy(F.expr("CAST(deg div 32 AS BIGINT)").alias("bucket"))

@@ -274,16 +274,16 @@ def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair shuffle (asserted for the same shape in tests/test_plans.py),
     so nothing materializes the full ranked list.
     """
+    from ..operators.graph import basket_pairs
+
     li = _t(spark, sf_dir, "lineitem")
     baskets = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
     ).distinct()
     di = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("d"))
-    a = baskets.toDF("ok", "i")
-    b = baskets.toDF("ok", "j")
     co = (
-        a.join(b, "ok")
-        .filter(F.col("i") != F.col("j"))
+        basket_pairs(li, "l_orderkey", "l_partkey", distinct_pairs=False)
+        .toDF("i", "j")
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("co"))
     )
@@ -627,24 +627,10 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|E_round|) on a strictly shrinking edge set, lineage cut per
     round, convergence via one count per round.
     """
-    from ..operators.graph import kcore
+    from ..operators.graph import basket_pairs, kcore
 
-    # dedupe (order, part) BEFORE the self-join (same baskets-distinct
-    # discipline as q_collab_filter): repeated parts within an order
-    # would otherwise multiply the join fan-out quadratically
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.toDF("ok", "u")
-    b = li.toDF("ok", "v")
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = basket_pairs(li, "l_orderkey", "l_partkey")
     return kcore(edges, k=16).orderBy("node")
 
 
@@ -1793,17 +1779,17 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-ppm divisions — no float crosses the gate, and the rule
     ordering carries a full (lift, confidence, ante, cons) tie-break.
     """
+    from ..operators.graph import basket_pairs
+
     li = _t(spark, sf_dir, "lineitem")
     baskets = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
     ).distinct()
     n = baskets.agg(F.countDistinct("ok").alias("n_baskets"))
     di = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("d"))
-    a = baskets.toDF("ok", "ante")
-    b = baskets.toDF("ok", "cons")
     co = (
-        a.join(b, "ok")
-        .filter(F.col("ante") != F.col("cons"))
+        basket_pairs(li, "l_orderkey", "l_partkey", distinct_pairs=False)
+        .toDF("ante", "cons")
         .groupBy("ante", "cons")
         .agg(F.count(F.lit(1)).alias("co"))
     )

@@ -285,14 +285,44 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id < 2000): the quadratic is the point of the LSH path; an
     unbounded all-pairs join is never the production plan."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    # per-pair work is ONE array_intersect: set sizes precompute per
+    # document (n times, not n²) and |A∪B| = |A|+|B|−|A∩B|, so the
+    # per-pair array_union+dedup materialization disappears; the
+    # intersect size + the ratio evaluate once via a staged select
+    # instead of twice through filter-then-project (Catalyst does not
+    # CSE array expressions across the two).  64 s -> 27 s warm at
+    # sf0.1, value-identical (same integer division operands).
     t = d.select("doc_id", distinct_tokens("text").alias("toks"))
-    a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
-    b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
-    jac = jaccard(F.col("a_toks"), F.col("b_toks"))
-    return (
+    a = t.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("toks").alias("a_toks"),
+        F.size("toks").alias("na"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("toks").alias("b_toks"),
+        F.size("toks").alias("nb"),
+    )
+    staged = (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .filter(jac >= 0.95)
-        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
+        .select(
+            "a_id",
+            "b_id",
+            "na",
+            "nb",
+            F.size(F.array_intersect("a_toks", "b_toks")).alias("ni"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ni")).cast("double")
+            ).alias("j"),
+        )
+    )
+    return staged.filter(F.col("j") >= 0.95).select(
+        "a_id", "b_id", F.round("j", 6).alias("jac")
     )
 
 

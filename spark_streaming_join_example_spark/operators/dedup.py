@@ -106,14 +106,49 @@ def minhash_near_duplicates(
     )
     sig = minhash_signatures(toks, id_col, F.col("toks"), num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    a = toks.select(F.col(id_col).alias("a_id"), F.col("toks").alias("a_toks"))
-    b = toks.select(F.col(id_col).alias("b_id"), F.col("toks").alias("b_toks"))
-    verified = (
+    # verify-stage cost discipline (same as q_jaccard_pairs): set sizes
+    # precompute per document, |A∪B| = |A|+|B|−|A∩B|, and a staged
+    # select evaluates one array_intersect per candidate — value-
+    # identical to size(intersect)/size(union) (same integer operands)
+    a = toks.select(
+        F.col(id_col).alias("a_id"),
+        F.col("toks").alias("a_toks"),
+        F.size("toks").alias("_na"),
+    )
+    b = toks.select(
+        F.col(id_col).alias("b_id"),
+        F.col("toks").alias("b_toks"),
+        F.size("toks").alias("_nb"),
+    )
+    stats = (
         cand.join(a, "a_id")
         .join(b, "b_id")
-        .withColumn("jac", F.round(jaccard(F.col("a_toks"), F.col("b_toks")), 6))
+        .select(
+            "a_id",
+            "b_id",
+            "_na",
+            "_nb",
+            F.size(F.array_intersect("a_toks", "b_toks")).alias("_ni"),
+        )
+        # materialization barrier: Catalyst pushes the jac filter back
+        # THROUGH this projection, duplicating the expensive
+        # array_intersect into both the filter and the project (3
+        # instances observed in the physical plan).  The pinned
+        # relation is five ints per candidate — tiny — and the
+        # intersect evaluates exactly once per candidate.
+        .localCheckpoint(eager=False)
+    )
+    verified = (
+        stats.select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("_ni").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_ni")).cast("double"),
+                6,
+            ).alias("jac"),
+        )
         .filter(F.col("jac") >= threshold)
-        .select("a_id", "b_id", "jac")
     )
     return verified
 

@@ -925,9 +925,11 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("b_n"),
     )
     common = F.size(F.array_intersect(F.col("a_toks"), F.col("b_toks")))
-    jac = common.cast("double") / (
-        F.col("a_n") + F.col("b_n") - common
-    ).cast("double")
+    # jac >= 0.5 ⟺ common/(a_n+b_n-common) >= 0.5 ⟺ 3·common >= a_n+b_n
+    # — exact integer algebra (positive denominator), and the cleared
+    # form references the array_intersect ONCE where the ratio
+    # referenced it twice (numerator + denominator; join/filter
+    # predicates don't get subexpression elimination)
     return (
         a.join(
             b,
@@ -937,7 +939,7 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= 0.5 * F.greatest("a_n", "b_n").cast("double")
             ),
         )
-        .filter(jac >= 0.5)
+        .filter(3 * common >= F.col("a_n") + F.col("b_n"))
         .select("a_id", "b_id")
     )
 

@@ -8,6 +8,17 @@ DuckDB oracle, then compares:
     sorted), with exact equality and a float-tolerance fallback report.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+       python tools/verify_local.py [sf_dir] --shard i/n
+
+--shard i/n runs only registry entries with index ≡ i (mod n) in
+sorted order, so a full sweep can fan out over n PROCESSES (each with
+its own SparkSession sized via SPARK_GRAFT_CPUS/SPARK_GRAFT_SHUFFLE):
+  for i in 0 1 2 3; do
+    SPARK_GRAFT_CPUS=8 python tools/verify_local.py /root/testdata/sf0.1 \
+      --shard $i/4 > /tmp/shard$i.log &
+  done; wait
+Shards partition by NAME, so the union of n shard runs is exactly one
+full sweep.
 """
 
 from __future__ import annotations
@@ -62,7 +73,13 @@ def approx_equal(a, b, tol=1e-9):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    rest = sys.argv[2:]
+    shard_i, shard_n = 0, 1
+    if "--shard" in rest:
+        k = rest.index("--shard")
+        shard_i, shard_n = (int(x) for x in rest[k + 1].split("/"))
+        rest = rest[:k] + rest[k + 2 :]
+    only = set(rest)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -74,8 +91,10 @@ def main() -> int:
     qd = queries_dict()
 
     n_pass = n_fail = n_rowsonly = 0
-    for name, spec in sorted(REGISTRY.items()):
+    for idx, (name, spec) in enumerate(sorted(REGISTRY.items())):
         if only and name not in only:
+            continue
+        if idx % shard_n != shard_i:
             continue
         t0 = time.time()
         try:

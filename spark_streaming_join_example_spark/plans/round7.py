@@ -195,3 +195,92 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (top_share <= 0.2)
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_skew_report",
+    tags=("A1", "T5", "U1"),
+    oracle="""
+WITH k1 AS (
+  SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+),
+k2 AS (
+  SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id
+),
+s1 AS (
+  SELECT 'lineitem.l_orderkey' AS relation,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         CAST(SUM(CASE WHEN c > 100 THEN 1 ELSE 0 END) AS BIGINT)
+           AS keys_over_100
+  FROM k1
+),
+s2 AS (
+  SELECT 'events.user_id' AS relation,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         CAST(SUM(CASE WHEN c > 100 THEN 1 ELSE 0 END) AS BIGINT)
+           AS keys_over_100
+  FROM k2
+),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+SELECT relation, n_rows, n_keys, max_key_rows, keys_over_100,
+       CAST(n_rows * 1000000 // n_keys AS BIGINT) AS mean_rows_ppm,
+       CAST(max_key_rows * 1000000 // n_rows AS BIGINT)
+         AS top_key_share_ppm,
+       CAST(max_key_rows * n_keys * 1000000 // n_rows AS BIGINT)
+         AS skew_factor_ppm
+FROM u ORDER BY relation
+""",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the diagnostic you run BEFORE deciding
+    whether a shuffle join needs salting or AQE skew handling: per key
+    relation, row/key counts, the hottest key's absolute size and
+    share, heavy-key count, and the skew factor (hottest key vs the
+    mean key, in ppm; 1,000,000 = perfectly uniform).
+
+    Plan: one partial-aggregable per-key count per relation, one
+    5-field summary aggregate each, a 2-row union — two scans, two
+    shuffles, constant output.  At 100 TB this is the cheap pre-flight
+    whose answer picks between a plain shuffle join (skew_factor near
+    1 M), AQE skew-split (isolated hot keys), and explicit salting
+    (q_salted_join) for pathological keys.  All integer arithmetic
+    (ppm with floor division) — engine-exact.
+    """
+
+    def profile(df: DataFrame, key: str, label: str) -> DataFrame:
+        counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        return counts.agg(
+            F.lit(label).alias("relation"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_key_rows"),
+            F.sum(F.when(F.col("c") > 100, 1).otherwise(0))
+            .cast("long")
+            .alias("keys_over_100"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    u = profile(li, "l_orderkey", "lineitem.l_orderkey").unionByName(
+        profile(ev, "user_id", "events.user_id")
+    )
+    return u.select(
+        "relation",
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "keys_over_100",
+        F.expr("CAST(n_rows * 1000000 div n_keys AS BIGINT)").alias(
+            "mean_rows_ppm"
+        ),
+        F.expr("CAST(max_key_rows * 1000000 div n_rows AS BIGINT)").alias(
+            "top_key_share_ppm"
+        ),
+        F.expr(
+            "CAST(max_key_rows * n_keys * 1000000 div n_rows AS BIGINT)"
+        ).alias("skew_factor_ppm"),
+    ).orderBy("relation")

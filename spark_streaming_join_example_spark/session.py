@@ -88,5 +88,24 @@ def get_spark(
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in {**BUILD_CONFS, **RUNTIME_CONFS}.items():
         builder = builder.config(k, v)
+    # Executor Python workers must import this package: cloudpickle
+    # serializes module-level pandas-UDF kernels BY REFERENCE, so a
+    # worker whose sys.path lacks the repo root raises
+    # ModuleNotFoundError on the first vector kernel.  Launching from
+    # the repo root hides this (cwd is on sys.path); launching from
+    # anywhere else broke.  Pin the repo root onto the workers'
+    # PYTHONPATH explicitly — on a real cluster the equivalent is
+    # shipping the package via --py-files/archives.
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        joined = f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        # local mode: workers fork from the driver-launched JVM and
+        # read the driver's process env — set it BEFORE getOrCreate
+        os.environ["PYTHONPATH"] = joined
+        # cluster mode: the per-executor env
+        builder = builder.config("spark.executorEnv.PYTHONPATH", joined)
     spark = builder.getOrCreate()
     return ensure_runtime_confs(spark)

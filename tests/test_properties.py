@@ -674,3 +674,49 @@ def test_event_pattern_day_fold_matches_global_regex(
     assert r.seq_len == len(seq)
     assert r.converted_clean == bool(re.search("c[^e]*p", s)), (s, days)
     assert r.full_funnel == bool(re.search("s.*c.*p", s)), (s, days)
+
+
+# --- basket_pairs ≡ self-join edge build ----------------------------------
+# The collect_set + local-pair-expansion edge build must agree with the
+# textbook self-join on ANY (basket, item) multiset, in both modes:
+# distinct (u, v) edges, and one row per (basket, u, v) co-occurrence.
+
+BASKET_ROWS = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 9)),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(rows=BASKET_ROWS)
+@settings(**SETTINGS)
+def test_basket_pairs_matches_selfjoin_model(spark, rows):
+    from spark_streaming_join_example_spark.operators.graph import (
+        basket_pairs,
+    )
+
+    df = spark.createDataFrame(
+        rows or [(0, 0)], "b long, i long"
+    )
+    if not rows:
+        df = df.filter(F.lit(False))
+    # python model over deduped (basket, item)
+    per_basket = {}
+    for b, i in set(rows):
+        per_basket.setdefault(b, set()).add(i)
+    model_multiset = Counter(
+        (u, v)
+        for items in per_basket.values()
+        for u in items
+        for v in items
+        if u != v
+    )
+    got_multi = Counter(
+        (r.u, r.v)
+        for r in basket_pairs(df, "b", "i", distinct_pairs=False).collect()
+    )
+    assert got_multi == model_multiset
+    got_distinct = {
+        (r.u, r.v) for r in basket_pairs(df, "b", "i").collect()
+    }
+    assert got_distinct == set(model_multiset)

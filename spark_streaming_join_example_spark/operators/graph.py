@@ -33,6 +33,7 @@ def basket_pairs(
     basket_col: str,
     item_col: str,
     distinct_pairs: bool = True,
+    max_items: int | None = None,
 ) -> DataFrame:
     """Directed co-occurrence pairs ``(u, v)``, u ≠ v, from a
     (basket, item) relation — the edge build every co-purchase graph
@@ -53,18 +54,66 @@ def basket_pairs(
 
     Scale note: per-basket state is the distinct-item set, bounded by
     basket size (TPC-H orders ≤ 7 items; retail baskets ~10²).  For
-    heavy-tailed "baskets" (a 10⁶-item key), pre-split the basket or
-    fall back to the self-join, which trades the hot array for a
-    skewed-but-AQE-splittable join."""
+    heavy-tailed "baskets" (a 10⁶-item hot key), pass ``max_items``:
+    baskets larger than it are hash-split into k = ceil(m/max_items)
+    chunks and every ordered chunk pair (a, b) expands in its own row
+    — each expansion row then holds ≤ max_items² pairs regardless of
+    basket size, the same triangular-meeting discipline as the vector
+    block-pair kernel (operators/similarity._block_pair_groups), and a
+    basket contributes k² rows the shuffle spreads across tasks.
+    Equivalence to the plain path is property-tested over arbitrary
+    baskets and chunk caps (tests/test_properties.py)."""
     g = df.groupBy(basket_col).agg(F.collect_set(item_col).alias("_ps"))
-    pairs = g.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(_ps, x -> "
-                "transform(_ps, y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("_p")
-    ).select(F.col("_p.u").alias("u"), F.col("_p.v").alias("v"))
+    if max_items is None:
+        pairs = g.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ps, x -> "
+                    "transform(_ps, y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("_p")
+        ).select(F.col("_p.u").alias("u"), F.col("_p.v").alias("v"))
+    else:
+        if max_items < 1:
+            raise ValueError("basket_pairs: max_items must be >= 1")
+        # k chunks per basket; chunk id of an item is a hash mod k, so
+        # chunking needs no sort and is deterministic.  Ordered pair
+        # (u, v) meets exactly once: in the row where q encodes
+        # (chunk(u), chunk(v)).
+        k = F.greatest(
+            F.lit(1),
+            F.ceil(F.size("_ps") / F.lit(max_items)).cast("int"),
+        )
+        chunked = g.select(
+            "_ps",
+            k.alias("_k"),
+            F.explode(F.sequence(F.lit(0), k * k - 1)).alias("_q"),
+        )
+        cj = F.filter(
+            "_ps",
+            lambda x: F.pmod(F.xxhash64(x), F.col("_k"))
+            == (F.col("_q") / F.col("_k")).cast("int"),
+        )
+        cl = F.filter(
+            "_ps",
+            lambda x: F.pmod(F.xxhash64(x), F.col("_k"))
+            == F.pmod(F.col("_q"), F.col("_k")),
+        )
+        pairs = chunked.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        cj,
+                        lambda x: F.transform(
+                            cl,
+                            lambda y: F.struct(
+                                x.alias("u"), y.alias("v")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        ).select(F.col("_p.u").alias("u"), F.col("_p.v").alias("v"))
     pairs = pairs.filter(F.col("u") != F.col("v"))
     return pairs.distinct() if distinct_pairs else pairs
 

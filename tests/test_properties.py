@@ -720,3 +720,18 @@ def test_basket_pairs_matches_selfjoin_model(spark, rows):
         (r.u, r.v) for r in basket_pairs(df, "b", "i").collect()
     }
     assert got_distinct == set(model_multiset)
+    # heavy-tailed split path: tiny caps force multi-chunk expansion;
+    # results must be IDENTICAL in both modes for any cap
+    for cap in (1, 2, 3):
+        got_m = Counter(
+            (r.u, r.v)
+            for r in basket_pairs(
+                df, "b", "i", distinct_pairs=False, max_items=cap
+            ).collect()
+        )
+        assert got_m == model_multiset, cap
+        got_d = {
+            (r.u, r.v)
+            for r in basket_pairs(df, "b", "i", max_items=cap).collect()
+        }
+        assert got_d == set(model_multiset), cap

@@ -284,3 +284,53 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(max_key_rows * n_keys * 1000000 div n_rows AS BIGINT)"
         ).alias("skew_factor_ppm"),
     ).orderBy("relation")
+
+
+@register(
+    "q_curriculum_order",
+    tags=("X5", "W1", "O1"),
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) * 1000000
+           + CAST(doc_id % 1000 AS BIGINT) AS score
+  FROM documents
+)
+SELECT doc_id, score,
+       CAST(NTILE(10) OVER (ORDER BY score, doc_id) AS BIGINT)
+         AS curriculum_bucket
+FROM s ORDER BY doc_id
+""",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: order the corpus by a quality score and
+    cut it into 10 global buckets — the shape behind
+    shortest/cleanest-first curricula and quality-tiered sampling
+    temperatures.  The score here is an integer proxy (word count in
+    micro-units + an id jitter term making the order total before the
+    tie-break), standing in for any scalar quality model output.
+
+    Runs on the DISTRIBUTED two-phase ranking kernel
+    (operators/ranking.global_ntile: range partition + local rank +
+    broadcast offsets), not a single-partition window — the 100 TB
+    path, oracle-proven lossless against DuckDB's NTILE here by hash
+    equality.
+    """
+    from ..operators.ranking import global_ntile
+
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        (
+            F.size(F.split("text", " ")).cast("long") * 1_000_000
+            + F.pmod(F.col("doc_id"), F.lit(1000))
+        ).alias("score"),
+    )
+    return (
+        global_ntile(s, 10, ["score", "doc_id"], out="curriculum_bucket")
+        .select(
+            "doc_id", "score", F.col("curriculum_bucket").cast("long")
+            .alias("curriculum_bucket"),
+        )
+        .orderBy("doc_id")
+    )

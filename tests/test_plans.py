@@ -763,3 +763,28 @@ def test_event_pattern_state_is_day_bounded(spark, sf_dir, qd):
     user_aggs = [ln for ln in agg_lines if "m_within" in ln]
     assert len(user_aggs) == 1, opt
     assert "struct(ts," not in user_aggs[0]
+
+
+def test_basket_pairs_chunked_is_join_free(spark):
+    """The heavy-tailed basket_pairs path must stay one groupBy + local
+    array expansion — no join appears in either mode's plan (the whole
+    point vs the self-join formulation), and chunking only adds the
+    sequence-explode, still join-free."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.operators.graph import (
+        basket_pairs,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("b"), (F.col("id") % 37).alias("i")
+    )
+    for kwargs in ({}, {"max_items": 2}):
+        plan = (
+            basket_pairs(df, "b", "i", **kwargs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan, (kwargs, plan)
+        assert plan.count("Exchange") <= 2, (kwargs, plan)

@@ -46,7 +46,7 @@ def _resolve_partitions(df: DataFrame, num_partitions: int | None) -> int:
     session's shuffle parallelism.  Some deployments set
     ``spark.sql.shuffle.partitions`` to a non-numeric value (e.g.
     ``auto``); rather than raising an opaque ``ValueError`` from
-    ``int()``, fall back to the input's current partition count."""
+    ``int()``, fall back to the session's ``defaultParallelism``."""
     if num_partitions is not None:
         if not isinstance(num_partitions, int) or isinstance(num_partitions, bool) or num_partitions < 1:
             raise ValueError(

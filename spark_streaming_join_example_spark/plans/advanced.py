@@ -902,13 +902,75 @@ FROM m1 n LEFT JOIN comp1 c ON n.m = c.s
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-Jaccard >= 0.5 near-dup edges over documents (shared by
-    both duplicate-cluster queries). Tokenization is checkpointed once;
-    the join carries the standard similarity-join size prefilter
-    (jac >= t forces t*max(|A|,|B|) <= min(|A|,|B|)); Jaccard needs
-    only ONE array_intersect via |A∪B| = |A|+|B|-|A∩B|."""
-    from ..operators.dedup import distinct_tokens
+    both duplicate-cluster queries).
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    Hard-guarded (operators/guards.py): above 2,500 input docs the
+    builder raises with a pointer to the LSH blocker — at jac >= 0.5
+    on THIS corpus ~72% of all pairs are true edges, so no blocker can
+    reduce the O(n²) verify; the only scale answer is a different
+    similarity definition (shingled MinHash) or a bounded sample.
+
+    Verify representation (r8): the corpus vocabulary is tiny (31
+    distinct tokens), so each document's distinct-token SET dictionary-
+    encodes into one 63-bit BITMASK and the per-pair verify becomes
+    `3·bit_count(a&b) >= bit_count(a)+bit_count(b)` — pure integer
+    codegen ops instead of a string array_intersect per pair (the r7
+    form's dominant cost), value-identical because token sets map
+    bijectively onto masks and the jac >= 0.5 clearing is exact
+    integer algebra (positive denominator).  Corpora with more than 63
+    distinct tokens keep the array_intersect form with the standard
+    size prefilter (jac >= t forces t·max(|A|,|B|) <= min(|A|,|B|))
+    and |A∪B| = |A|+|B|−|A∩B| (ONE intersect reference; join/filter
+    predicates get no subexpression elimination)."""
+    from ..operators.dedup import distinct_tokens
+    from ..operators.guards import assert_allpairs_bounded
+
+    d = assert_allpairs_bounded(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000),
+        max_rows=2500,
+        what="q_dup_clusters edge build (_dup_edges)",
+        scale_path="operators.dedup.minhash_near_duplicates (banded LSH "
+        "over shingles) feeding operators.graph.connected_components",
+    )
+    toks = d.select(
+        "doc_id", F.explode(distinct_tokens("text")).alias("tok")
+    )
+    vocab = toks.select("tok").distinct()
+    if vocab.count() <= 63:
+        # dense token ids from a sort — the vocab relation is tiny by
+        # the gate above (<= 63 rows), so the single-partition window
+        # is coordination, not data
+        vid = vocab.select(
+            "tok",
+            (F.row_number().over(Window.orderBy("tok")) - 1).alias("tid"),
+        )
+        t = (
+            toks.join(F.broadcast(vid), "tok")
+            .groupBy("doc_id")
+            .agg(
+                F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid))").alias(
+                    "mask"
+                )
+            )
+            .select("doc_id", "mask", F.bit_count("mask").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        a = t.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("mask").alias("a_mask"),
+            F.col("n").alias("a_n"),
+        )
+        b = t.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("mask").alias("b_mask"),
+            F.col("n").alias("b_n"),
+        )
+        common = F.bit_count(F.col("a_mask").bitwiseAND(F.col("b_mask")))
+        return (
+            a.join(b, F.col("a_id") < F.col("b_id"))
+            .filter(3 * common >= F.col("a_n") + F.col("b_n"))
+            .select("a_id", "b_id")
+        )
     t = (
         d.select("doc_id", distinct_tokens("text").alias("toks"))
         .withColumn("n", F.size("toks"))
@@ -925,11 +987,6 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("b_n"),
     )
     common = F.size(F.array_intersect(F.col("a_toks"), F.col("b_toks")))
-    # jac >= 0.5 ⟺ common/(a_n+b_n-common) >= 0.5 ⟺ 3·common >= a_n+b_n
-    # — exact integer algebra (positive denominator), and the cleared
-    # form references the array_intersect ONCE where the ratio
-    # referenced it twice (numerator + denominator; join/filter
-    # predicates don't get subexpression elimination)
     return (
         a.join(
             b,

@@ -282,9 +282,18 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs (≥ 0.95) — the all-pairs
     oracle baseline the LSH path approximates. Explicitly bounded
-    (doc_id < 2000): the quadratic is the point of the LSH path; an
-    unbounded all-pairs join is never the production plan."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    (doc_id < 2000) AND hard-guarded: above 2,500 input docs the
+    builder raises with a pointer to minhash_near_duplicates — the
+    quadratic is the point of the LSH path; an unbounded all-pairs
+    join is never the production plan."""
+    from ..operators.guards import assert_allpairs_bounded
+
+    d = assert_allpairs_bounded(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000),
+        max_rows=2500,
+        what="q_jaccard_pairs",
+        scale_path="operators.dedup.minhash_near_duplicates (banded LSH)",
+    )
     # per-pair work is ONE array_intersect: set sizes precompute per
     # document (n times, not n²) and |A∪B| = |A|+|B|−|A∩B|, so the
     # per-pair array_union+dedup materialization disappears; the
@@ -328,9 +337,16 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_minhash_neardup", tags=("X2",))
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded-LSH near-duplicate pairs, exact-Jaccard
-    verified ≥ 0.9 (rows-only: signatures are engine-seeded; recall vs
-    the exact baseline is asserted in tests/test_extensions.py)."""
+    """MinHash + banded-LSH near-duplicate pairs over word 3-gram
+    shingles, exact-Jaccard verified ≥ 0.9 (rows-only: signatures are
+    engine-seeded; recall + candidate-rate vs the exact baseline are
+    asserted in tests/test_extensions.py).
+
+    r8 retune: shingle units + 128 hashes / 16 bands × 8 rows (see
+    minhash_near_duplicates docstring for the S-curve).  The r7 form
+    (raw word sets, 16/4) admitted 51 % of all pairs as candidates on
+    this small-vocabulary corpus and ran 52 s at sf0.1; the shingled
+    form admits ≈ the planted duplicates only."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(d, threshold=0.9)
 

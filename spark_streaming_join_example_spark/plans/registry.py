@@ -85,37 +85,45 @@ def _load_all_plans() -> None:
 #:
 #: ROTATION (round 7+): a fixed panel means the other ~236 oracle
 #: queries never earn an official driver CORRECTNESS row.  Each round,
-#: ~15 non-anchor slots rotate to a DIFFERENT query covering the SAME
-#: §2 family (the swapped-out name stays green in the full local
+#: ~15-25 non-anchor slots rotate to a DIFFERENT query covering the
+#: SAME §2 family (the swapped-out name stays green in the full local
 #: differential); sole-coverage anchors (A6/A7/A9, F2/F6, J1/J2, T2,
-#: …) never rotate.  The r7 swaps are marked "r7: was <name>" below.
+#: …) never rotate.  Swaps are marked "rN: was <name>" below.  The r8
+#: rotation targets never-driver-checked families per the r7 VERDICT:
+#: the A4 grouping-sets battery, the SQL front door (pipe syntax,
+#: scripting, parameterized), the remaining F-series flavors, the
+#: sketch family (two deliberate rows-only entries — q_kll_quantiles,
+#: q_theta_setops — whose ε-exactness lives in pytest), and the
+#: never-checked X/graph/ranking twins.  Family coverage proven
+#: lossless at swap time (old-panel tag-union == new-panel tag-union)
+#: and every incoming name hash-verified green at sf0.01 first.
 CURATED_FIRST: tuple[str, ...] = (
     # headline relational anchors (bench set + core shapes)
     "q_pricing_summary",      # A1 P2
     "q_revenue_join3",        # J4
     "q_broadcast_enrich",     # J3
-    "q_filter_project_case",  # P1 P2 P5
-    "q_top_orders",           # O1 O2
+    "q_sql_scripting",        # A1 P2 (r8: was q_filter_project_case — SQL front door)
+    "q_parameterized_sql",    # P2 A1 (r8: was q_top_orders; O2 stays via q_cosine_topk)
     "q_window_rank",          # W1 W4
     "q_window_lag",           # W2
-    "q_window_frame",         # W3
-    "q_anti_join",            # J9  (r7: was q_semi_join)
-    "q_snapshot_diff",        # J10 (r7: was q_outer_join)
-    "q_skyline",              # J6 J9 O2 (r7: was q_theta_join)
-    "q_rollup",               # A4
+    "q_kll_quantiles",        # A3 sketch, rows-only (r8: was q_window_frame; W3 via q_max_concurrency)
+    "q_exists_subquery",      # J9  (r8: was q_anti_join; r7: was q_semi_join)
+    "q_merge_upsert",         # J10 P5 U1 (r8: was q_snapshot_diff; r7: was q_outer_join)
+    "q_levenshtein_fuzzy",    # J6 FN-string X2 (r8: was q_skyline; r7: was q_theta_join)
+    "q_grouping_id",          # A4 grouping-sets battery (r8: was q_rollup)
     "q_pivot",                # A9
-    "q_union_by_name",        # U1  (r7: was q_union_all)
-    "q_intersect_all",        # U2  (r7: was q_intersect_users)
+    "q_max_concurrency",      # W3 A1 U1 FN-datetime (r8: was q_union_by_name)
+    "q_theta_setops",         # A3 U2 U3 sketch, rows-only (r8: was q_intersect_all)
     "q_except_all",           # U3  (r7: was q_except_users)
-    "q_regexp_extract_all",   # FN-string (r7: was q_string_funcs)
-    "q_datetime_scalar",      # FN-datetime P4
-    "q_corr_cov",             # FN-math (r7: was q_math_funcs)
-    "q_variant_extract",      # P3  (r7: was q_json_extract)
-    "q_map_hofs",             # FN-map (r7: was q_map_funcs)
-    "q_array_setops",         # FN-array (r7: was q_array_hof)
+    "q_parse_url",            # FN-string P3 (r8: was q_regexp_extract_all)
+    "q_pricing_summary_decimal",  # A1 P4 (r8: was q_datetime_scalar; FN-datetime via q_max_concurrency)
+    "q_welch_ab",             # A1 FN-math (r8: was q_corr_cov)
+    "q_xpath",                # P3 FN-string (r8: was q_variant_extract)
+    "q_str_to_map",           # FN-map P3 (r8: was q_map_hofs)
+    "q_posexplode",           # FN-array P1 (r8: was q_array_setops)
     "q_sort_within_partitions",  # O3
-    "q_salted_join",          # T5
-    "q_market_join6",         # J5
+    "q_skew_report",          # A1 T5 U1 (r8: was q_salted_join)
+    "q_sql_pipe",             # A1 P2 (r8: was q_market_join6; J5 via q_kcore/q_lateral_topk)
     # streaming-twin batch queries
     "q_stream_static_join",   # J1
     "q_stream_stream_join",   # J2
@@ -126,25 +134,25 @@ CURATED_FIRST: tuple[str, ...] = (
     "q_dedup_events",         # T2
     # temporal joins + approx
     "q_asof_forward",         # J8 J7 (r7: was q_asof_join)
-    "q_point_in_time_join",   # J7 J8 W2 (r7: was q_range_join)
+    "q_attribution",          # J7 A1 W1 (r8: was q_point_in_time_join)
     "q_approx_topk_events",   # A3 (exact-pinned top-k oracle)
     # UDF ladder
-    "q_udf_scalar",           # F1
+    "q_sql_udf",              # F1 (r8: was q_udf_scalar)
     "q_pandas_udf",           # F2
     "q_embedding_centroid",   # F3 X3 (r7: was q_grouped_agg_udf)
-    "q_holt_winters",         # F4 W2 (r7: was q_apply_in_pandas)
+    "q_apply_in_arrow",       # F4 (r8: was q_holt_winters; r7: was q_apply_in_pandas)
     "q_map_in_arrow",         # F5  (r7: was q_map_in_pandas)
     "q_udtf_tokens",          # F6
     # LLM-pipeline extensions
-    "q_dedup_keep_best",      # X1 W4 (r7: was q_exact_dedup_docs)
-    "q_ngram_jaccard",        # X2 X5 (r7: was q_jaccard_pairs)
+    "q_lateral_topk",         # W4 J5 (r8: was q_dedup_keep_best; X1 via q_dup_clusters/q_decontaminate)
+    "q_embedding_neardup",    # X2 X3 (r8: was q_ngram_jaccard)
     "q_cosine_topk",          # X3 (also covers J11 via block cross join)
     "q_knn_ivf_exact",        # X3 IVF ≡ brute force
     "q_multimodal_binary",    # X4
-    "q_langid",               # X5  (r7: was q_text_tokens)
+    "q_decontaminate",        # X5 X1 J9 (r8: was q_langid; r7: was q_text_tokens)
     "q_dup_clusters",         # X1/X2 connected components
-    "q_pagerank",             # iterative graph analytics
-    "q_global_rank_distributed",  # W1/O1 two-phase ranking scale path
+    "q_kcore",                # J5 A1 X2 iterative graph (r8: was q_pagerank)
+    "q_exact_global_median",  # O1 W1 A1 distributed ranking (r8: was q_global_rank_distributed)
 )
 
 

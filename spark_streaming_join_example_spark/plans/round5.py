@@ -720,7 +720,6 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.toDF("ok", "u")
     b = li.toDF("ok", "v")
-    # materialize the edge list ONCE: it feeds three consumers (the
     e = (
         a.join(b, "ok")
         .filter(F.col("u") != F.col("v"))

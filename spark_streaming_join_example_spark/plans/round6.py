@@ -541,8 +541,16 @@ def q_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     and use the IVF/LSH kernels for candidates), computed as one
     broadcast nested-loop over the broadcast-sized sample; the two
     rankings share one key-cardinality window partitioning."""
-    emb = _t(spark, sf_dir, "embeddings")
+    from ..operators.guards import assert_allpairs_bounded
     from ..operators.similarity import as_double_array
+
+    emb = assert_allpairs_bounded(
+        _t(spark, sf_dir, "embeddings"),
+        max_rows=5000,
+        what="q_mrl_truncation",
+        scale_path="sample the query side + operators.similarity.knn_join "
+        "or ivf_topk_pairs for candidates",
+    )
 
     # Interpreted-HOF cost discipline: norms depend on ONE vector, so
     # they are computed n times BEFORE the pair join, never n² times

@@ -105,7 +105,13 @@ def get_spark(
         # local mode: workers fork from the driver-launched JVM and
         # read the driver's process env — set it BEFORE getOrCreate
         os.environ["PYTHONPATH"] = joined
-        # cluster mode: the per-executor env
-        builder = builder.config("spark.executorEnv.PYTHONPATH", joined)
+    else:
+        joined = existing
+    # cluster mode: ALWAYS pin the per-executor env — a driver whose
+    # own PYTHONPATH already carries the repo root would otherwise
+    # skip the executor pin exactly when the local env masks the
+    # problem (executors on a non-local deployment don't inherit the
+    # driver's process env)
+    builder = builder.config("spark.executorEnv.PYTHONPATH", joined)
     spark = builder.getOrCreate()
     return ensure_runtime_confs(spark)

@@ -11,6 +11,7 @@ from spark_streaming_join_example_spark.operators.dedup import (
     distinct_tokens,
     jaccard,
     minhash_near_duplicates,
+    shingles,
     simhash63,
 )
 from spark_streaming_join_example_spark.operators.similarity import (
@@ -20,27 +21,52 @@ from spark_streaming_join_example_spark.operators.similarity import (
 
 
 def test_minhash_recall_against_exact(spark, sf_dir):
+    """Recall of the REGISTERED parameterization (3-gram shingles,
+    128 hashes / 16 bands) vs the exact all-pairs shingle-Jaccard
+    baseline, at the registered 0.9 threshold."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", distinct_tokens("text").alias("toks"))
+    t = docs.select("doc_id", shingles("text", n=3).alias("toks"))
     a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
     b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
     jac = jaccard(F.col("a_toks"), F.col("b_toks"))
     exact = {
         (r.a_id, r.b_id)
         for r in a.join(b, F.col("a_id") < F.col("b_id"))
-        .filter(jac >= 0.95)
+        .filter(jac >= 0.9)
         .select("a_id", "b_id")
         .collect()
     }
+    assert exact, "fixture lost its planted near-dup pairs"
     got = {
         (r.a_id, r.b_id)
-        for r in minhash_near_duplicates(docs, threshold=0.95).collect()
+        for r in minhash_near_duplicates(docs, threshold=0.9).collect()
     }
     # verification step guarantees precision == 1.0
     assert got <= exact
-    # banded LSH at 0.95 similarity: recall should be high
-    recall = len(got) / max(1, len(exact))
-    assert recall >= 0.8, f"recall {recall:.2f} ({len(got)}/{len(exact)})"
+    # 16 bands x 8 rows at s >= 0.9: per-pair detect prob ~0.9999
+    recall = len(got) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.2f} ({len(got)}/{len(exact)})"
+
+
+def test_minhash_candidate_rate_bounded(spark, sf_dir):
+    """The r7 VERDICT's perf-weak finding: the old 16/4 raw-word-set
+    scheme admitted 51 % of all pairs as LSH candidates.  Pin the
+    retuned blocker's candidate rate < 5 % of all-pairs so an
+    over-admitting parameterization can't silently return."""
+    from spark_streaming_join_example_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    toks = docs.select("doc_id", shingles("text", n=3).alias("toks"))
+    sig = minhash_signatures(toks, "doc_id", F.col("toks"), 128)
+    n_cand = lsh_candidate_pairs(sig, "doc_id", 128, 16).count()
+    all_pairs = n * (n - 1) // 2
+    rate = n_cand / all_pairs
+    assert rate < 0.05, f"candidate rate {rate:.1%} ({n_cand}/{all_pairs})"
 
 
 def test_ann_recall_against_exact(spark, sf_dir):
@@ -361,6 +387,46 @@ def test_pq_recall_against_exact(spark, sf_dir):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.6, f"PQ recall {recall:.2f} ({got & exact})"
+
+
+def test_pq_recall_on_clustered_vectors(spark):
+    """PQ in its FAVORABLE regime (r7 VERDICT item 6): the parquet
+    fixture's near-random embeddings are PQ's documented adversarial
+    case, so this fixture is 30 anisotropic clusters (center +
+    0.15·noise in 64-dim) — the structure real embedding corpora have
+    and sub-quantizers exploit.  At the REGISTERED settings (m=16,
+    nbits=8) recall vs the exact kernel must be >= 0.9; the measured
+    SDC-vs-exact recall curve across (m, nbits) is recorded in
+    SCALE.md §pq."""
+    import numpy as np
+
+    from spark_streaming_join_example_spark.operators.similarity import (
+        cosine_topk_pairs,
+        pq_topk_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(30, 64))
+    rows = []
+    vid = 0
+    for c in range(30):
+        for _ in range(33):
+            v = centers[c] + 0.15 * rng.normal(size=64)
+            rows.append((vid, v.tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in cosine_topk_pairs(emb, k=10, n_rows=len(rows)).collect()
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in pq_topk_pairs(
+            emb, k=10, m=16, nbits=8, n_rows=len(rows)
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"clustered PQ recall {recall:.2f}"
 
 
 def test_pq_encode_deterministic_and_bounded(spark, sf_dir):

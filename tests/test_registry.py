@@ -57,9 +57,22 @@ def test_curated_slice_spans_every_driver_visible_family():
     assert not gaps, f"§2 families with no curated CORRECTNESS row: {sorted(gaps)}"
 
 
+#: The r7 VERDICT's panel-rotation item explicitly asked for the
+#: sketch family's rows-only members to earn official driver rows
+#: (their ε/exactness proofs live in pytest, not DuckDB — KLL and
+#: theta sketch internals are engine-specific by nature).  Exactly
+#: these two may appear in the curated slice without an oracle.
+_CURATED_ROWS_ONLY_ALLOWED = {"q_kll_quantiles", "q_theta_setops"}
+
+
 def test_every_curated_query_has_an_oracle():
     """The whole point of curation is official hash-checked rows —
-    a rows-only entry in the first 50 would waste a driver slot."""
+    an undocumented rows-only entry in the first 50 would waste a
+    driver slot (the two sketch entries above are deliberate)."""
     oracles = oracle_sql_dict()
-    missing = [n for n in CURATED_FIRST if n not in oracles]
+    missing = [
+        n
+        for n in CURATED_FIRST
+        if n not in oracles and n not in _CURATED_ROWS_ONLY_ALLOWED
+    ]
     assert not missing, f"curated queries without DuckDB oracle: {missing}"

@@ -37,6 +37,7 @@ from spark_streaming_join_example_spark.operators.dedup import (
     distinct_tokens,
     lsh_candidate_pairs,
     minhash_signatures,
+    shingles,
 )
 from spark_streaming_join_example_spark.operators.similarity import (
     _assign_cells,
@@ -147,9 +148,11 @@ def candidate_probe(spark, sf_dir: str, k: int) -> dict:
         )
 
     def mh_candidates(d: DataFrame) -> int:
-        toks = d.select("doc_id", distinct_tokens("text").alias("toks"))
-        sig = minhash_signatures(toks, "doc_id", F.col("toks"), 16)
-        return lsh_candidate_pairs(sig, "doc_id", 16, 4).count()
+        # the REGISTERED r8 parameterization: 3-gram shingles,
+        # 128 hashes / 16 bands (see operators/dedup.py docstring)
+        toks = d.select("doc_id", shingles("text", n=3).alias("toks"))
+        sig = minhash_signatures(toks, "doc_id", F.col("toks"), 128)
+        return lsh_candidate_pairs(sig, "doc_id", 128, 16).count()
 
     big_docs = functools.reduce(
         DataFrame.unionByName, [rep_doc(i) for i in range(k)]

@@ -90,28 +90,45 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     sig: DataFrame, id_col: str, num_hashes: int = 128, bands: int = 16
 ) -> DataFrame:
-    """Banded-LSH candidate pairs: a pair is a candidate when any band
-    of the signature matches exactly. Returns (a_id, b_id), a < b."""
+    """(id, band, bucket) rows — the LSH blocking relation.
+
+    ``bucket`` is the xxhash64 of the band's signature SLICE (seeded
+    by the band index), one long instead of an 8-long array: equal
+    slices always collide (no false negatives — blocking recall is
+    unaffected), and a 2⁻⁶⁴ hash collision merely adds a candidate the
+    exact-Jaccard verify discards, so join keys and any persisted
+    index rows are fixed-width scalars.  This is also the storable
+    form for a streaming signature index (streaming/neardup_index.py):
+    the band scheme is FROZEN per index, like the IVF quantizer."""
     rows_per_band = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.slice("sig", i * rows_per_band + 1, rows_per_band).alias(
-                            "bucket"
-                        ),
+                        F.xxhash64(
+                            F.lit(i),
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                        ).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
             )
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 128, bands: int = 16
+) -> DataFrame:
+    """Banded-LSH candidate pairs: a pair is a candidate when any band
+    of the signature matches exactly. Returns (a_id, b_id), a < b."""
+    banded = banded_signatures(sig, id_col, num_hashes, bands)
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "bucket")
     return (
@@ -164,10 +181,27 @@ def minhash_near_duplicates(
     toks = docs.select(F.col(id_col), unit.alias("toks"))
     sig = minhash_signatures(toks, id_col, F.col("toks"), num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    # verify-stage cost discipline (same as q_jaccard_pairs): set sizes
-    # precompute per document, |A∪B| = |A|+|B|−|A∩B|, and a staged
-    # select evaluates one array_intersect per candidate — value-
-    # identical to size(intersect)/size(union) (same integer operands)
+    return exact_jaccard_verify(
+        cand, toks, id_col, threshold, reliable=reliable
+    )
+
+
+def exact_jaccard_verify(
+    cand: DataFrame,
+    toks: DataFrame,
+    id_col: str,
+    threshold: float,
+    reliable: bool = False,
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs against a token-set
+    relation: (a_id, b_id) × (id, toks) → (a_id, b_id, jac ≥ threshold).
+
+    Cost discipline (same as q_jaccard_pairs): set sizes precompute
+    per document, |A∪B| = |A|+|B|−|A∩B|, and a staged select
+    evaluates ONE array_intersect per candidate — value-identical to
+    size(intersect)/size(union) (same integer operands).  Shared by
+    the batch pipeline above and the streaming signature index
+    (streaming/neardup_index.py)."""
     a = toks.select(
         F.col(id_col).alias("a_id"),
         F.col("toks").alias("a_toks"),
@@ -193,12 +227,12 @@ def minhash_near_duplicates(
         # array_intersect into both the filter and the project (3
         # instances observed in the physical plan).  The pinned
         # relation is five ints per candidate — tiny — and the
-        # intersect evaluates exactly once per candidate.  See the
-        # docstring for the localCheckpoint fault-tolerance trade-off
-        # and the reliable= escape hatch.
+        # intersect evaluates exactly once per candidate.  See
+        # minhash_near_duplicates' docstring for the localCheckpoint
+        # fault-tolerance trade-off and the reliable= escape hatch.
     )
     if reliable:
-        if docs.sparkSession.sparkContext.getCheckpointDir() is None:
+        if toks.sparkSession.sparkContext.getCheckpointDir() is None:
             raise ValueError(
                 "reliable=True requires sparkContext.setCheckpointDir(...) "
                 "— a fault-tolerant (HDFS/object-store) checkpoint location"
@@ -206,19 +240,15 @@ def minhash_near_duplicates(
         stats = stats.checkpoint(eager=False)
     else:
         stats = stats.localCheckpoint(eager=False)
-    verified = (
-        stats.select(
-            "a_id",
-            "b_id",
-            F.round(
-                F.col("_ni").cast("double")
-                / (F.col("_na") + F.col("_nb") - F.col("_ni")).cast("double"),
-                6,
-            ).alias("jac"),
-        )
-        .filter(F.col("jac") >= threshold)
-    )
-    return verified
+    return stats.select(
+        "a_id",
+        "b_id",
+        F.round(
+            F.col("_ni").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_ni")).cast("double"),
+            6,
+        ).alias("jac"),
+    ).filter(F.col("jac") >= threshold)
 
 
 def simhash63(tokens: Column, n_bits: int = 63) -> Column:

@@ -1,0 +1,156 @@
+"""Streaming near-duplicate ingestion (S8 + X2): continuously ingest
+a document stream into a MinHash signature index and emit verified
+near-dup pairs incrementally.
+
+The same maintenance shape as the streaming IVF index
+(streaming/vector_index.py): the band scheme (shingle width, hash
+count, band count, threshold) is FROZEN per index — signatures are
+deterministic functions of text (xxhash64), so unlike the IVF
+quantizer nothing needs training, but a scheme change is still a
+versioned index rebuild, never an in-place upsert, because bucket
+values must stay comparable across every batch ever written.
+
+Per micro-batch, exactly-once via per-batch_id idempotent overwrites
+(foreachBatch is at-least-once; a retried batch rewrites its own
+subtree):
+
+1. shingle → MinHash signature → banded (doc_id, band, bucket) rows
+   land under ``bands/batch_id=N``; the shingle sets (needed by the
+   exact verify) land under ``toks/batch_id=N``;
+2. candidates = NEW banded rows ⋈ accumulated banded rows (batches
+   ≤ N) on (band, bucket) — a pair whose later document arrives in
+   batch N is discovered in batch N and never again, so the union of
+   per-batch pair files is exactly the batch pipeline's output;
+3. exact-Jaccard verify (operators/dedup.exact_jaccard_verify, the
+   SAME code path as the batch pipeline) lands verified pairs under
+   ``pairs/batch_id=N``.
+
+Equivalence to the batch pipeline is EXACT, not statistical: same
+shingles, same signatures, same buckets, same verify — pinned by
+tests/test_neardup_index.py (streaming-ingested pairs == batch
+minhash_near_duplicates on the drained corpus, plus crash-mid-batch
+recovery).
+
+At 100 TB: per-batch work is linear in the batch (signature pass) plus
+the candidate join, whose right side is the accumulated BANDED index —
+fixed-width longs, (band, bucket) equi-join, so cost tracks true
+collisions, not corpus size × batch size.  The toks store is the heavy
+side (it carries the shingle sets the verify needs); production
+variants can re-derive shingles from the raw corpus at verify time
+instead of storing them — same join shape, one more text scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    banded_signatures,
+    distinct_tokens,
+    exact_jaccard_verify,
+    minhash_signatures,
+    shingles,
+)
+
+def maintain_neardup_index(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Start the index-maintenance query on a streaming DataFrame of
+    (id_col, text_col) rows.  Returns the StreamingQuery."""
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        unit = (
+            shingles(text_col, n=shingle)
+            if shingle > 1
+            else distinct_tokens(text_col)
+        )
+        toks = batch_df.select(F.col(id_col), unit.alias("toks"))
+        sig = minhash_signatures(toks, id_col, F.col("toks"), num_hashes)
+        banded = banded_signatures(sig, id_col, num_hashes, bands)
+
+        # 1. land this batch's index rows FIRST (idempotent overwrite),
+        # then re-read them from disk: the joins below consume one
+        # consistent on-disk relation instead of recomputing the
+        # signature lineage per consumer
+        toks.write.mode("overwrite").parquet(
+            f"{out_dir}/toks/batch_id={batch_id}"
+        )
+        banded.write.mode("overwrite").parquet(
+            f"{out_dir}/bands/batch_id={batch_id}"
+        )
+
+        # 2. candidates: new rows vs the accumulated index (≤ this
+        # batch — a RETRIED batch must not see rows from batches that
+        # ran after its first attempt, or it would claim their pairs)
+        all_bands = spark.read.parquet(f"{out_dir}/bands").filter(
+            F.col("batch_id") <= batch_id
+        )
+        new_bands = all_bands.filter(F.col("batch_id") == batch_id)
+        a = new_bands.select(
+            F.col(id_col).alias("a_id"), "band", "bucket"
+        )
+        b = all_bands.select(F.col(id_col).alias("b_id"), "band", "bucket")
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select(
+                F.least("a_id", "b_id").alias("a_id"),
+                F.greatest("a_id", "b_id").alias("b_id"),
+            )
+            .distinct()
+        )
+
+        # 3. exact verify against the accumulated shingle sets — the
+        # candidate's OLD side lives in an earlier batch's toks file
+        all_toks = spark.read.parquet(f"{out_dir}/toks").filter(
+            F.col("batch_id") <= batch_id
+        )
+        verified = exact_jaccard_verify(
+            cand, all_toks, id_col, threshold
+        )
+        # keep only pairs touching a batch-N document: a pair with
+        # both sides in EARLIER batches was already claimed when its
+        # later doc arrived (it can only appear here when a retried
+        # batch races a successor's files — this filter keeps the
+        # rewrite idempotent in that window)
+        new_ids = new_bands.select(F.col(id_col).alias("_nid")).distinct()
+        verified = verified.join(
+            new_ids,
+            (F.col("a_id") == F.col("_nid"))
+            | (F.col("b_id") == F.col("_nid")),
+            "left_semi",
+        )
+        verified.write.mode("overwrite").parquet(
+            f"{out_dir}/pairs/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def neardup_pairs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The accumulated verified near-dup pairs (a_id, b_id, jac).
+
+    Each pair is claimed by exactly one batch (the one its later
+    document arrived in), so this is a plain union read; the distinct
+    is a cheap belt-and-braces against a crash window where a retried
+    batch and its successor both claimed a pair."""
+    return (
+        spark.read.parquet(f"{out_dir}/pairs")
+        .select("a_id", "b_id", "jac")
+        .dropDuplicates(["a_id", "b_id"])
+    )

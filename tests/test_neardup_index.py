@@ -1,0 +1,122 @@
+"""Streaming MinHash near-dup index (r7 VERDICT item 7): the
+foreachBatch-maintained signature index must be EXACTLY equivalent to
+the batch pipeline — same shingles, signatures, buckets, and verify —
+on the drained corpus, with each pair claimed by exactly one batch."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from spark_streaming_join_example_spark import load_table
+from spark_streaming_join_example_spark.operators.dedup import (
+    minhash_near_duplicates,
+)
+from spark_streaming_join_example_spark.streaming.neardup_index import (
+    maintain_neardup_index,
+    neardup_pairs,
+)
+
+# sf0.01 carries the planted near-dup structure (25 pairs at the 0.9
+# shingle-Jaccard threshold); the conftest default sf0.001 corpus is
+# too small to make the equivalence non-vacuous.
+_SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_streaming_neardup_equals_batch(spark, tmp_path):
+    docs = load_table(spark, _SF_DIR, "documents").select("doc_id", "text")
+
+    # stream replay: the corpus as 4 arrival chunks
+    replay = tmp_path / "replay"
+    docs.repartition(4).write.mode("overwrite").parquet(str(replay))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    idx = str(tmp_path / "neardup_idx")
+    q = maintain_neardup_index(
+        stream, idx, str(tmp_path / "ckpt"), threshold=0.9
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r.a_id, r.b_id, r.jac)
+        for r in neardup_pairs(spark, idx).collect()
+    }
+    batch = {
+        (r.a_id, r.b_id, r.jac)
+        for r in minhash_near_duplicates(docs, threshold=0.9).collect()
+    }
+    assert batch, "fixture lost its planted near-dup pairs"
+    assert streamed == batch
+
+    # each pair claimed by exactly ONE batch (uniqueness before the
+    # defensive dropDuplicates in neardup_pairs)
+    raw = spark.read.parquet(f"{idx}/pairs").groupBy("a_id", "b_id").count()
+    assert raw.filter(F.col("count") > 1).count() == 0
+
+    # the index really was built incrementally, not in one batch
+    n_batches = (
+        spark.read.parquet(f"{idx}/bands")
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert n_batches >= 3
+
+    # cross-batch pairs exist (a later chunk matched an earlier one) —
+    # otherwise the incremental join is untested
+    first_batch_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{idx}/bands")
+        .filter(F.col("batch_id") == 0)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    cross = [
+        p
+        for p in streamed
+        if (p[0] in first_batch_ids) != (p[1] in first_batch_ids)
+    ]
+    assert cross, "replay produced no cross-batch pairs; equivalence vacuous"
+
+
+def test_streaming_neardup_restart_is_idempotent(spark, tmp_path):
+    """Restarting the drained query with the SAME checkpoint must not
+    re-process anything (no new batch dirs, identical pairs)."""
+    docs = (
+        load_table(spark, _SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    replay = tmp_path / "replay"
+    docs.repartition(2).write.mode("overwrite").parquet(str(replay))
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay))
+        )
+        return maintain_neardup_index(
+            stream, idx, str(tmp_path / "ckpt"), threshold=0.9
+        )
+
+    idx = str(tmp_path / "neardup_idx")
+    start().awaitTermination()
+    before = sorted(
+        (r.a_id, r.b_id, r.jac) for r in neardup_pairs(spark, idx).collect()
+    )
+    batches_before = (
+        spark.read.parquet(f"{idx}/bands").select("batch_id").distinct().count()
+    )
+    start().awaitTermination()  # same checkpoint: nothing new to do
+    after = sorted(
+        (r.a_id, r.b_id, r.jac) for r in neardup_pairs(spark, idx).collect()
+    )
+    batches_after = (
+        spark.read.parquet(f"{idx}/bands").select("batch_id").distinct().count()
+    )
+    assert after == before
+    assert batches_after == batches_before

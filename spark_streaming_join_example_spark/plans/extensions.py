@@ -335,6 +335,47 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_prefix_jaccard_join",
+    tags=("X2", "W1", "J4"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < 2000
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6) AS jac
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.95
+""",
+)
+def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
+    family) — same output as the all-pairs q_jaccard_pairs at the same
+    threshold, through a LOSSLESS sub-quadratic algorithm: candidates
+    only from pairs sharing a token in their rarest-first prefix of
+    length |X| − ⌈t·|X|⌉ + 1 (operators/dedup.py
+    prefix_filter_jaccard_pairs has the pigeonhole proof).  Three
+    exact formulations now agree on this output: the quadratic
+    baseline, the DuckDB oracle, and the prefix-filtered join.
+
+    Candidate-count honesty (measured, sf0.01 bounded 500 docs at
+    t=0.95): 21,348 of 124,750 all-pairs (17%) — the fixture's
+    31-token vocabulary makes every prefix token frequent, so pruning
+    is modest HERE and mostly the size prefilter's; on a Zipfian
+    vocabulary the same plan prunes hard
+    (tests/test_extensions.py::test_prefix_filter_prunes_on_zipfian
+    pins <10% candidates on a natural-shaped corpus).  Bounded like
+    the all-pairs baseline because the oracle is quadratic
+    regardless."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return prefix_filter_jaccard_pairs(d, threshold=0.95)
+
+
 @register("q_minhash_neardup", tags=("X2",))
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded-LSH near-duplicate pairs over word 3-gram

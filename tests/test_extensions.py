@@ -69,6 +69,71 @@ def test_minhash_candidate_rate_bounded(spark, sf_dir):
     assert rate < 0.05, f"candidate rate {rate:.1%} ({n_cand}/{all_pairs})"
 
 
+def _zipf_corpus(spark, n_docs=300, doc_len=30, vocab=2000, n_dups=12):
+    """Synthetic Zipfian corpus with planted near-dup pairs: the
+    natural-corpus regime prefix filtering is built for (the parquet
+    fixture's 31-word vocabulary is its adversarial case)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    ranks = np.arange(1, vocab + 1)
+    p = (1.0 / ranks) / (1.0 / ranks).sum()
+    rows = []
+    for i in range(n_docs):
+        words = rng.choice(vocab, size=doc_len, p=p)
+        rows.append((i, " ".join(f"w{w}" for w in words)))
+    for j in range(n_dups):  # planted edits of existing docs
+        base = rows[j][1].split()
+        base[0] = f"w{rng.integers(vocab)}"
+        rows.append((n_docs + j, " ".join(base)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prefix_filter_exact_on_zipfian(spark):
+    """Prefix-filter join output == brute-force all-pairs at the same
+    threshold (LOSSLESS by the pigeonhole lemma — this is the property
+    LSH cannot give), on a corpus where both are computable."""
+    from spark_streaming_join_example_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = _zipf_corpus(spark)
+    t = docs.select("doc_id", distinct_tokens("text").alias("toks"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    jac = jaccard(F.col("a_toks"), F.col("b_toks"))
+    brute = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(jac >= 0.9)
+        .select("a_id", "b_id")
+        .collect()
+    }
+    assert brute, "no planted pairs survived; fixture broken"
+    got = {
+        (r.a_id, r.b_id)
+        for r in prefix_filter_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == brute
+
+
+def test_prefix_filter_prunes_on_zipfian(spark):
+    """On a Zipfian vocabulary the rarest-first prefixes are
+    low-collision: candidate pairs must be under 10% of all-pairs
+    (the fixture corpus's 31-word vocabulary is the documented
+    adversarial case where pruning is weak)."""
+    from spark_streaming_join_example_spark.operators.dedup import (
+        prefix_filter_candidates,
+    )
+
+    docs = _zipf_corpus(spark)
+    n = docs.count()
+    toks = docs.select("doc_id", distinct_tokens("text").alias("toks"))
+    n_cand = prefix_filter_candidates(toks, "doc_id", 0.9).count()
+    all_pairs = n * (n - 1) // 2
+    assert n_cand < 0.10 * all_pairs, f"{n_cand}/{all_pairs}"
+
+
 def test_ann_recall_against_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {

@@ -207,3 +207,65 @@ def sample_frames(
     return videos.select(id_col, payload_col).mapInPandas(
         frame_batches, FRAMES_SCHEMA
     )
+
+
+#: extension → mime for the formats a media pipeline meets most; the
+#: fallback is the generic byte-stream type (decode stages dispatch on
+#: sniffed magic bytes anyway — the column is a routing hint).
+_MIME_BY_EXT = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "gif": "image/gif",
+    "webp": "image/webp",
+    "wav": "audio/wav",
+    "mp3": "audio/mpeg",
+    "flac": "audio/flac",
+    "mp4": "video/mp4",
+    "mkv": "video/x-matroska",
+    "webm": "video/webm",
+    "txt": "text/plain",
+}
+
+
+def binary_file_corpus(
+    spark, path: str, glob: str | None = None
+) -> DataFrame:
+    """Ingest a directory tree of media files as the engine's
+    multimodal corpus shape — the real-world entry point for X4
+    (attach_binary is the fixture stand-in; THIS is how image/audio
+    corpora actually arrive).
+
+    Built on Spark's ``binaryFile`` source (whole-file rows: path,
+    modificationTime, length, content), so ingestion is a plain scan:
+    ``pathGlobFilter`` prunes at the LISTING level (files that don't
+    match are never opened), and small files are packed multiple per
+    task under ``spark.sql.files.maxPartitionBytes`` — at 100 TB the
+    standard practice still applies (media items are the unit of
+    work; archive tiny files upstream, binaryFile does not split
+    single large files across tasks).
+
+    Output: (doc_id, payload, meta{n_bytes, sha256, mime, path}) —
+    the same shape attach_binary produces, so every downstream stage
+    (decode_images, resize_images, sample_frames, the dedup-by-sha256
+    exact pass) runs unchanged.  doc_id = xxhash64(path):
+    deterministic across runs and layouts, unique per file within a
+    corpus snapshot."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = F.lit("application/octet-stream")
+    for e, m in _MIME_BY_EXT.items():
+        mime = F.when(ext == e, F.lit(m)).otherwise(mime)
+    return df.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.octet_length("content").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("sha256"),
+            mime.alias("mime"),
+            F.col("path").alias("path"),
+        ).alias("meta"),
+    )

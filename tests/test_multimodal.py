@@ -81,3 +81,60 @@ def test_sample_frames_fanout_bounded_and_deterministic(spark, sf_dir):
     )
     assert all(1 <= r.n <= 4 for r in per_doc)
     assert len(per_doc) == 20
+
+
+def test_binary_file_corpus_end_to_end(spark, tmp_path):
+    """X4 real-world ingestion: a directory of media files read via
+    Spark's binaryFile source lands in the SAME corpus shape
+    attach_binary produces, the glob prunes non-matching files at
+    listing time, doc_ids are deterministic, and the existing decode
+    stage runs unchanged on top."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.operators.multimodal import (
+        DECODED_SCHEMA,
+        binary_file_corpus,
+        decode_images,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {}
+    for i in range(8):
+        name = f"img_{i}.png" if i % 2 == 0 else f"clip_{i}.wav"
+        data = bytes([i * 31 % 256]) * (40 + i)
+        (media / name).write_bytes(data)
+        payloads[name] = data
+    (media / "notes.skip").write_bytes(b"not media")
+
+    corpus = binary_file_corpus(spark, str(media), glob="*.{png,wav}")
+    rows = corpus.collect()
+    assert len(rows) == 8  # .skip pruned at listing time
+    by_path = {r.meta.path.rsplit("/", 1)[-1]: r for r in rows}
+    assert set(by_path) == set(payloads)
+    for name, r in by_path.items():
+        assert bytes(r.payload) == payloads[name]
+        assert r.meta.n_bytes == len(payloads[name])
+        assert r.meta.mime == (
+            "image/png" if name.endswith("png") else "audio/wav"
+        )
+    # deterministic ids across re-reads, unique per file
+    again = {r.doc_id for r in binary_file_corpus(
+        spark, str(media), glob="*.{png,wav}").collect()}
+    assert again == {r.doc_id for r in rows}
+    assert len(again) == 8
+
+    # the standard decode stage runs unchanged on this corpus
+    decoded = decode_images(corpus)
+    assert [f.name for f in DECODED_SCHEMA.fields] == decoded.columns
+    got = decoded.collect()
+    assert len(got) == 8
+    assert all(r.width >= 16 and r.height >= 16 for r in got)
+
+    # exact dedup by content hash works straight off meta.sha256
+    dup = media / "img_dup.png"
+    dup.write_bytes(payloads["img_0.png"])
+    c2 = binary_file_corpus(spark, str(media), glob="*.png")
+    n_files = c2.count()
+    n_distinct = c2.select("meta.sha256").distinct().count()
+    assert n_files == n_distinct + 1  # exactly the planted duplicate

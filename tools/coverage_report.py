@@ -63,7 +63,7 @@ PYTEST_ONLY: dict[str, str] = {
     "S5": "sources/sinks.py::to_console",
     "S6": "every streaming equivalence test (run_to_memory)",
     "S7": "tests/test_streaming.py::test_restart_exactly_once / test_agg_state_survives_restart; mid-batch crash + mid-stream stop chaos tests (::test_midbatch_crash_exactly_once, ::test_stop_midstream_file_sink_exactly_once)",
-    "S8": "tests/test_streaming.py::test_foreach_batch_sink; custom two-phase-commit writer, batch+streaming (sources/audit_sink.py, tests/test_sources.py::test_audit_sink_*); streaming IVF index maintenance (streaming/vector_index.py)",
+    "S8": "tests/test_streaming.py::test_foreach_batch_sink; custom two-phase-commit writer, batch+streaming (sources/audit_sink.py, tests/test_sources.py::test_audit_sink_*); streaming IVF index maintenance (streaming/vector_index.py); streaming MinHash near-dup signature index (streaming/neardup_index.py, tests/test_neardup_index.py)",
     "S9": "replay harness (availableNow), rate test (processingTime)",
     "J1": "tests/test_streaming.py (inner + left-outer equivalence)",
     "J2": "tests/test_streaming.py (inner/outer/semi equivalence, plan audit)",
@@ -75,6 +75,7 @@ PYTEST_ONLY: dict[str, str] = {
     "J8": "streaming/temporal.py (streaming point-in-time join ≡ batch asof_join, tests/test_streaming.py::test_temporal_join_*)",
     "T5": "SCALE.md streaming notes; q_salted_agg",
     "S1": "all loaders (sources/batch.py)",
+    "X4": "real-file ingestion via Spark's binaryFile source → (doc_id, payload, meta{sha256, mime, path}) corpus shape with listing-level glob pruning (operators/multimodal.py::binary_file_corpus, tests/test_multimodal.py::test_binary_file_corpus_end_to_end); decode/resize/frame-sample Arrow-batched stages (fake-decode env gate documented)",
 }
 
 

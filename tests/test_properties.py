@@ -735,3 +735,45 @@ def test_basket_pairs_matches_selfjoin_model(spark, rows):
             for r in basket_pairs(df, "b", "i", max_items=cap).collect()
         }
         assert got_d == set(model_multiset), cap
+
+
+# --- prefix-filter set-similarity join: lossless for ANY corpus ------
+#
+# The pigeonhole-lemma implementation (operators/dedup.py
+# prefix_filter_candidates) lives or dies on its ceil arithmetic
+# (prefix length |X| - ceil(t*|X|) + 1) and the global token order.
+# Hypothesis drives random tiny corpora + thresholds through the real
+# Spark pipeline and compares against a naive Python model — the
+# distributed path (repartitioned input) must return EXACTLY the
+# all-pairs answer, every time.
+
+DOCS = st.lists(
+    st.lists(st.integers(0, 15), min_size=1, max_size=8),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(docs=DOCS, thr=st.sampled_from([0.34, 0.5, 0.6, 0.75, 0.9, 1.0]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_join_lossless(spark, docs, thr):
+    from spark_streaming_join_example_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    texts = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string").repartition(3)
+    got = {
+        (r.a_id, r.b_id)
+        for r in prefix_filter_jaccard_pairs(df, threshold=thr).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    want = set()
+    for i in sets:
+        for j in sets:
+            if i < j:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if jac >= thr:
+                    want.add((i, j))
+    assert got == want

@@ -37,6 +37,7 @@ from spark_streaming_join_example_spark.operators.dedup import (
     distinct_tokens,
     lsh_candidate_pairs,
     minhash_signatures,
+    prefix_filter_candidates,
     shingles,
 )
 from spark_streaming_join_example_spark.operators.similarity import (
@@ -167,6 +168,25 @@ def candidate_probe(spark, sf_dir: str, k: int) -> dict:
     }
     mh["cand_growth"] = round(mh["cand_kx"] / max(mh["cand_1x"], 1), 2)
     mh["allpairs_growth"] = round(mh["allpairs_kx"] / mh["allpairs_1x"], 2)
+
+    # ---- prefix-filter exact join over the same replicas ------------
+    # replicas share zero tokens, so candidate growth measures how the
+    # LOSSLESS blocker scales: within-replica candidates x K, never
+    # cross-replica pairs.
+    def pf_candidates(d: DataFrame) -> int:
+        toks = d.select("doc_id", distinct_tokens("text").alias("toks"))
+        return prefix_filter_candidates(toks, "doc_id", 0.95).count()
+
+    pf = {
+        "n_1x": n_docs,
+        "cand_1x": pf_candidates(docs),
+        "allpairs_1x": pairs(n_docs),
+        "n_kx": n_docs * k,
+        "cand_kx": pf_candidates(big_docs),
+        "allpairs_kx": pairs(n_docs * k),
+    }
+    pf["cand_growth"] = round(pf["cand_kx"] / max(pf["cand_1x"], 1), 2)
+    pf["allpairs_growth"] = round(pf["allpairs_kx"] / pf["allpairs_1x"], 2)
     big_docs.unpersist()
 
     # ---- IVF kNN join over embeddings -------------------------------
@@ -242,7 +262,7 @@ def candidate_probe(spark, sf_dir: str, k: int) -> dict:
     )
     ivf["allpairs_growth"] = round(ivf["allpairs_kx"] / ivf["allpairs_1x"], 2)
     big_emb.unpersist()
-    return {"k": k, "minhash_lsh": mh, "knn_join_ivf": ivf}
+    return {"k": k, "minhash_lsh": mh, "prefix_filter": pf, "knn_join_ivf": ivf}
 
 
 if __name__ == "__main__":

@@ -4,15 +4,25 @@
   the only order-free equivalent of streaming dropDuplicates;
 - exact Jaccard near-dup: all-pairs token-set similarity (the
   oracle-checkable baseline);
-- MinHash + banded LSH near-dup: the scale path — word-shingle
-  units, signature via k independent xxhash64 min-hashes,
-  band-bucket equi-join for candidates, exact Jaccard verify. All
-  JVM-side DataFrame ops; no Python in the hot path.
+- MinHash + banded LSH near-dup: the probabilistic scale path —
+  word-shingle units, signature via k independent xxhash64
+  min-hashes, band-bucket equi-join for candidates, exact Jaccard
+  verify. All JVM-side DataFrame ops; no Python in the hot path.
+- prefix-filter join (AllPairs/PPJoin family): the LOSSLESS
+  sub-quadratic path — rarest-first prefixes, pigeonhole-sound
+  candidate generation, same exact verify. Use it when the answer
+  must be exact; use MinHash when a ~1e-4 per-pair miss rate buys a
+  much smaller candidate set.
+- SimHash fingerprints + pigeonhole chunk blocking for
+  hamming-radius near-dup.
 
 Scale: all-pairs Jaccard is O(n²) — fine for an oracle at 10³-10⁴
 docs, never at 100 TB. The LSH path shuffles each doc `bands` times on
 (band, bucket) and joins equi-wise; candidate count ≈ true-positive
 pairs + controlled false-positive rate, so cost tracks output, not n².
+The prefix path shuffles each doc's ~(1−t)·|X| rarest tokens and its
+candidate count is measured to grow linearly with corpus size at
+fixed dup structure (SCALE.md r8 probe: 30.0× at 30× data vs 900×).
 """
 
 from __future__ import annotations

@@ -8,28 +8,78 @@ the DataFrame API stops a user from pointing one at a 100× corpus —
 at which point the all-pairs join is a cluster-killer, not a slow
 query.  ``assert_allpairs_bounded`` mirrors ``knn_join``'s
 ``max_queries`` raise-guard (operators/similarity.py): fail fast with
-a pointer to the scale path instead of launching the join.
+a pointer to the scale path instead of running the join.
 
-The count() this runs is one extra cheap job over the (already
-filtered, column-pruned) input — a driver-side scalar, the same class
-as the iterative kernels' convergence probes.
+LAZY since r9 (advisor request): the r8 version ran ``df.count()`` at
+plan-BUILD time, so merely constructing a guarded plan launched Spark
+jobs — tools that build every registered plan (plan audits, schema
+reports, ``explain`` sweeps) paid a job per guarded query and plan
+construction could fail on data errors.  The check now rides the plan
+itself: a 1-row count aggregate of the guarded input is filtered
+through ``assert_true`` and cross-joined (broadcast, so it plans as a
+BroadcastNestedLoopJoin build of exactly one row) onto the input.
+Construction is action-free; the FIRST execution evaluates the guard
+relation before the quadratic join can stream, and an oversized input
+fails the job with :class:`AllPairsBoundExceeded`'s message instead of
+launching n² work.  The check is a filter, not a projected column, so
+Catalyst cannot prune it away.
 """
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
 class AllPairsBoundExceeded(ValueError):
-    """An all-pairs baseline was invoked above its documented bound."""
+    """An all-pairs baseline was invoked above its documented bound.
+
+    With the lazy guard the error surfaces at execution time as Spark's
+    ``SparkRuntimeException`` (``assert_true``) carrying this class's
+    name and message text; the class itself is kept for eager callers
+    (``check_now``) and as the greppable contract."""
 
 
 def assert_allpairs_bounded(
     df: DataFrame, max_rows: int, what: str, scale_path: str
 ) -> DataFrame:
-    """Return ``df`` unchanged if it holds at most ``max_rows`` rows;
-    raise :class:`AllPairsBoundExceeded` (naming the sub-quadratic
-    alternative) otherwise."""
+    """Return ``df`` with an embedded row-count bound check.
+
+    Plan construction stays action-free.  At execution, if ``df`` holds
+    more than ``max_rows`` rows the job fails with a message naming the
+    sub-quadratic alternative (``scale_path``) before the downstream
+    all-pairs join runs; otherwise the guard is one broadcast row and
+    the output is value-identical to ``df``."""
+    msg = F.concat(
+        F.lit(
+            f"AllPairsBoundExceeded: {what}: input has "
+        ),
+        F.col("__n").cast("string"),
+        F.lit(
+            f" rows, above the documented all-pairs bound of {max_rows} "
+            f"(O(n²) join). This query is an exact ORACLE baseline; at "
+            f"this size use the sub-quadratic path instead: {scale_path}"
+        ),
+    )
+    guard = (
+        df.groupBy()
+        .agg(F.count(F.lit(1)).alias("__n"))
+        # a FILTER containing assert_true cannot be column-pruned away
+        # (it decides row existence); assert_true returns null when the
+        # bound holds and raises otherwise
+        .filter(F.assert_true(F.col("__n") <= max_rows, msg).isNull())
+        .select(F.lit(1).alias("__allpairs_bound_ok"))
+    )
+    return df.crossJoin(F.broadcast(guard)).drop("__allpairs_bound_ok")
+
+
+def check_now(
+    df: DataFrame, max_rows: int, what: str, scale_path: str
+) -> DataFrame:
+    """Eager variant of :func:`assert_allpairs_bounded` — runs the
+    count immediately and raises :class:`AllPairsBoundExceeded` from
+    Python.  For interactive use where failing at build time is the
+    point."""
     n = df.count()
     if n > max_rows:
         raise AllPairsBoundExceeded(

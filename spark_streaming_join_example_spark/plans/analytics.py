@@ -182,30 +182,42 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins at web scale (the triangle-count discipline); edges stay the
     only edge-cardinality shuffle either way.
     """
-    # edge build stays in the self-join form HERE: the A/B at sf0.1
-    # showed the collect_set+explode build (operators/graph.py
-    # basket_pairs) regressing THIS query 4.2 s -> 6.4 s — the
-    # persist() materialization interacts badly with the exploded
-    # plan's partitioning, while bfs/kcore (which re-shuffle edges
-    # anyway) got 15-30% faster from it.  Measured, not assumed.
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    from .copurchase import copurchase_edges, sharing_enabled
+
+    if sharing_enabled():
+        # bench-scoped shared edge build (plans/copurchase.py): the
+        # graph trio reads one persisted relation; value-identical to
+        # the self-join below (both are distinct ordered part pairs
+        # sharing an order)
+        edges = copurchase_edges(spark, sf_dir).select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
         )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    else:
+        # edge build stays in the self-join form HERE: the A/B at sf0.1
+        # showed the collect_set+explode build (operators/graph.py
+        # basket_pairs) regressing THIS query 4.2 s -> 6.4 s — the
+        # persist() materialization interacts badly with the exploded
+        # plan's partitioning, while bfs/kcore (which re-shuffle edges
+        # anyway) got 15-30% faster from it.  Measured, not assumed.
+        li = (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
         )
-        .distinct()
-        .persist()
-    )
+        a, b = li.alias("a"), li.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .distinct()
+            .persist()
+        )
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
@@ -1065,14 +1077,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is persisted — it feeds three join sides — and the sweep/test
     drivers clear the cache between queries (tools/verify_local.py).
     """
-    from ..operators.graph import basket_pairs
+    from .copurchase import copurchase_edges
 
     # collect_set inside basket_pairs dedupes (order, part) up front —
-    # no separate distinct pre-pass needed
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e0 = basket_pairs(li, "l_orderkey", "l_partkey").filter(
-        F.col("u") < F.col("v")
-    )
+    # no separate distinct pre-pass needed; the edge relation comes
+    # from the shared builder (bench-scoped memo; identical plan when
+    # sharing is off)
+    e0 = copurchase_edges(spark, sf_dir).filter(F.col("u") < F.col("v"))
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))

@@ -378,6 +378,49 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(d, threshold=0.95)
 
 
+@register(
+    "q_prefix_shingle_join",
+    tags=("X2", "W1", "J4", "X1"),
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 2000
+), s AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END) AS toks
+  FROM w
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6) AS jac
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9
+""",
+)
+def q_prefix_shingle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT prefix-filter set-similarity join over word-3-gram SHINGLE
+    units (prefix_filter_jaccard_pairs(shingle=3)) — the small-vocab
+    escape hatch for the word-set prefix join's documented weak case:
+    on this corpus's 31-word vocabulary every raw token is frequent, so
+    the word-set prefix prunes only 83 % of pairs, while shingles give
+    a corpus-sized unit vocabulary and rarest-first prefixes prune to
+    **225 candidates of 124,750 all-pairs (0.18 %) at sf0.01, t=0.9**
+    (pinned in tests/test_extensions.py).  Lossless by the same
+    pigeonhole lemma — the element domain is irrelevant to the proof —
+    and the DuckDB oracle recomputes the full quadratic shingle join,
+    so this checks value-for-value.  Semantics match q_minhash_neardup
+    (shingle-set Jaccard ≥ 0.9) but EXACT, with no per-pair miss rate:
+    at 100 TB this is the path when dedup must be provably complete."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return prefix_filter_jaccard_pairs(d, threshold=0.9, shingle=3)
+
+
 @register("q_minhash_neardup", tags=("X2",))
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded-LSH near-duplicate pairs over word 3-gram

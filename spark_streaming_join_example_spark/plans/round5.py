@@ -333,9 +333,9 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     not paths (the naive path-recursion blows up as deg^k).
     """
     from ..operators.graph import bfs_hops
+    from .copurchase import copurchase_edges
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = basket_pairs(li, "l_orderkey", "l_partkey")
+    edges = copurchase_edges(spark, sf_dir)
     return bfs_hops(edges, max_depth=3).select(
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("int").alias("dist"),
@@ -656,8 +656,9 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-cardinality data.  Everything is BIGINT (deg div 32 ≡ DuckDB
     // on non-negatives), so the histogram is partition-count exact.
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e = basket_pairs(li, "l_orderkey", "l_partkey")
+    from .copurchase import copurchase_edges
+
+    e = copurchase_edges(spark, sf_dir)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     return (
         deg.groupBy(F.expr("CAST(deg div 32 AS BIGINT)").alias("bucket"))
@@ -717,15 +718,12 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     other fixed-point envelopes).
     """
     from pyspark.sql import Window
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.toDF("ok", "u")
-    b = li.toDF("ok", "v")
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+
+    from .copurchase import copurchase_edges
+
+    # same distinct directed co-purchase relation as the other graph
+    # kernels (bench-scoped shared build; identical plan when off)
+    e = copurchase_edges(spark, sf_dir)
     pairs = (
         e.withColumn("x", F.count(F.lit(1)).over(Window.partitionBy("u")))
         .withColumn("y", F.count(F.lit(1)).over(Window.partitionBy("v")))

@@ -627,10 +627,10 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|E_round|) on a strictly shrinking edge set, lineage cut per
     round, convergence via one count per round.
     """
-    from ..operators.graph import basket_pairs, kcore
+    from ..operators.graph import kcore
+    from .copurchase import copurchase_edges
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = basket_pairs(li, "l_orderkey", "l_partkey")
+    edges = copurchase_edges(spark, sf_dir)
     return kcore(edges, k=16).orderBy("node")
 
 

@@ -53,6 +53,50 @@ from ..operators.dedup import (
     shingles,
 )
 
+
+class SchemeMismatch(ValueError):
+    """An existing index was opened with different band-scheme
+    parameters than it was built with."""
+
+
+def _verify_or_freeze_scheme(
+    spark: SparkSession, out_dir: str, scheme: dict
+) -> None:
+    """Enforce the FROZEN band scheme the module docstring promises.
+
+    Before r9 nothing enforced it: restarting maintenance against an
+    existing ``out_dir`` with different (shingle, num_hashes, bands,
+    threshold) silently appended INCOMPARABLE bucket values — new
+    batches stopped matching old documents, silent false negatives
+    instead of an error.  The scheme manifest (one JSON row under
+    ``out_dir/_scheme``, written through Spark's own writer so any
+    Spark-writable filesystem works) is written by the first batch and
+    re-verified on every subsequent batch; a mismatch raises
+    :class:`SchemeMismatch` naming both schemes — the fix is a
+    versioned rebuild, mirroring how the IVF index freezes its
+    quantizer (streaming/vector_index.py)."""
+    path = f"{out_dir}/_scheme"
+    try:
+        existing = spark.read.json(path).collect()
+    except Exception:  # path absent → first batch freezes the scheme
+        spark.createDataFrame(
+            [tuple(scheme[k] for k in sorted(scheme))],
+            ", ".join(
+                f"{k} {'double' if isinstance(scheme[k], float) else 'string' if isinstance(scheme[k], str) else 'long'}"
+                for k in sorted(scheme)
+            ),
+        ).coalesce(1).write.mode("overwrite").json(path)
+        return
+    found = {k: existing[0][k] for k in scheme} if existing else {}
+    if found != scheme:
+        raise SchemeMismatch(
+            f"near-dup index at {out_dir} was built with scheme {found} "
+            f"but opened with {scheme}; bucket values are not comparable "
+            "across schemes — rebuild the index under a new out_dir "
+            "(versioned rebuild) instead of changing parameters in place"
+        )
+
+
 def maintain_neardup_index(
     stream: DataFrame,
     out_dir: str,
@@ -67,8 +111,18 @@ def maintain_neardup_index(
     """Start the index-maintenance query on a streaming DataFrame of
     (id_col, text_col) rows.  Returns the StreamingQuery."""
 
+    scheme = {
+        "shingle": shingle,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "threshold": float(threshold),
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+
     def land(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _verify_or_freeze_scheme(spark, out_dir, scheme)
         unit = (
             shingles(text_col, n=shingle)
             if shingle > 1

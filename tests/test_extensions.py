@@ -117,6 +117,27 @@ def test_prefix_filter_exact_on_zipfian(spark):
     assert got == brute
 
 
+def test_prefix_shingle_candidate_rate_on_fixture(spark, sf_dir):
+    """The word-set prefix join's documented weak case (17 % of
+    all-pairs survive on the fixture's 31-word vocabulary) must vanish
+    in shingle mode: word-3-gram units give a corpus-sized unit
+    vocabulary, so rarest-first prefixes prune the SAME corpus to < 5 %
+    of all-pairs at t=0.9 (measured 225 / 124,750 = 0.18 % at sf0.01).
+    This is q_prefix_shingle_join's blocking stage pinned directly."""
+    from spark_streaming_join_example_spark.operators.dedup import (
+        prefix_filter_candidates,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    n = docs.count()
+    toks = docs.select("doc_id", shingles("text", n=3).alias("toks"))
+    n_cand = prefix_filter_candidates(toks, "doc_id", 0.9).count()
+    all_pairs = n * (n - 1) // 2
+    rate = n_cand / all_pairs
+    assert rate < 0.05, f"candidate rate {rate:.1%} ({n_cand}/{all_pairs})"
+
+
 def test_prefix_filter_prunes_on_zipfian(spark):
     """On a Zipfian vocabulary the rarest-first prefixes are
     low-collision: candidate pairs must be under 10% of all-pairs

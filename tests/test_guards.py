@@ -1,7 +1,15 @@
 """Hard size guards on the documented quadratic baselines (r7 VERDICT
 item 3): the all-pairs oracle queries must REFUSE oversized inputs
 with a pointer to the sub-quadratic path, mirroring knn_join's
-max_queries guard."""
+max_queries guard.
+
+LAZY since r9 (advisor request): plan CONSTRUCTION is action-free —
+the bound check is embedded in the plan (a 1-row broadcast guard
+relation filtered through assert_true) and fires at first execution,
+so tools that build every registered plan launch no jobs and cannot
+fail on data errors.  These tests pin both halves: building an
+oversized plan succeeds; executing it raises with the scale-path
+pointer in the message."""
 
 from __future__ import annotations
 
@@ -13,21 +21,35 @@ import pytest
 from spark_streaming_join_example_spark.operators.guards import (
     AllPairsBoundExceeded,
     assert_allpairs_bounded,
+    check_now,
 )
 
 
-def test_guard_passes_through_bounded_input(spark):
+def test_guard_is_identity_on_bounded_input(spark):
     df = spark.range(100)
-    assert assert_allpairs_bounded(df, 100, "t", "alt") is df
+    out = assert_allpairs_bounded(df, 100, "t", "alt")
+    assert out.columns == df.columns
+    assert out.count() == 100
+    assert [r.id for r in out.orderBy("id").collect()] == list(range(100))
 
 
-def test_guard_raises_above_bound(spark):
+def test_guard_raises_at_execution_above_bound(spark):
     df = spark.range(101)
+    out = assert_allpairs_bounded(df, 100, "mytest", "the.alt.path")
+    # construction succeeded; the FIRST action fails with the pointer
+    with pytest.raises(Exception, match="use the sub-quadratic"):
+        out.count()
+    with pytest.raises(Exception, match="the.alt.path"):
+        out.collect()
+    with pytest.raises(Exception, match="AllPairsBoundExceeded"):
+        out.count()
+
+
+def test_check_now_eager_variant(spark):
+    df = spark.range(101)
+    assert check_now(spark.range(100), 100, "t", "alt").count() == 100
     with pytest.raises(AllPairsBoundExceeded, match="use the sub-quadratic"):
-        assert_allpairs_bounded(df, 100, "mytest", "the.alt.path")
-    # the message names the caller and the alternative
-    with pytest.raises(AllPairsBoundExceeded, match="the.alt.path"):
-        assert_allpairs_bounded(df, 100, "mytest", "the.alt.path")
+        check_now(df, 100, "mytest", "the.alt.path")
 
 
 def _write_fixture(tmp_path, table: str, pdf: pd.DataFrame) -> str:
@@ -38,7 +60,8 @@ def _write_fixture(tmp_path, table: str, pdf: pd.DataFrame) -> str:
 
 def test_q_jaccard_pairs_refuses_oversized_corpus(spark, tmp_path):
     """3,000 rows survive the doc_id < 2000 prefilter (repeated ids) —
-    the guard, not the filter, is the backstop."""
+    the guard, not the filter, is the backstop.  Building the plan is
+    action-free; executing it raises before the O(n²) join streams."""
     from spark_streaming_join_example_spark.plans.registry import queries_dict
 
     pdf = pd.DataFrame(
@@ -47,8 +70,9 @@ def test_q_jaccard_pairs_refuses_oversized_corpus(spark, tmp_path):
          "lang": ["en"] * 3000}
     )
     sf_dir = _write_fixture(tmp_path, "documents", pdf)
-    with pytest.raises(AllPairsBoundExceeded, match="minhash_near_duplicates"):
-        queries_dict()["q_jaccard_pairs"](spark, sf_dir)
+    df = queries_dict()["q_jaccard_pairs"](spark, sf_dir)  # no raise here
+    with pytest.raises(Exception, match="minhash_near_duplicates"):
+        df.count()
 
 
 def test_dup_edges_refuses_oversized_corpus(spark, tmp_path):
@@ -60,8 +84,8 @@ def test_dup_edges_refuses_oversized_corpus(spark, tmp_path):
          "lang": ["en"] * 3000}
     )
     sf_dir = _write_fixture(tmp_path, "documents", pdf)
-    with pytest.raises(AllPairsBoundExceeded, match="connected_components"):
-        _dup_edges(spark, sf_dir)
+    with pytest.raises(Exception, match="connected_components"):
+        _dup_edges(spark, sf_dir).count()
 
 
 def test_q_mrl_truncation_refuses_oversized_sample(spark, tmp_path):
@@ -73,5 +97,48 @@ def test_q_mrl_truncation_refuses_oversized_sample(spark, tmp_path):
          "label": ["x"] * 5001}
     )
     sf_dir = _write_fixture(tmp_path, "embeddings", pdf)
-    with pytest.raises(AllPairsBoundExceeded, match="knn_join"):
-        queries_dict()["q_mrl_truncation"](spark, sf_dir)
+    df = queries_dict()["q_mrl_truncation"](spark, sf_dir)  # no raise here
+    with pytest.raises(Exception, match="knn_join"):
+        df.count()
+
+
+# --- LSH band-scheme mismatch guards (r9 ADVICE, medium) --------------
+
+
+def test_banded_signatures_rejects_indivisible_bands(spark):
+    from spark_streaming_join_example_spark.operators.dedup import (
+        banded_signatures,
+    )
+
+    sig = spark.createDataFrame(
+        [(1, list(range(100)))], "doc_id long, sig array<long>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        banded_signatures(sig, "doc_id", num_hashes=100, bands=16)
+
+
+def test_banded_signatures_rejects_signature_length_mismatch(spark):
+    """A signature built with num_hashes=16 read back under the new
+    128/16 defaults must FAIL LOUDLY: before the r9 guard, F.slice past
+    the array end yielded empty slices hashing to one constant bucket
+    per band — every document in one bucket, an O(n²) candidate
+    explosion instead of an error."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.operators.dedup import (
+        banded_signatures,
+        distinct_tokens,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y z"), (3, "p q r")],
+        "doc_id long, text string",
+    )
+    toks = docs.select("doc_id", distinct_tokens("text").alias("toks"))
+    sig16 = minhash_signatures(toks, "doc_id", F.col("toks"), num_hashes=16)
+    with pytest.raises(Exception, match="scheme"):
+        banded_signatures(sig16, "doc_id", num_hashes=128, bands=16).count()
+    with pytest.raises(Exception, match="scheme"):
+        lsh_candidate_pairs(sig16, "doc_id", num_hashes=128, bands=16).count()

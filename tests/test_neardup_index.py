@@ -5,7 +5,10 @@ on the drained corpus, with each pair claimed by exactly one batch."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
+import pytest
 
 from spark_streaming_join_example_spark import load_table
 from spark_streaming_join_example_spark.operators.dedup import (
@@ -18,8 +21,13 @@ from spark_streaming_join_example_spark.streaming.neardup_index import (
 
 # sf0.01 carries the planted near-dup structure (25 pairs at the 0.9
 # shingle-Jaccard threshold); the conftest default sf0.001 corpus is
-# too small to make the equivalence non-vacuous.
+# too small to make the equivalence non-vacuous.  Skip (not error)
+# when this machine lacks the driver-generated fixture tree.
 _SF_DIR = "/root/testdata/sf0.01"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_SF_DIR),
+    reason=f"equivalence fixture {_SF_DIR} not generated on this machine",
+)
 
 
 def test_streaming_neardup_equals_batch(spark, tmp_path):
@@ -120,3 +128,37 @@ def test_streaming_neardup_restart_is_idempotent(spark, tmp_path):
     )
     assert after == before
     assert batches_after == batches_before
+
+
+def test_scheme_mismatch_refuses_to_run(spark, tmp_path):
+    """The band scheme is FROZEN per index (module docstring): r9
+    ADVICE found nothing enforced it — a restart with different
+    parameters silently appended incomparable bucket values (silent
+    false negatives).  The manifest written by the first batch must now
+    make such a restart fail loudly with the versioned-rebuild hint."""
+    docs = (
+        load_table(spark, _SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    replay = tmp_path / "replay"
+    docs.write.mode("overwrite").parquet(str(replay))
+
+    def start(ckpt: str, **kw):
+        stream = spark.readStream.schema(docs.schema).parquet(str(replay))
+        return maintain_neardup_index(
+            stream, idx, str(tmp_path / ckpt), threshold=0.9, **kw
+        )
+
+    idx = str(tmp_path / "neardup_idx")
+    start("ckpt1").awaitTermination()
+    manifest = spark.read.json(f"{idx}/_scheme").collect()[0]
+    assert (manifest.num_hashes, manifest.bands, manifest.shingle) == (128, 16, 3)
+
+    # different num_hashes against the same out_dir → refuse to run
+    q = start("ckpt2", num_hashes=64)
+    with pytest.raises(Exception, match="versioned rebuild"):
+        q.awaitTermination()
+
+    # same scheme, fresh checkpoint: manifest verifies and it runs
+    start("ckpt3").awaitTermination()

@@ -788,3 +788,35 @@ def test_basket_pairs_chunked_is_join_free(spark):
         )
         assert "Join" not in plan, (kwargs, plan)
         assert plan.count("Exchange") <= 2, (kwargs, plan)
+
+
+def test_graph_shared_edge_build_is_value_identical(spark, sf_dir, qd):
+    """plans/copurchase.py: with SPARK_GRAFT_SHARE_EDGES=1 (the bench's
+    graph-trio mode) the kernels consume one memoized persisted edge
+    relation instead of building their own — the OUTPUT must be
+    byte-identical in both modes, for both a basket_pairs consumer
+    (q_kcore) and the rewired self-join consumer (q_pagerank)."""
+    import os
+
+    from tests.conftest import collect_sorted
+
+    from spark_streaming_join_example_spark.plans import copurchase
+
+    assert not copurchase.sharing_enabled(), (
+        "SPARK_GRAFT_SHARE_EDGES leaked into the test env"
+    )
+    base_kcore = collect_sorted(qd["q_kcore"](spark, sf_dir))
+    base_pr = collect_sorted(qd["q_pagerank"](spark, sf_dir))
+    os.environ["SPARK_GRAFT_SHARE_EDGES"] = "1"
+    copurchase._MEMO.clear()
+    try:
+        shared_kcore = collect_sorted(qd["q_kcore"](spark, sf_dir))
+        shared_pr = collect_sorted(qd["q_pagerank"](spark, sf_dir))
+        # the second kernel reused the memoized relation
+        assert len(copurchase._MEMO) == 1
+    finally:
+        os.environ.pop("SPARK_GRAFT_SHARE_EDGES", None)
+        copurchase._MEMO.clear()
+        spark.catalog.clearCache()
+    assert shared_kcore == base_kcore
+    assert shared_pr == base_pr

@@ -777,3 +777,44 @@ def test_prefix_filter_join_lossless(spark, docs, thr):
                 if jac >= thr:
                     want.add((i, j))
     assert got == want
+
+
+@given(docs=DOCS, thr=st.sampled_from([0.34, 0.6, 0.9, 1.0]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_join_shingle_lossless(spark, docs, thr):
+    """Shingle-unit mode (r9): the pigeonhole lemma never inspects the
+    set elements, so swapping word units for word-3-gram shingles must
+    stay LOSSLESS — same property as above against a Python model that
+    shingles exactly like operators/dedup.py shingles() (documents
+    shorter than n collapse to one whole-document shingle).  Note the
+    model keys on token SEQUENCES, not sets: duplicate tokens in a doc
+    produce real shingles, so this also pins the order-sensitivity."""
+    from spark_streaming_join_example_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    texts = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string").repartition(3)
+    got = {
+        (r.a_id, r.b_id)
+        for r in prefix_filter_jaccard_pairs(
+            df, threshold=thr, shingle=3
+        ).collect()
+    }
+
+    def sh(toks):
+        words = [f"t{t}" for t in toks]
+        if len(words) >= 3:
+            return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+        return {" ".join(words)}
+
+    sets = {i: sh(toks) for i, toks in enumerate(docs)}
+    want = set()
+    for i in sets:
+        for j in sets:
+            if i < j:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if jac >= thr:
+                    want.add((i, j))
+    assert got == want

@@ -334,7 +334,8 @@ def prefix_filter_jaccard_pairs(
     vocabulary is corpus-sized, prefixes are rare again, and the
     pigeonhole lemma applies verbatim since it never cares what the set
     elements are.  Measured at sf0.01/t=0.9: candidates 21,348 (17 %)
-    word-set → 225 (0.18 %) with shingle=3.  Note the SEMANTICS move
+    word-set → 25 (0.02 % — exactly the planted duplicate pairs) with
+    shingle=3.  Note the SEMANTICS move
     with the unit: the join is then exact over shingle-set Jaccard
     (order-sensitive, the near-dup definition that matches MinHash's)."""
     unit = (

@@ -408,8 +408,9 @@ def q_prefix_shingle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this corpus's 31-word vocabulary every raw token is frequent, so
     the word-set prefix prunes only 83 % of pairs, while shingles give
     a corpus-sized unit vocabulary and rarest-first prefixes prune to
-    **225 candidates of 124,750 all-pairs (0.18 %) at sf0.01, t=0.9**
-    (pinned in tests/test_extensions.py).  Lossless by the same
+    **25 candidates of 124,750 all-pairs (0.02 % — exactly the planted
+    duplicate pairs) at sf0.01, t=0.9** (pinned in
+    tests/test_extensions.py).  Lossless by the same
     pigeonhole lemma — the element domain is irrelevant to the proof —
     and the DuckDB oracle recomputes the full quadratic shingle join,
     so this checks value-for-value.  Semantics match q_minhash_neardup

@@ -83,47 +83,47 @@ def _load_all_plans() -> None:
 #: registration order and is still verified by the full local
 #: differential (tools/verify_local.py).
 #:
-#: ROTATION (round 7+): a fixed panel means the other ~236 oracle
+#: ROTATION (round 7+): a fixed panel means the other ~240 oracle
 #: queries never earn an official driver CORRECTNESS row.  Each round,
-#: ~15-25 non-anchor slots rotate to a DIFFERENT query covering the
+#: ~25-30 non-anchor slots rotate to a DIFFERENT query covering the
 #: SAME §2 family (the swapped-out name stays green in the full local
 #: differential); sole-coverage anchors (A6/A7/A9, F2/F6, J1/J2, T2,
-#: …) never rotate.  Swaps are marked "rN: was <name>" below.  The r8
-#: rotation targets never-driver-checked families per the r7 VERDICT:
-#: the A4 grouping-sets battery, the SQL front door (pipe syntax,
-#: scripting, parameterized), the remaining F-series flavors, the
-#: sketch family (two deliberate rows-only entries — q_kll_quantiles,
-#: q_theta_setops — whose ε-exactness lives in pytest), and the
-#: never-checked X/graph/ranking twins.  Family coverage proven
-#: lossless at swap time (old-panel tag-union == new-panel tag-union)
-#: and every incoming name hash-verified green at sf0.01 first.
+#: …) never rotate.  Swaps are marked "rN: was <name>" below.  The r9
+#: rotation (per the r8 VERDICT items 1+6) pushes 27 FIRST-TIME names
+#: plus the three F-series flavors the verdict asked to re-signal
+#: (q_apply_in_pandas, q_grouped_agg_udf, q_map_in_pandas) — after r9
+#: the never-driver-checked pool drops from 182 to ~155.  Family
+#: coverage proven lossless at swap time (old-panel tag-union ⊆
+#: new-panel tag-union; r9 additionally gains S1 + T4) and every
+#: incoming name verified green in the full sf0.01 differential first
+#: (r9 sweep: 275 pass, 0 fail).
 CURATED_FIRST: tuple[str, ...] = (
     # headline relational anchors (bench set + core shapes)
     "q_pricing_summary",      # A1 P2
     "q_revenue_join3",        # J4
-    "q_broadcast_enrich",     # J3
-    "q_sql_scripting",        # A1 P2 (r8: was q_filter_project_case — SQL front door)
-    "q_parameterized_sql",    # P2 A1 (r8: was q_top_orders; O2 stays via q_cosine_topk)
+    "q_scalar_subquery",      # J3 A1 (r9: was q_broadcast_enrich)
+    "q_lexicon_sentiment",    # X5 J3 A1 (r9: was q_sql_scripting)
+    "q_histogram",            # FN-math A1 (r9: was q_parameterized_sql)
     "q_window_rank",          # W1 W4
-    "q_window_lag",           # W2
-    "q_kll_quantiles",        # A3 sketch, rows-only (r8: was q_window_frame; W3 via q_max_concurrency)
-    "q_exists_subquery",      # J9  (r8: was q_anti_join; r7: was q_semi_join)
-    "q_merge_upsert",         # J10 P5 U1 (r8: was q_snapshot_diff; r7: was q_outer_join)
-    "q_levenshtein_fuzzy",    # J6 FN-string X2 (r8: was q_skyline; r7: was q_theta_join)
-    "q_grouping_id",          # A4 grouping-sets battery (r8: was q_rollup)
+    "q_ewma",                 # W2 W3 FN-math (r9: was q_window_lag)
+    "q_kll_quantiles",        # A3 sketch, rows-only (r8: was q_window_frame)
+    "q_correlated_subquery",  # J9 A1 (r9: was q_exists_subquery)
+    "q_reconcile_totals",     # J10 A1 P5 (r9: was q_merge_upsert)
+    "q_geo_nearest",          # J6 W1 FN-math (r9: was q_levenshtein_fuzzy)
+    "q_share_of_total",       # A1 W3 A4 (r9: was q_grouping_id)
     "q_pivot",                # A9
     "q_max_concurrency",      # W3 A1 U1 FN-datetime (r8: was q_union_by_name)
     "q_theta_setops",         # A3 U2 U3 sketch, rows-only (r8: was q_intersect_all)
     "q_except_all",           # U3  (r7: was q_except_users)
-    "q_parse_url",            # FN-string P3 (r8: was q_regexp_extract_all)
-    "q_pricing_summary_decimal",  # A1 P4 (r8: was q_datetime_scalar; FN-datetime via q_max_concurrency)
-    "q_welch_ab",             # A1 FN-math (r8: was q_corr_cov)
-    "q_xpath",                # P3 FN-string (r8: was q_variant_extract)
-    "q_str_to_map",           # FN-map P3 (r8: was q_map_hofs)
-    "q_posexplode",           # FN-array P1 (r8: was q_array_setops)
-    "q_sort_within_partitions",  # O3
-    "q_skew_report",          # A1 T5 U1 (r8: was q_salted_join)
-    "q_sql_pipe",             # A1 P2 (r8: was q_market_join6; J5 via q_kcore/q_lateral_topk)
+    "q_url_canonicalize",     # FN-string X1 A1 (r9: was q_parse_url)
+    "q_try_casts",            # P4 P5 (r9: was q_pricing_summary_decimal)
+    "q_order_priority",       # J9 A1 O1 (r9: was q_welch_ab; FN-math via q_histogram/q_ewma/q_geo_nearest)
+    "q_json_paths",           # P3 (r9: was q_xpath)
+    "q_transform_keys",       # FN-map (r9: was q_str_to_map; P3 via q_json_paths)
+    "q_arrays_zip",           # FN-array P1 (r9: was q_posexplode)
+    "q_zorder_stats",         # O3 P1 A1 (r9: was q_sort_within_partitions)
+    "q_hints_battery",        # J4 T5 A1 (r9: was q_skew_report; U1 via q_max_concurrency)
+    "q_file_lineage",         # S1 P1 (r9: was q_sql_pipe; NEW family tag — batch source lineage)
     # streaming-twin batch queries
     "q_stream_static_join",   # J1
     "q_stream_stream_join",   # J2
@@ -134,25 +134,25 @@ CURATED_FIRST: tuple[str, ...] = (
     "q_dedup_events",         # T2
     # temporal joins + approx
     "q_asof_forward",         # J8 J7 (r7: was q_asof_join)
-    "q_attribution",          # J7 A1 W1 (r8: was q_point_in_time_join)
-    "q_approx_topk_events",   # A3 (exact-pinned top-k oracle)
+    "q_sessionize_batch",     # W2 A1 T4 (r9: was q_attribution; J7 via q_asof_forward; NEW family tag T4)
+    "q_bitmap_distinct",      # A2 A3 (r9: was q_approx_topk_events)
     # UDF ladder
     "q_sql_udf",              # F1 (r8: was q_udf_scalar)
     "q_pandas_udf",           # F2
-    "q_embedding_centroid",   # F3 X3 (r7: was q_grouped_agg_udf)
-    "q_apply_in_arrow",       # F4 (r8: was q_holt_winters; r7: was q_apply_in_pandas)
-    "q_map_in_arrow",         # F5  (r7: was q_map_in_pandas)
+    "q_grouped_agg_udf",      # F3 (r9: was q_embedding_centroid; r8 VERDICT item 6 re-signal)
+    "q_apply_in_pandas",      # F4 (r9: was q_apply_in_arrow; r8 VERDICT item 6 re-signal)
+    "q_map_in_pandas",        # F5 (r9: was q_map_in_arrow; r8 VERDICT item 6 re-signal)
     "q_udtf_tokens",          # F6
     # LLM-pipeline extensions
-    "q_lateral_topk",         # W4 J5 (r8: was q_dedup_keep_best; X1 via q_dup_clusters/q_decontaminate)
-    "q_embedding_neardup",    # X2 X3 (r8: was q_ngram_jaccard)
+    "q_minmax_by",            # A1 W4 (r9: was q_lateral_topk; J5 via q_bfs_hops/q_graph_degrees)
+    "q_prefix_shingle_join",  # X2 W1 J4 X1 (r9: was q_embedding_neardup; NEW r9 operator mode)
     "q_cosine_topk",          # X3 (also covers J11 via block cross join)
-    "q_knn_ivf_exact",        # X3 IVF ≡ brute force
-    "q_multimodal_binary",    # X4
-    "q_decontaminate",        # X5 X1 J9 (r8: was q_langid; r7: was q_text_tokens)
-    "q_dup_clusters",         # X1/X2 connected components
-    "q_kcore",                # J5 A1 X2 iterative graph (r8: was q_pagerank)
-    "q_exact_global_median",  # O1 W1 A1 distributed ranking (r8: was q_global_rank_distributed)
+    "q_knn_search",           # X3 (r9: was q_knn_ivf_exact)
+    "q_binary_magic",         # X4 P5 FN-string (r9: was q_multimodal_binary)
+    "q_vector_join",          # X4 J4 (r9: was q_decontaminate; X5 via q_lexicon_sentiment; X1/J9 covered above)
+    "q_dup_clusters_star",    # X1 X2 (r9: was q_dup_clusters — large/small-star variant)
+    "q_bfs_hops",             # J5 A1 X2 iterative graph (r9: was q_kcore)
+    "q_graph_degrees",        # A1 J5 X2 (r9: was q_exact_global_median; O1 via q_order_priority)
 )
 
 

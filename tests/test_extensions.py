@@ -122,7 +122,8 @@ def test_prefix_shingle_candidate_rate_on_fixture(spark, sf_dir):
     all-pairs survive on the fixture's 31-word vocabulary) must vanish
     in shingle mode: word-3-gram units give a corpus-sized unit
     vocabulary, so rarest-first prefixes prune the SAME corpus to < 5 %
-    of all-pairs at t=0.9 (measured 225 / 124,750 = 0.18 % at sf0.01).
+    of all-pairs at t=0.9 (measured 25 / 124,750 = 0.02 % at sf0.01 —
+    exactly the planted duplicate pairs; perfect pruning here).
     This is q_prefix_shingle_join's blocking stage pinned directly."""
     from spark_streaming_join_example_spark.operators.dedup import (
         prefix_filter_candidates,

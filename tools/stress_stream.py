@@ -47,13 +47,27 @@ def probe(
     sf_dir: str,
     n_chunks: int = 8,
     modes: tuple[str, ...] = ("batched", "chunked"),
+    shuffle_partitions: int | None = 8,
 ) -> dict:
     """Run the five core streaming jobs over the chunked events fixture
-    and return ``{"rows": N, "n_chunks": K, "jobs": {...}}``.
+    and return ``{"rows": N, "n_chunks": K, "shuffle": S, "jobs":
+    {...}}``.
 
     Importable so bench.py can embed a streaming-throughput section in
     the per-round artifact (batched mode only there, to bound bench
-    wall-clock); the CLI below runs both modes."""
+    wall-clock); the CLI below runs both modes.
+
+    ``shuffle_partitions`` sizes the streaming queries' state sharding
+    (default 8 since r9): stateful operators pay a per-partition state
+    store load/commit EVERY micro-batch — the stream-stream join keeps
+    4 stores per partition — so at this fixture's state volume (100 k
+    rows) 32 partitions is pure fixed overhead (measured r9 A/B,
+    tools/ab_ssjoin.py: ss_join drain 36.3 s at 32 → 8.9 s at 8 →
+    6.4 s at 4; RocksDB strictly worse at every count at this state
+    size).  At 100 TB you size partitions to state volume per the T5
+    discipline — and the count FREEZES into the checkpoint at first
+    start, so each probe drain uses a fresh checkpoint dir.  Pass
+    ``None`` to keep the session's current setting."""
     work = tempfile.mkdtemp(prefix="stress_stream_")
     replay = os.path.join(work, "replay")
     chunk_events(spark, sf_dir, replay, n_chunks=n_chunks)
@@ -92,18 +106,29 @@ def probe(
         q.awaitTermination()
         return time.perf_counter() - t0
 
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     out: dict[str, dict] = {}
-    for job in (j_enrich, j_ss_join, j_tumbling, j_dedup, j_temporal):
-        name = job.__name__[2:]
-        out[name] = {}
-        for mode in modes:
-            s = drain(job, mode)
-            out[name][mode] = {
-                "s": round(s, 3),
-                "rows_per_s": int(n_rows / s),
-            }
-    shutil.rmtree(work, ignore_errors=True)
-    return {"rows": n_rows, "n_chunks": n_chunks, "jobs": out}
+    try:
+        for job in (j_enrich, j_ss_join, j_tumbling, j_dedup, j_temporal):
+            name = job.__name__[2:]
+            out[name] = {}
+            for mode in modes:
+                s = drain(job, mode)
+                out[name][mode] = {
+                    "s": round(s, 3),
+                    "rows_per_s": int(n_rows / s),
+                }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "n_chunks": n_chunks,
+        "shuffle": shuffle_partitions or int(prev_shuffle),
+        "jobs": out,
+    }
 
 
 def main() -> None:

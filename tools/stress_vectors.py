@@ -122,12 +122,26 @@ def main() -> None:
     print(json.dumps(res))
 
 
-def candidate_probe(spark, sf_dir: str, k: int) -> dict:
+def candidate_probe(
+    spark,
+    sf_dir: str,
+    k: int,
+    include: tuple[str, ...] = (
+        "minhash_lsh",
+        "prefix_filter",
+        "prefix_shingle",
+        "knn_join_ivf",
+    ),
+) -> dict:
     """Candidate-pair counts vs all-pairs at 1x and Kx corpus size for
-    the two bucketed kernels (see module docstring)."""
+    the bucketed kernels (see module docstring).  ``include`` selects
+    sections — the K=100 confirmation runs (r8 VERDICT item 8) probe
+    only the text paths, skipping the O(n²)-flop IVF timing arm."""
 
     def pairs(n: int) -> int:
         return n * (n - 1) // 2
+
+    out: dict = {"k": k}
 
     # ---- banded MinHash LSH over documents --------------------------
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -158,36 +172,64 @@ def candidate_probe(spark, sf_dir: str, k: int) -> dict:
     big_docs = functools.reduce(
         DataFrame.unionByName, [rep_doc(i) for i in range(k)]
     ).localCheckpoint(eager=True)
-    mh = {
-        "n_1x": n_docs,
-        "cand_1x": mh_candidates(docs),
-        "allpairs_1x": pairs(n_docs),
-        "n_kx": n_docs * k,
-        "cand_kx": mh_candidates(big_docs),
-        "allpairs_kx": pairs(n_docs * k),
-    }
-    mh["cand_growth"] = round(mh["cand_kx"] / max(mh["cand_1x"], 1), 2)
-    mh["allpairs_growth"] = round(mh["allpairs_kx"] / mh["allpairs_1x"], 2)
+    if "minhash_lsh" in include:
+        mh = {
+            "n_1x": n_docs,
+            "cand_1x": mh_candidates(docs),
+            "allpairs_1x": pairs(n_docs),
+            "n_kx": n_docs * k,
+            "cand_kx": mh_candidates(big_docs),
+            "allpairs_kx": pairs(n_docs * k),
+        }
+        mh["cand_growth"] = round(mh["cand_kx"] / max(mh["cand_1x"], 1), 2)
+        mh["allpairs_growth"] = round(mh["allpairs_kx"] / mh["allpairs_1x"], 2)
+        out["minhash_lsh"] = mh
 
     # ---- prefix-filter exact join over the same replicas ------------
     # replicas share zero tokens, so candidate growth measures how the
     # LOSSLESS blocker scales: within-replica candidates x K, never
     # cross-replica pairs.
-    def pf_candidates(d: DataFrame) -> int:
-        toks = d.select("doc_id", distinct_tokens("text").alias("toks"))
-        return prefix_filter_candidates(toks, "doc_id", 0.95).count()
+    if "prefix_filter" in include:
 
-    pf = {
-        "n_1x": n_docs,
-        "cand_1x": pf_candidates(docs),
-        "allpairs_1x": pairs(n_docs),
-        "n_kx": n_docs * k,
-        "cand_kx": pf_candidates(big_docs),
-        "allpairs_kx": pairs(n_docs * k),
-    }
-    pf["cand_growth"] = round(pf["cand_kx"] / max(pf["cand_1x"], 1), 2)
-    pf["allpairs_growth"] = round(pf["allpairs_kx"] / pf["allpairs_1x"], 2)
+        def pf_candidates(d: DataFrame) -> int:
+            toks = d.select("doc_id", distinct_tokens("text").alias("toks"))
+            return prefix_filter_candidates(toks, "doc_id", 0.95).count()
+
+        pf = {
+            "n_1x": n_docs,
+            "cand_1x": pf_candidates(docs),
+            "allpairs_1x": pairs(n_docs),
+            "n_kx": n_docs * k,
+            "cand_kx": pf_candidates(big_docs),
+            "allpairs_kx": pairs(n_docs * k),
+        }
+        pf["cand_growth"] = round(pf["cand_kx"] / max(pf["cand_1x"], 1), 2)
+        pf["allpairs_growth"] = round(pf["allpairs_kx"] / pf["allpairs_1x"], 2)
+        out["prefix_filter"] = pf
+
+    # ---- prefix-filter in SHINGLE mode (r9): the small-vocab escape
+    # hatch q_prefix_shingle_join registers — same lossless blocker,
+    # word-3-gram units, t=0.9 (the registered threshold) -------------
+    if "prefix_shingle" in include:
+
+        def ps_candidates(d: DataFrame) -> int:
+            toks = d.select("doc_id", shingles("text", n=3).alias("toks"))
+            return prefix_filter_candidates(toks, "doc_id", 0.9).count()
+
+        ps = {
+            "n_1x": n_docs,
+            "cand_1x": ps_candidates(docs),
+            "allpairs_1x": pairs(n_docs),
+            "n_kx": n_docs * k,
+            "cand_kx": ps_candidates(big_docs),
+            "allpairs_kx": pairs(n_docs * k),
+        }
+        ps["cand_growth"] = round(ps["cand_kx"] / max(ps["cand_1x"], 1), 2)
+        ps["allpairs_growth"] = round(ps["allpairs_kx"] / ps["allpairs_1x"], 2)
+        out["prefix_shingle"] = ps
     big_docs.unpersist()
+    if "knn_join_ivf" not in include:
+        return out
 
     # ---- IVF kNN join over embeddings -------------------------------
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -262,7 +304,8 @@ def candidate_probe(spark, sf_dir: str, k: int) -> dict:
     )
     ivf["allpairs_growth"] = round(ivf["allpairs_kx"] / ivf["allpairs_1x"], 2)
     big_emb.unpersist()
-    return {"k": k, "minhash_lsh": mh, "prefix_filter": pf, "knn_join_ivf": ivf}
+    out["knn_join_ivf"] = ivf
+    return out
 
 
 if __name__ == "__main__":

@@ -160,6 +160,9 @@ def main() -> None:
             # round-8: the retuned shingled MinHash LSH (was the
             # slowest registered query at 52 s pre-retune; watch it)
             "q_minhash_neardup",
+            # round-9: the exact shingle-unit prefix-filter join (the
+            # provably-complete dedup scale path; new operator mode)
+            "q_prefix_shingle_join",
         )
         if n in qd
     ]

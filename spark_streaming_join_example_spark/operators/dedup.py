@@ -297,6 +297,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.9,
     shingle: int = 1,
+    order: str = "df",
 ) -> DataFrame:
     """EXACT sub-quadratic set-similarity self-join via prefix
     filtering (the AllPairs/PPJoin family, Bayardo et al. WWW'07 /
@@ -346,30 +347,99 @@ def prefix_filter_jaccard_pairs(
     toks = docs.select(
         F.col(id_col), unit.alias("toks")
     ).localCheckpoint(eager=False)
-    cand = prefix_filter_candidates(toks, id_col, threshold)
+    cand = prefix_filter_candidates(toks, id_col, threshold, order=order)
     return exact_jaccard_verify(cand, toks, id_col, threshold)
 
 
-def prefix_filter_candidates(
-    toks: DataFrame, id_col: str, threshold: float
+def prefix_rows(
+    toks: DataFrame, id_col: str, threshold: float, order: str = "df"
 ) -> DataFrame:
-    """The lossless candidate stage of the prefix-filter join:
-    (a_id, b_id) pairs sharing at least one token in their
-    rarest-first prefixes, size-prefiltered.  Split out so tests can
-    pin the candidate COUNT independently of the verify."""
+    """(id, tok, n) prefix relation of a (id, toks) token-set relation:
+    each set's first ``|X| − ⌈t·|X|⌉ + 1`` tokens under one GLOBAL
+    canonical order, plus the set size ``n`` for the size prefilter.
+
+    The pigeonhole lemma (see :func:`prefix_filter_jaccard_pairs`)
+    holds for ANY fixed global order — the order choice is purely a
+    pruning heuristic:
+
+    - ``order="df"`` (default): ascending global document frequency,
+      ties by token value.  Rarest-first prefixes are low-collision,
+      so candidates track output — the batch-join choice.  Requires a
+      global frequency pass over THIS relation, so the order shifts as
+      the corpus grows: correct for a self-join, NOT stable across
+      incremental index batches.
+    - ``order="hash"``: ascending ``xxhash64(tok)``, ties by token.  A
+      frozen, corpus-independent order — the prefix of a document
+      never changes as other documents arrive, which is exactly what
+      an INCREMENTAL index needs (streaming/prefix_index.py): old
+      prefix rows stay valid forever.  Pruning is that of a random
+      order (weaker than rarest-first, still sub-quadratic on
+      realistic vocabularies); losslessness is unchanged.
+    """
     from pyspark.sql import Window
 
     tok = toks.select(F.col(id_col), F.explode("toks").alias("tok"))
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "tok")
-    ranked = (
-        tok.join(freq, "tok")
-        .withColumn("r", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    if order == "df":
+        freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        ranked = tok.join(freq, "tok")
+        w = Window.partitionBy(id_col).orderBy("df", "tok")
+    elif order == "hash":
+        ranked = tok
+        w = Window.partitionBy(id_col).orderBy(F.xxhash64("tok"), F.col("tok"))
+    else:
+        raise ValueError(f"prefix_rows: unknown order {order!r}")
+    ranked = ranked.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
-    prefix = ranked.filter(
+    return ranked.filter(
         F.col("r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     ).select(F.col(id_col), "tok", "n")
+
+
+def prefix_candidate_join(
+    a_prefix: DataFrame, b_prefix: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(a_id, b_id) candidate pairs between two prefix relations (both
+    built by :func:`prefix_rows` under the SAME order): pairs sharing
+    ≥1 prefix token, size-prefiltered, a_id < b_id.  The self-join case
+    passes the same relation twice; the incremental-index case joins
+    the new batch's prefixes against the accumulated index."""
+    a = a_prefix.select(
+        F.col(id_col).alias("a_id"), "tok", F.col("n").alias("_na")
+    )
+    b = b_prefix.select(
+        F.col(id_col).alias("b_id"), "tok", F.col("n").alias("_nb")
+    )
+    return (
+        a.join(
+            b,
+            (a["tok"] == b["tok"])
+            & (F.col("a_id") != F.col("b_id"))
+            # size prefilter: jac >= t forces t*max(|A|,|B|) <= min
+            & (
+                F.least("_na", "_nb").cast("double")
+                >= threshold * F.greatest("_na", "_nb").cast("double")
+            ),
+        )
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+        .distinct()
+    )
+
+
+def prefix_filter_candidates(
+    toks: DataFrame, id_col: str, threshold: float, order: str = "df"
+) -> DataFrame:
+    """The lossless candidate stage of the prefix-filter join:
+    (a_id, b_id) pairs sharing at least one token in their canonical
+    prefixes, size-prefiltered.  Split out so tests can pin the
+    candidate COUNT independently of the verify.  The SELF-join keeps
+    the triangular ``a_id < b_id`` predicate (each unordered pair
+    probes once); the two-relation form for incremental indexes is
+    :func:`prefix_candidate_join`."""
+    prefix = prefix_rows(toks, id_col, threshold, order=order)
     a = prefix.select(
         F.col(id_col).alias("a_id"), "tok", F.col("n").alias("_na")
     )

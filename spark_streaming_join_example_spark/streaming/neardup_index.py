@@ -87,7 +87,10 @@ def _verify_or_freeze_scheme(
             ),
         ).coalesce(1).write.mode("overwrite").json(path)
         return
-    found = {k: existing[0][k] for k in scheme} if existing else {}
+    # .get: a manifest of a DIFFERENT index kind (e.g. pointing a
+    # prefix index at a MinHash out_dir) lacks keys — that is a
+    # mismatch to report, not a field-access error
+    found = {k: existing[0].asDict().get(k) for k in scheme} if existing else {}
     if found != scheme:
         raise SchemeMismatch(
             f"near-dup index at {out_dir} was built with scheme {found} "
@@ -112,6 +115,7 @@ def maintain_neardup_index(
     (id_col, text_col) rows.  Returns the StreamingQuery."""
 
     scheme = {
+        "kind": "minhash",
         "shingle": shingle,
         "num_hashes": num_hashes,
         "bands": bands,

@@ -1,0 +1,140 @@
+"""Streaming EXACT prefix-filter dedup index (r9): the lossless twin
+of the MinHash signature index.  The streamed pair set must equal the
+batch prefix join under BOTH canonical orders AND the brute-force
+all-pairs answer on the drained corpus — completeness is the whole
+point of this index — with each pair claimed by exactly one batch."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_streaming_join_example_spark import load_table
+from spark_streaming_join_example_spark.operators.dedup import (
+    jaccard,
+    prefix_filter_jaccard_pairs,
+    shingles,
+)
+from spark_streaming_join_example_spark.streaming.prefix_index import (
+    exact_pairs,
+    maintain_prefix_index,
+)
+
+_SF_DIR = "/root/testdata/sf0.01"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_SF_DIR),
+    reason=f"equivalence fixture {_SF_DIR} not generated on this machine",
+)
+
+
+def test_streaming_prefix_index_equals_batch_and_brute_force(spark, tmp_path):
+    docs = load_table(spark, _SF_DIR, "documents").select("doc_id", "text")
+
+    replay = tmp_path / "replay"
+    docs.repartition(4).write.mode("overwrite").parquet(str(replay))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    idx = str(tmp_path / "prefix_idx")
+    q = maintain_prefix_index(stream, idx, str(tmp_path / "ckpt"), threshold=0.9)
+    q.awaitTermination()
+    streamed = {
+        (r.a_id, r.b_id, r.jac) for r in exact_pairs(spark, idx).collect()
+    }
+
+    # batch prefix join, both canonical orders — losslessness means the
+    # order must not change the OUTPUT, only the candidate count
+    batch_hash = {
+        (r.a_id, r.b_id, r.jac)
+        for r in prefix_filter_jaccard_pairs(
+            docs, threshold=0.9, shingle=3, order="hash"
+        ).collect()
+    }
+    batch_df = {
+        (r.a_id, r.b_id, r.jac)
+        for r in prefix_filter_jaccard_pairs(
+            docs, threshold=0.9, shingle=3, order="df"
+        ).collect()
+    }
+
+    # brute force over the same shingle sets
+    t = docs.select("doc_id", shingles("text", n=3).alias("toks"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    jac = jaccard(F.col("a_toks"), F.col("b_toks"))
+    brute = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(jac >= 0.9)
+        .select("a_id", "b_id")
+        .collect()
+    }
+    assert brute, "fixture lost its planted near-dup pairs"
+
+    assert streamed == batch_hash == batch_df
+    assert {(p[0], p[1]) for p in streamed} == brute
+
+    # each pair claimed by exactly ONE batch, and the index really was
+    # built incrementally with cross-batch discoveries
+    raw = spark.read.parquet(f"{idx}/pairs").groupBy("a_id", "b_id").count()
+    assert raw.filter(F.col("count") > 1).count() == 0
+    n_batches = (
+        spark.read.parquet(f"{idx}/prefix").select("batch_id").distinct().count()
+    )
+    assert n_batches >= 3
+    first_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{idx}/prefix")
+        .filter(F.col("batch_id") == 0)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    cross = [p for p in streamed if (p[0] in first_ids) != (p[1] in first_ids)]
+    assert cross, "replay produced no cross-batch pairs; equivalence vacuous"
+
+
+def test_prefix_index_restart_and_scheme_freeze(spark, tmp_path):
+    docs = (
+        load_table(spark, _SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    replay = tmp_path / "replay"
+    docs.repartition(2).write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "prefix_idx")
+
+    def start(ckpt: str, **kw):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay))
+        )
+        return maintain_prefix_index(
+            stream, idx, str(tmp_path / ckpt), threshold=0.9, **kw
+        )
+
+    start("ckpt").awaitTermination()
+    before = sorted(
+        (r.a_id, r.b_id, r.jac) for r in exact_pairs(spark, idx).collect()
+    )
+    manifest = spark.read.json(f"{idx}/_scheme").collect()[0]
+    assert (manifest.kind, manifest.order, manifest.shingle) == (
+        "prefix", "hash", 3,
+    )
+
+    # same checkpoint: drained, nothing re-processed
+    start("ckpt").awaitTermination()
+    after = sorted(
+        (r.a_id, r.b_id, r.jac) for r in exact_pairs(spark, idx).collect()
+    )
+    assert after == before
+
+    # different scheme against the same out_dir → refuse
+    q = start("ckpt2", shingle=2)
+    with pytest.raises(Exception, match="versioned rebuild"):
+        q.awaitTermination()

@@ -754,10 +754,18 @@ DOCS = st.lists(
 )
 
 
-@given(docs=DOCS, thr=st.sampled_from([0.34, 0.5, 0.6, 0.75, 0.9, 1.0]))
+@given(
+    docs=DOCS,
+    thr=st.sampled_from([0.34, 0.5, 0.6, 0.75, 0.9, 1.0]),
+    order=st.sampled_from(["df", "hash"]),
+)
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_prefix_filter_join_lossless(spark, docs, thr):
+def test_prefix_filter_join_lossless(spark, docs, thr, order):
+    """Both canonical orders: "df" (rarest-first, the batch heuristic)
+    and "hash" (frozen, the incremental-index order) must return the
+    exact all-pairs answer — the pigeonhole lemma never cares which
+    fixed global order ranks the prefixes."""
     from spark_streaming_join_example_spark.operators.dedup import (
         prefix_filter_jaccard_pairs,
     )
@@ -766,7 +774,9 @@ def test_prefix_filter_join_lossless(spark, docs, thr):
     df = spark.createDataFrame(texts, "doc_id long, text string").repartition(3)
     got = {
         (r.a_id, r.b_id)
-        for r in prefix_filter_jaccard_pairs(df, threshold=thr).collect()
+        for r in prefix_filter_jaccard_pairs(
+            df, threshold=thr, order=order
+        ).collect()
     }
     sets = {i: set(toks) for i, toks in enumerate(docs)}
     want = set()

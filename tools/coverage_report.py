@@ -63,7 +63,7 @@ PYTEST_ONLY: dict[str, str] = {
     "S5": "sources/sinks.py::to_console",
     "S6": "every streaming equivalence test (run_to_memory)",
     "S7": "tests/test_streaming.py::test_restart_exactly_once / test_agg_state_survives_restart; mid-batch crash + mid-stream stop chaos tests (::test_midbatch_crash_exactly_once, ::test_stop_midstream_file_sink_exactly_once)",
-    "S8": "tests/test_streaming.py::test_foreach_batch_sink; custom two-phase-commit writer, batch+streaming (sources/audit_sink.py, tests/test_sources.py::test_audit_sink_*); streaming IVF index maintenance (streaming/vector_index.py); streaming MinHash near-dup signature index (streaming/neardup_index.py, tests/test_neardup_index.py)",
+    "S8": "tests/test_streaming.py::test_foreach_batch_sink; custom two-phase-commit writer, batch+streaming (sources/audit_sink.py, tests/test_sources.py::test_audit_sink_*); streaming IVF index maintenance (streaming/vector_index.py); streaming MinHash near-dup signature index (streaming/neardup_index.py, tests/test_neardup_index.py); streaming EXACT prefix-filter dedup index, frozen hash order (streaming/prefix_index.py, tests/test_prefix_index.py)",
     "S9": "replay harness (availableNow), rate test (processingTime)",
     "J1": "tests/test_streaming.py (inner + left-outer equivalence)",
     "J2": "tests/test_streaming.py (inner/outer/semi equivalence, plan audit)",

@@ -138,3 +138,59 @@ def test_prefix_index_restart_and_scheme_freeze(spark, tmp_path):
     q = start("ckpt2", shingle=2)
     with pytest.raises(Exception, match="versioned rebuild"):
         q.awaitTermination()
+
+
+def test_prefix_index_mid_batch_crash_recovery(spark, tmp_path):
+    """Crash-window chaos: a batch whose OUTPUT files landed but whose
+    checkpoint commit did not (foreachBatch is at-least-once) is
+    re-executed on restart — the per-batch_id overwrite must converge
+    to the exact same pair set, not double-claim pairs."""
+    import glob
+    import os as _os
+
+    docs = (
+        load_table(spark, _SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    replay = tmp_path / "replay"
+    docs.repartition(3).write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "prefix_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay))
+        )
+        return maintain_prefix_index(stream, idx, ckpt, threshold=0.9)
+
+    start().awaitTermination()
+    before = sorted(
+        (r.a_id, r.b_id, r.jac) for r in exact_pairs(spark, idx).collect()
+    )
+
+    # simulate the crash window: the last batch's sink output exists
+    # but its checkpoint commit is gone → the engine re-runs the batch
+    commits = sorted(
+        glob.glob(_os.path.join(ckpt, "commits", "[0-9]*")),
+        key=lambda p: int(_os.path.basename(p)),
+    )
+    assert len(commits) >= 2
+    _os.remove(commits[-1])
+    # the local-FS checkpoint keeps a .N.crc sidecar; the retried
+    # commit's rename fails if it survives the "crash"
+    crc = _os.path.join(
+        _os.path.dirname(commits[-1]), f".{_os.path.basename(commits[-1])}.crc"
+    )
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    start().awaitTermination()
+    after = sorted(
+        (r.a_id, r.b_id, r.jac) for r in exact_pairs(spark, idx).collect()
+    )
+    assert after == before
+    # the retried batch overwrote its own subtree: still one claim per pair
+    raw = spark.read.parquet(f"{idx}/pairs").groupBy("a_id", "b_id").count()
+    assert raw.filter(F.col("count") > 1).count() == 0

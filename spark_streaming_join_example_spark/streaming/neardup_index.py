@@ -75,10 +75,16 @@ def _verify_or_freeze_scheme(
     :class:`SchemeMismatch` naming both schemes — the fix is a
     versioned rebuild, mirroring how the IVF index freezes its
     quantizer (streaming/vector_index.py)."""
+    from pyspark.errors import AnalysisException
+
     path = f"{out_dir}/_scheme"
     try:
         existing = spark.read.json(path).collect()
-    except Exception:  # path absent → first batch freezes the scheme
+    except AnalysisException:
+        # path absent → first batch freezes the scheme.  ONLY the
+        # analysis-time missing-path error may take this branch: a
+        # transient read failure must surface, not silently overwrite
+        # a manifest that might disagree with the current scheme.
         spark.createDataFrame(
             [tuple(scheme[k] for k in sorted(scheme))],
             ", ".join(

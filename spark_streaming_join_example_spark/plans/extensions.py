@@ -422,6 +422,74 @@ def q_prefix_shingle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(d, threshold=0.9, shingle=3)
 
 
+@register(
+    "q_dedup_incoming",
+    tags=("X1", "X2", "J4"),
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 500
+), s AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END) AS toks
+  FROM w
+)
+SELECT c.doc_id AS corpus_id, i.doc_id AS incoming_id,
+       round(CAST(len(list_intersect(c.toks, i.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(c.toks || i.toks)) AS DOUBLE), 6) AS jac
+FROM s c JOIN s i ON c.doc_id < 400 AND i.doc_id >= 400
+WHERE CAST(len(list_intersect(c.toks, i.toks)) AS DOUBLE)
+      / CAST(len(list_distinct(c.toks || i.toks)) AS DOUBLE) >= 0.9
+""",
+)
+def q_dedup_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup, batch form: flag INCOMING documents
+    (doc_id ≥ 400) that near-duplicate an EXISTING corpus (doc_id <
+    400) at shingle-Jaccard ≥ 0.9 — the shard-vs-corpus step every
+    ingest pipeline runs, without ever re-joining the corpus against
+    itself.  This is exactly the per-batch step of the streaming exact
+    index (streaming/prefix_index.py) as a standalone oracle-checked
+    query: frozen hash-order prefixes on BOTH sides (corpus prefixes
+    must not depend on what arrives later — the incremental-index
+    invariant), prefix_candidate_join between the two prefix
+    relations, shared exact-Jaccard verify.  Lossless by the
+    order-agnostic pigeonhole lemma; the DuckDB oracle recomputes the
+    quadratic corpus×incoming join value-for-value.
+
+    Scale shape: at 100 TB the corpus prefix relation is a persisted
+    table (~(1−t)·|X|+1 rows per document); an incoming shard costs
+    one per-document window pass plus a scalar-token equi-join against
+    it — never corpus × corpus, never corpus × shard all-pairs."""
+    from ..operators.dedup import (
+        exact_jaccard_verify,
+        prefix_candidate_join,
+        prefix_rows,
+        shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    toks = d.select(
+        "doc_id", shingles("text", n=3).alias("toks")
+    ).localCheckpoint(eager=False)
+    corpus_p = prefix_rows(
+        toks.filter(F.col("doc_id") < 400), "doc_id", 0.9, order="hash"
+    )
+    incoming_p = prefix_rows(
+        toks.filter(F.col("doc_id") >= 400), "doc_id", 0.9, order="hash"
+    )
+    cand = prefix_candidate_join(incoming_p, corpus_p, "doc_id", 0.9)
+    # ids are disjoint with corpus < incoming, so the join's
+    # (least, greatest) normalization lands corpus on a_id
+    return exact_jaccard_verify(cand, toks, "doc_id", 0.9).select(
+        F.col("a_id").alias("corpus_id"),
+        F.col("b_id").alias("incoming_id"),
+        "jac",
+    )
+
+
 @register("q_minhash_neardup", tags=("X2",))
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded-LSH near-duplicate pairs over word 3-gram

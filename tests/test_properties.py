@@ -828,3 +828,48 @@ def test_prefix_filter_join_shingle_lossless(spark, docs, thr):
                 if jac >= thr:
                     want.add((i, j))
     assert got == want
+
+
+@given(docs=DOCS, thr=st.sampled_from([0.34, 0.6, 0.9, 1.0]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_incremental_join_lossless(spark, docs, thr):
+    """The ASYMMETRIC candidate stage (prefix_candidate_join between a
+    corpus and an incoming shard, frozen hash order — the incremental
+    index / q_dedup_incoming shape) must find exactly the cross pairs
+    the all-pairs answer contains: no within-side pairs, no misses.
+    The pigeonhole lemma is per-PAIR, so it survives the split as long
+    as both sides' prefixes use the same frozen global order."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.operators.dedup import (
+        distinct_tokens,
+        exact_jaccard_verify,
+        prefix_candidate_join,
+        prefix_rows,
+    )
+
+    texts = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string").repartition(3)
+    toks = df.select("doc_id", distinct_tokens("text").alias("toks"))
+    corpus = toks.filter(F.col("doc_id") % 2 == 0)
+    incoming = toks.filter(F.col("doc_id") % 2 == 1)
+    cand = prefix_candidate_join(
+        prefix_rows(incoming, "doc_id", thr, order="hash"),
+        prefix_rows(corpus, "doc_id", thr, order="hash"),
+        "doc_id",
+        thr,
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in exact_jaccard_verify(cand, toks, "doc_id", thr).collect()
+    }
+    sets = {i: set(toks_) for i, toks_ in enumerate(docs)}
+    want = set()
+    for i in sets:
+        for j in sets:
+            if i < j and (i % 2) != (j % 2):  # cross-side pairs only
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if jac >= thr:
+                    want.add((i, j))
+    assert got == want

@@ -820,3 +820,13 @@ def test_graph_shared_edge_build_is_value_identical(spark, sf_dir, qd):
         spark.catalog.clearCache()
     assert shared_kcore == base_kcore
     assert shared_pr == base_pr
+
+
+def test_dedup_incoming_plan_is_equijoin(spark, sf_dir, qd):
+    """q_dedup_incoming's candidate stage must plan as an EQUI-join on
+    the prefix token (hash/sort-merge with residual filters) — a
+    nested-loop or cartesian here would mean the prefix blocking
+    silently degraded to all-pairs."""
+    p = plan_of(qd["q_dedup_incoming"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -206,6 +206,37 @@ def maintain_neardup_index(
     )
 
 
+def compact_pairs(
+    spark: SparkSession, out_dir: str, dest: str, n_files: int = 1
+) -> int:
+    """The OPTIMIZE pass for a text index's accumulated PAIRS output
+    (works for both the MinHash and the prefix index — same layout).
+
+    Streaming ingestion necessarily lands one small file set per
+    micro-batch under ``pairs/batch_id=N``; after N batches every
+    consumer pays N file-opens.  This rewrites the claim-once pair set
+    (defensively deduped, exactly what the readers return) as one
+    consolidated parquet directory under ``dest`` — the SOURCE index is
+    untouched (separate-dir pattern, mirroring
+    vector_index.compact_index: a crash mid-compaction leaves a
+    partial ``dest`` and an intact source; re-run to completion).
+    Readers are layout-agnostic: ``spark.read.parquet(dest)`` returns
+    exactly what :func:`neardup_pairs` / ``prefix_index.exact_pairs``
+    return from the live index at compaction time.  Run it offline on
+    closed batches; the live index keeps appending and the next
+    compaction folds the delta.  ``n_files`` sizes the consolidated
+    layout (default 1 — pair sets are output-cardinality, tiny next to
+    the corpus; size it up when a pair file would exceed a block).
+    Returns the pair count written."""
+    pairs = (
+        spark.read.parquet(f"{out_dir}/pairs")
+        .select("a_id", "b_id", "jac")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    pairs.repartition(n_files).write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest).count()
+
+
 def neardup_pairs(spark: SparkSession, out_dir: str) -> DataFrame:
     """The accumulated verified near-dup pairs (a_id, b_id, jac).
 

@@ -194,3 +194,44 @@ def test_prefix_index_mid_batch_crash_recovery(spark, tmp_path):
     # the retried batch overwrote its own subtree: still one claim per pair
     raw = spark.read.parquet(f"{idx}/pairs").groupBy("a_id", "b_id").count()
     assert raw.filter(F.col("count") > 1).count() == 0
+
+
+def test_compact_pairs_preserves_output(spark, tmp_path):
+    """The pairs OPTIMIZE pass: the consolidated dir returns exactly
+    the live readers' pair set, from far fewer files."""
+    import glob
+    import os as _os
+
+    from spark_streaming_join_example_spark.streaming.neardup_index import (
+        compact_pairs,
+    )
+
+    docs = (
+        load_table(spark, _SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    replay = tmp_path / "replay"
+    docs.repartition(3).write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "prefix_idx")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    maintain_prefix_index(
+        stream, idx, str(tmp_path / "ckpt"), threshold=0.9
+    ).awaitTermination()
+    live = {(r.a_id, r.b_id, r.jac) for r in exact_pairs(spark, idx).collect()}
+    assert live
+
+    dest = str(tmp_path / "pairs_compacted")
+    n = compact_pairs(spark, idx, dest)
+    compacted = {
+        (r.a_id, r.b_id, r.jac) for r in spark.read.parquet(dest).collect()
+    }
+    assert compacted == live and n == len(live)
+    # actually consolidated: fewer data files than live batch dirs
+    live_files = glob.glob(_os.path.join(idx, "pairs", "*", "*.parquet"))
+    dest_files = glob.glob(_os.path.join(dest, "*.parquet"))
+    assert len(dest_files) < len(live_files)

@@ -38,6 +38,17 @@ collisions, not corpus size × batch size.  The toks store is the heavy
 side (it carries the shingle sets the verify needs); production
 variants can re-derive shingles from the raw corpus at verify time
 instead of storing them — same join shape, one more text scan.
+
+File-count hygiene at long horizons: each micro-batch adds one file
+set per subtree, and the candidate join re-opens every accumulated
+file each batch.  ``compact_pairs`` below consolidates the OUTPUT
+(the hot consumer path) with the separate-dir pattern; the
+toks/bands (or prefix) stores compact the same way on a schedule —
+write the union of CLOSED batches (≤ last committed) to a versioned
+dir, then point maintenance at it via the manifest.  The semantics
+absorb a crash window that leaves both copies visible: candidates are
+``distinct()``-ed and readers dropDuplicate, so transient duplicate
+index rows cost work, never correctness.
 """
 
 from __future__ import annotations

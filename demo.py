@@ -106,9 +106,37 @@ def main() -> None:
     with open(f"{work}/audit/batch-0.json") as fh:
         print("   audit manifest:", json.load(fh))
 
+    print("\n== 6. streaming EXACT dedup: ingest documents incrementally,")
+    print("      emit provably-complete near-dup pairs as they arrive ==")
+    from spark_streaming_join_example_spark.streaming.prefix_index import (
+        exact_pairs,
+        maintain_prefix_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{work}/docs_replay")
+    doc_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/docs_replay")
+    )
+    maintain_prefix_index(
+        doc_stream, f"{work}/prefix_idx", f"{work}/ckpt6", threshold=0.9
+    ).awaitTermination()
+    pairs = exact_pairs(spark, f"{work}/prefix_idx")
+    print(
+        f"   {pairs.count()} exact shingle-Jaccard >= 0.9 pairs found "
+        "incrementally (frozen hash-order prefixes; lossless by the "
+        "pigeonhole lemma)"
+    )
+    print("   sample:", [
+        (r.a_id, r.b_id, r.jac) for r in pairs.orderBy("a_id").limit(3).collect()
+    ])
+
     print("done — every result above is watermark-correct and")
     print("equivalent to the batch query over the same prefix")
-    print("(proven in tests/test_streaming.py).")
+    print("(proven in tests/test_streaming.py,")
+    print(" tests/test_prefix_index.py).")
 
 
 if __name__ == "__main__":

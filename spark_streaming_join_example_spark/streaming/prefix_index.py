@@ -62,7 +62,7 @@ from ..operators.dedup import (
     prefix_rows,
     shingles,
 )
-from .neardup_index import _verify_or_freeze_scheme
+from .neardup_index import SchemeMismatch, _verify_or_freeze_scheme
 
 
 def maintain_prefix_index(
@@ -135,6 +135,105 @@ def maintain_prefix_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def lookup_near_duplicates(
+    spark: SparkSession,
+    out_dir: str,
+    docs: DataFrame,
+    threshold: float | None = None,
+    id_col: str = "q_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Read-only near-dup lookup: flag query documents against the
+    index WITHOUT ingesting them — the dedup-check-before-ingest step
+    (admit a document only if nothing in the corpus near-duplicates
+    it).  Returns (q_id, doc_id, jac); the index is untouched.
+
+    The unit scheme (shingle width, canonical order) comes from the
+    index's frozen ``_scheme`` manifest, so a caller cannot
+    accidentally query with mismatched parameters.  ``threshold``
+    defaults to the manifest's; a HIGHER threshold is allowed (the
+    stored prefixes were kept for the lower bound, so they are a
+    superset of what a stricter query needs — still lossless), a lower
+    one raises: the stored prefixes would be too short and silently
+    miss pairs.
+
+    Scale shape: same as one maintenance batch, minus all writes —
+    per-document window pass over the query batch, scalar-token
+    equi-join against the accumulated prefix store, exact verify
+    against the toks store."""
+    manifest = spark.read.json(f"{out_dir}/_scheme").collect()[0].asDict()
+    if manifest.get("kind") != "prefix":
+        raise SchemeMismatch(
+            f"index at {out_dir} has kind={manifest.get('kind')!r}; "
+            "lookup_near_duplicates reads prefix indexes"
+        )
+    t_index = float(manifest["threshold"])
+    t = t_index if threshold is None else float(threshold)
+    if t < t_index:
+        raise ValueError(
+            f"lookup threshold {t} is below the index's frozen threshold "
+            f"{t_index}: stored prefixes are too short for a looser query "
+            "(rebuild the index at the lower threshold instead)"
+        )
+    shingle = int(manifest["shingle"])
+    unit = (
+        shingles(text_col, n=shingle)
+        if shingle > 1
+        else distinct_tokens(text_col)
+    )
+    q_toks = docs.select(F.col(id_col), unit.alias("toks")).localCheckpoint(
+        eager=False
+    )
+    q_prefix = prefix_rows(q_toks, id_col, t, order="hash")
+    idx_prefix = spark.read.parquet(f"{out_dir}/prefix")
+    a = q_prefix.select(F.col(id_col).alias("q_id"), "tok", F.col("n").alias("_nq"))
+    b = idx_prefix.select(F.col("doc_id"), "tok", F.col("n").alias("_nd"))
+    cand = (
+        a.join(
+            b,
+            (a["tok"] == b["tok"])
+            & (
+                F.least("_nq", "_nd").cast("double")
+                >= t * F.greatest("_nq", "_nd").cast("double")
+            ),
+        )
+        .select("q_id", "doc_id")
+        .distinct()
+    )
+    idx_toks = spark.read.parquet(f"{out_dir}/toks")
+    qa = q_toks.select(
+        F.col(id_col).alias("q_id"),
+        F.col("toks").alias("_qt"),
+        F.size("toks").alias("_nq"),
+    )
+    db = idx_toks.select(
+        "doc_id", F.col("toks").alias("_dt"), F.size("toks").alias("_nd")
+    )
+    stats = (
+        cand.join(qa, "q_id")
+        .join(db, "doc_id")
+        .select(
+            "q_id",
+            "doc_id",
+            "_nq",
+            "_nd",
+            F.size(F.array_intersect("_qt", "_dt")).alias("_ni"),
+        )
+        # same one-intersect-per-candidate staging as
+        # operators/dedup.exact_jaccard_verify (see its docstring)
+        .localCheckpoint(eager=False)
+    )
+    return stats.select(
+        "q_id",
+        "doc_id",
+        F.round(
+            F.col("_ni").cast("double")
+            / (F.col("_nq") + F.col("_nd") - F.col("_ni")).cast("double"),
+            6,
+        ).alias("jac"),
+    ).filter(F.col("jac") >= t)
 
 
 def exact_pairs(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -196,6 +196,70 @@ def test_prefix_index_mid_batch_crash_recovery(spark, tmp_path):
     assert raw.filter(F.col("count") > 1).count() == 0
 
 
+def test_lookup_near_duplicates_without_ingest(spark, tmp_path):
+    """Read-only lookup: query documents checked against the index
+    find EXACTLY the brute-force cross pairs (lossless — this is the
+    dedup-check-before-ingest path), the index is unchanged, and a
+    threshold below the frozen one refuses."""
+    from spark_streaming_join_example_spark.streaming.prefix_index import (
+        lookup_near_duplicates,
+    )
+
+    all_docs = load_table(spark, _SF_DIR, "documents").select("doc_id", "text")
+    corpus = all_docs.filter(F.col("doc_id") < 400)
+    queries = all_docs.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("q_id"), "text"
+    )
+
+    replay = tmp_path / "replay"
+    corpus.repartition(2).write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "prefix_idx")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    maintain_prefix_index(
+        stream, idx, str(tmp_path / "ckpt"), threshold=0.9
+    ).awaitTermination()
+    pairs_before = sorted(
+        (r.a_id, r.b_id) for r in exact_pairs(spark, idx).collect()
+    )
+
+    got = {
+        (r.q_id, r.doc_id, r.jac)
+        for r in lookup_near_duplicates(spark, idx, queries).collect()
+    }
+
+    # brute force: every (query, corpus) shingle-Jaccard >= 0.9 pair
+    t = all_docs.select("doc_id", shingles("text", n=3).alias("toks"))
+    a = t.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("q_id"), F.col("toks").alias("a_toks")
+    )
+    b = t.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("d_id"), F.col("toks").alias("b_toks")
+    )
+    jac = jaccard(F.col("a_toks"), F.col("b_toks"))
+    brute = {
+        (r.q_id, r.d_id)
+        for r in a.crossJoin(b).filter(jac >= 0.9).select("q_id", "d_id").collect()
+    }
+    assert brute, "fixture has no cross-boundary planted pairs"
+    assert {(q, d) for q, d, _ in got} == brute
+
+    # read-only: the index's pair set is untouched
+    pairs_after = sorted(
+        (r.a_id, r.b_id) for r in exact_pairs(spark, idx).collect()
+    )
+    assert pairs_after == pairs_before
+
+    # stricter threshold allowed (subset); looser refused
+    strict = lookup_near_duplicates(spark, idx, queries, threshold=0.95)
+    assert {(r.q_id, r.doc_id) for r in strict.collect()} <= brute
+    with pytest.raises(ValueError, match="below the index's frozen"):
+        lookup_near_duplicates(spark, idx, queries, threshold=0.5)
+
+
 def test_compact_pairs_preserves_output(spark, tmp_path):
     """The pairs OPTIMIZE pass: the consolidated dir returns exactly
     the live readers' pair set, from far fewer files."""

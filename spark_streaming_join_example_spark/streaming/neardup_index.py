@@ -217,6 +217,111 @@ def maintain_neardup_index(
     )
 
 
+def _cross_verify(
+    cand: DataFrame,
+    q_toks: DataFrame,
+    idx_toks: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify of (q_id, doc_id) candidates where the two
+    sides live in DIFFERENT relations (query batch vs index store) —
+    the lookup twin of operators/dedup.exact_jaccard_verify, same
+    one-intersect-per-candidate staging (see its docstring)."""
+    qa = q_toks.select(
+        F.col(q_toks.columns[0]).alias("q_id"),
+        F.col("toks").alias("_qt"),
+        F.size("toks").alias("_nq"),
+    )
+    db = idx_toks.select(
+        "doc_id", F.col("toks").alias("_dt"), F.size("toks").alias("_nd")
+    )
+    stats = (
+        cand.join(qa, "q_id")
+        .join(db, "doc_id")
+        .select(
+            "q_id",
+            "doc_id",
+            "_nq",
+            "_nd",
+            F.size(F.array_intersect("_qt", "_dt")).alias("_ni"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return stats.select(
+        "q_id",
+        "doc_id",
+        F.round(
+            F.col("_ni").cast("double")
+            / (F.col("_nq") + F.col("_nd") - F.col("_ni")).cast("double"),
+            6,
+        ).alias("jac"),
+    ).filter(F.col("jac") >= threshold)
+
+
+def read_scheme(spark: SparkSession, out_dir: str, expect_kind: str) -> dict:
+    """The index's frozen scheme manifest, checked for the right index
+    kind — lookups derive their unit scheme from here so a caller
+    cannot query with mismatched parameters."""
+    manifest = spark.read.json(f"{out_dir}/_scheme").collect()[0].asDict()
+    if manifest.get("kind") != expect_kind:
+        raise SchemeMismatch(
+            f"index at {out_dir} has kind={manifest.get('kind')!r}; "
+            f"expected a {expect_kind!r} index"
+        )
+    return manifest
+
+
+def lookup_near_duplicates(
+    spark: SparkSession,
+    out_dir: str,
+    docs: DataFrame,
+    threshold: float | None = None,
+    id_col: str = "q_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Read-only near-dup lookup against a MINHASH index: flag query
+    documents WITHOUT ingesting them, (q_id, doc_id, jac).  Signature
+    and band scheme come from the frozen manifest; ``threshold``
+    defaults to the index's and may only be raised — the band scheme's
+    detection S-curve was sized for the frozen threshold, so a looser
+    query would silently run below its designed recall (the exact
+    twin, prefix_index.lookup_near_duplicates, has the same rule for a
+    different reason).  Verify is exact, so precision is 1.0 either
+    way; per-pair recall at s ≥ 0.9 under the 128/16 scheme is
+    ≈ 0.9999."""
+    m = read_scheme(spark, out_dir, "minhash")
+    t_index = float(m["threshold"])
+    t = t_index if threshold is None else float(threshold)
+    if t < t_index:
+        raise ValueError(
+            f"lookup threshold {t} is below the index's frozen threshold "
+            f"{t_index}: the band scheme's recall was sized for the frozen "
+            "threshold (rebuild the index for a looser one)"
+        )
+    shingle, num_hashes, bands = (
+        int(m["shingle"]), int(m["num_hashes"]), int(m["bands"]),
+    )
+    unit = (
+        shingles(text_col, n=shingle)
+        if shingle > 1
+        else distinct_tokens(text_col)
+    )
+    q_toks = docs.select(F.col(id_col), unit.alias("toks")).localCheckpoint(
+        eager=False
+    )
+    q_sig = minhash_signatures(q_toks, id_col, F.col("toks"), num_hashes)
+    q_banded = banded_signatures(q_sig, id_col, num_hashes, bands)
+    idx_banded = spark.read.parquet(f"{out_dir}/bands")
+    cand = (
+        q_banded.select(F.col(id_col).alias("q_id"), "band", "bucket")
+        .join(idx_banded.select("doc_id", "band", "bucket"), ["band", "bucket"])
+        .select("q_id", "doc_id")
+        .distinct()
+    )
+    idx_toks = spark.read.parquet(f"{out_dir}/toks")
+    return _cross_verify(cand, q_toks, idx_toks, t)
+
+
 def compact_pairs(
     spark: SparkSession, out_dir: str, dest: str, n_files: int = 1
 ) -> int:

@@ -62,7 +62,7 @@ from ..operators.dedup import (
     prefix_rows,
     shingles,
 )
-from .neardup_index import SchemeMismatch, _verify_or_freeze_scheme
+from .neardup_index import _verify_or_freeze_scheme
 
 
 def maintain_prefix_index(
@@ -163,12 +163,9 @@ def lookup_near_duplicates(
     per-document window pass over the query batch, scalar-token
     equi-join against the accumulated prefix store, exact verify
     against the toks store."""
-    manifest = spark.read.json(f"{out_dir}/_scheme").collect()[0].asDict()
-    if manifest.get("kind") != "prefix":
-        raise SchemeMismatch(
-            f"index at {out_dir} has kind={manifest.get('kind')!r}; "
-            "lookup_near_duplicates reads prefix indexes"
-        )
+    from .neardup_index import _cross_verify, read_scheme
+
+    manifest = read_scheme(spark, out_dir, "prefix")
     t_index = float(manifest["threshold"])
     t = t_index if threshold is None else float(threshold)
     if t < t_index:
@@ -203,37 +200,7 @@ def lookup_near_duplicates(
         .distinct()
     )
     idx_toks = spark.read.parquet(f"{out_dir}/toks")
-    qa = q_toks.select(
-        F.col(id_col).alias("q_id"),
-        F.col("toks").alias("_qt"),
-        F.size("toks").alias("_nq"),
-    )
-    db = idx_toks.select(
-        "doc_id", F.col("toks").alias("_dt"), F.size("toks").alias("_nd")
-    )
-    stats = (
-        cand.join(qa, "q_id")
-        .join(db, "doc_id")
-        .select(
-            "q_id",
-            "doc_id",
-            "_nq",
-            "_nd",
-            F.size(F.array_intersect("_qt", "_dt")).alias("_ni"),
-        )
-        # same one-intersect-per-candidate staging as
-        # operators/dedup.exact_jaccard_verify (see its docstring)
-        .localCheckpoint(eager=False)
-    )
-    return stats.select(
-        "q_id",
-        "doc_id",
-        F.round(
-            F.col("_ni").cast("double")
-            / (F.col("_nq") + F.col("_nd") - F.col("_ni")).cast("double"),
-            6,
-        ).alias("jac"),
-    ).filter(F.col("jac") >= t)
+    return _cross_verify(cand, q_toks, idx_toks, t)
 
 
 def exact_pairs(spark: SparkSession, out_dir: str) -> DataFrame:

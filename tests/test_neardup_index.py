@@ -130,6 +130,68 @@ def test_streaming_neardup_restart_is_idempotent(spark, tmp_path):
     assert batches_after == batches_before
 
 
+def test_lookup_near_duplicates_minhash(spark, tmp_path):
+    """Read-only MinHash lookup: query docs checked against the index
+    find the planted cross pairs (precision 1.0 — exact verify;
+    recall pinned ≥ 0.95 against brute force), the index is unchanged,
+    and a threshold below the frozen one refuses."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from spark_streaming_join_example_spark.operators.dedup import (
+        jaccard,
+        shingles,
+    )
+    from spark_streaming_join_example_spark.streaming.neardup_index import (
+        lookup_near_duplicates,
+    )
+
+    all_docs = load_table(spark, _SF_DIR, "documents").select("doc_id", "text")
+    corpus = all_docs.filter(F.col("doc_id") < 400)
+    queries = all_docs.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("q_id"), "text"
+    )
+    replay = tmp_path / "replay"
+    corpus.repartition(2).write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "mh_idx")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    maintain_neardup_index(
+        stream, idx, str(tmp_path / "ckpt"), threshold=0.9
+    ).awaitTermination()
+    pairs_before = sorted(
+        (r.a_id, r.b_id) for r in neardup_pairs(spark, idx).collect()
+    )
+
+    got = {
+        (r.q_id, r.doc_id)
+        for r in lookup_near_duplicates(spark, idx, queries).collect()
+    }
+    t = all_docs.select("doc_id", shingles("text", n=3).alias("toks"))
+    a = t.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("q_id"), F.col("toks").alias("a_toks")
+    )
+    b = t.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("d_id"), F.col("toks").alias("b_toks")
+    )
+    jac = jaccard(F.col("a_toks"), F.col("b_toks"))
+    brute = {
+        (r.q_id, r.d_id)
+        for r in a.crossJoin(b).filter(jac >= 0.9).select("q_id", "d_id").collect()
+    }
+    assert brute, "fixture has no cross-boundary planted pairs"
+    assert got <= brute  # exact verify → precision 1.0
+    assert len(got) / len(brute) >= 0.95
+    assert sorted(
+        (r.a_id, r.b_id) for r in neardup_pairs(spark, idx).collect()
+    ) == pairs_before
+    with _pytest.raises(ValueError, match="below the index's frozen"):
+        lookup_near_duplicates(spark, idx, queries, threshold=0.5)
+
+
 def test_scheme_mismatch_refuses_to_run(spark, tmp_path):
     """The band scheme is FROZEN per index (module docstring): r9
     ADVICE found nothing enforced it — a restart with different

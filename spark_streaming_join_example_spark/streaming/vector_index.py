@@ -41,6 +41,57 @@ def train_quantizer(corpus: DataFrame, n_cells: int = 16, seed: int = 42):
     return _kmeans_centroids(mat, n_cells, seed=seed)
 
 
+def _verify_or_freeze_quantizer(
+    spark: SparkSession, out_dir: str, centroids
+) -> None:
+    """Enforce the FROZEN-quantizer discipline the module docstring
+    promises (r9, mirroring the text indexes' ``_scheme`` manifests):
+    the first batch persists the centroid matrix under
+    ``out_dir/_quantizer``; every subsequent batch verifies the
+    caller's centroids against it EXACTLY (parquet doubles round-trip
+    bit-exactly) and refuses on mismatch — restarting maintenance with
+    retrained centroids would silently assign new batches to
+    incomparable cells (reads probe the wrong partitions: false
+    negatives, not errors)."""
+    from pyspark.errors import AnalysisException
+
+    path = f"{out_dir}/_quantizer"
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    try:
+        existing = spark.read.parquet(path).collect()
+    except AnalysisException:  # absent → freeze
+        spark.createDataFrame(
+            rows, "cell int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        return
+    found = sorted((r.cell, tuple(r.centroid)) for r in existing)
+    want = sorted((i, tuple(v)) for i, v in rows)
+    if found != want:
+        raise ValueError(
+            f"vector index at {out_dir} was built with a different "
+            f"quantizer ({len(found)} cells) than the one passed "
+            f"({len(want)} cells, or same count with different "
+            "centroids); cell assignments are not comparable across "
+            "quantizers — rebuild under a new out_dir (versioned "
+            "rebuild), or load the frozen one with load_quantizer()"
+        )
+
+
+def load_quantizer(spark: SparkSession, out_dir: str):
+    """The index's frozen centroid matrix (what knn_query_index and a
+    maintenance restart should use), as a float64 numpy matrix in cell
+    order — the same type train_quantizer returns."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{out_dir}/_quantizer").collect()
+    return np.array(
+        [list(r.centroid) for r in sorted(rows, key=lambda r: r.cell)],
+        dtype=np.float64,
+    )
+
+
 def maintain_vector_index(
     stream: DataFrame,
     centroids,
@@ -49,12 +100,15 @@ def maintain_vector_index(
 ):
     """Start the index-maintenance query: assign each streamed vector
     to its nearest cell and append it to the cell-partitioned index,
-    exactly-once via per-batch_id idempotent writes."""
+    exactly-once via per-batch_id idempotent writes.  The first batch
+    freezes the quantizer under ``out_dir/_quantizer``; restarts must
+    pass the same centroids (or ``load_quantizer(out_dir)``)."""
     spark = stream.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
     assigned = _assign_cells(stream, bc, 1)
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
+        _verify_or_freeze_quantizer(batch_df.sparkSession, out_dir, centroids)
         (
             batch_df.write.mode("overwrite")
             .partitionBy("cell")

@@ -2014,3 +2014,44 @@ def test_streaming_vector_index_equivalence(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [cell" in plan.replace(
         "PartitionFilters: [isnotnull(cell", "PartitionFilters: [cell"
     ) or "cell#" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_vector_index_quantizer_freeze(spark, sf_dir, tmp_path):
+    """r9: the IVF quantizer is FROZEN in the index itself (the same
+    manifest discipline as the text indexes' _scheme): a maintenance
+    restart with retrained centroids refuses with the versioned-rebuild
+    hint, and load_quantizer returns exactly the frozen matrix."""
+    import pytest as _pytest
+
+    from spark_streaming_join_example_spark.streaming.vector_index import (
+        load_quantizer,
+        maintain_vector_index,
+        train_quantizer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = train_quantizer(emb, n_cells=8)
+    replay = tmp_path / "replay"
+    emb.write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "idx")
+
+    def start(ckpt, centroids):
+        stream = spark.readStream.schema(emb.schema).parquet(str(replay))
+        return maintain_vector_index(
+            stream, centroids, idx, str(tmp_path / ckpt)
+        )
+
+    start("ck1", cent).awaitTermination()
+    frozen = load_quantizer(spark, idx)
+    assert [[float(x) for x in c] for c in cent] == [
+        list(c) for c in frozen
+    ]
+
+    # a DIFFERENT quantizer against the same index dir → refuse
+    other = train_quantizer(emb, n_cells=8, seed=7)
+    q = start("ck2", other)
+    with _pytest.raises(Exception, match="versioned"):
+        q.awaitTermination()
+
+    # the frozen one (round-tripped through load_quantizer) restarts fine
+    start("ck3", frozen).awaitTermination()

@@ -41,6 +41,15 @@ Equivalence pinned by tests/test_prefix_index.py: streamed pairs ==
 the batch prefix join (hash order) == the batch prefix join (df order)
 == brute force, on the drained corpus.
 
+Beyond maintenance, the module completes the index API:
+``exact_pairs`` (read the accumulated output),
+``neardup_index.compact_pairs`` (OPTIMIZE — shared layout), and
+``lookup_near_duplicates`` (read-only dedup-check-before-ingest: flag
+query documents against the index without writing anything; the unit
+scheme comes from the frozen manifest, and only thresholds ≥ the
+frozen one are accepted — the stored prefixes are exactly long enough
+for the frozen bound).
+
 At 100 TB: per-batch work is one shingle+window pass over the batch
 (per-document window, no global pass — that is what the frozen order
 buys) plus an equi-join of the batch's prefix rows against the

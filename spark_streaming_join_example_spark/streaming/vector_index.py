@@ -5,7 +5,12 @@ The production retrieval-pipeline shape: the coarse quantizer is
 trained OFFLINE on a bounded corpus sample and then FROZEN (FAISS
 practice — a quantizer change is a versioned index rebuild, never an
 in-place upsert, because cell assignment must stay consistent across
-every batch ever written).  Each micro-batch then runs the linear
+every batch ever written).  Since r9 the freeze is ENFORCED, not
+conventional: the first batch persists the centroid matrix under
+``out_dir/_quantizer`` and every batch verifies the caller's
+centroids against it exactly (mismatch → refuse with the
+versioned-rebuild hint); ``load_quantizer`` hands restarts and
+queries the frozen matrix.  Each micro-batch then runs the linear
 cell-assignment pass against the broadcast centroids and lands under
 ``batch_id=N/cell=C/`` — idempotent per batch_id (foreachBatch is
 at-least-once; a retried batch overwrites its own subtree), and

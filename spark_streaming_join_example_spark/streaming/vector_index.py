@@ -149,6 +149,8 @@ def compact_index(
     One hash exchange on cell puts each cell's rows in exactly one
     write task → exactly one file per cell; at 100 TB shard hot cells
     instead by repartitioning on (cell, pmod(vec_id, shards))."""
+    from pyspark.errors import AnalysisException
+
     idx = spark.read.parquet(index_dir).select("vec_id", "cell", "embedding")
     n = spark.sparkContext.defaultParallelism
     (
@@ -157,6 +159,18 @@ def compact_index(
         .partitionBy("cell")
         .parquet(out_dir)
     )
+    # the compacted snapshot is self-contained: carry the frozen
+    # quantizer along so load_quantizer/knn_query_index work against
+    # either directory (older indexes without a manifest stay readable)
+    try:
+        (
+            spark.read.parquet(f"{index_dir}/_quantizer")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/_quantizer")
+        )
+    except AnalysisException:
+        pass
 
 
 def knn_query_index(

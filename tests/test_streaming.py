@@ -1989,6 +1989,14 @@ def test_streaming_vector_index_equivalence(spark, sf_dir, tmp_path):
 
     idx_compact = str(tmp_path / "idx_compact")
     compact_index(spark, idx_stream, idx_compact)
+    # the snapshot carries the frozen quantizer (self-contained)
+    from spark_streaming_join_example_spark.streaming.vector_index import (
+        load_quantizer,
+    )
+
+    assert [list(c) for c in load_quantizer(spark, idx_compact)] == [
+        [float(x) for x in c] for c in cent
+    ]
     import glob as _glob
 
     for cdir in _glob.glob(idx_compact + "/cell=*"):

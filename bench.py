@@ -212,6 +212,7 @@ def main() -> None:
             time_heavy(name, clear_between=True)
 
     shared_names = [n for n in heavy_names if n in graph_shared]
+    graph_edge_build = None
     if shared_names:
         from spark_streaming_join_example_spark.plans import copurchase
 
@@ -222,9 +223,17 @@ def main() -> None:
             t0 = time.perf_counter()
             edges = copurchase.copurchase_edges(spark, sf_dir)
             edges.count()  # materialize the shared persist once
-            heavy["graph_edge_build"] = round(time.perf_counter() - t0, 4)
+            # r10 advisor fix: reported under its OWN top-level key,
+            # not as a pseudo-entry inside the per-query heavy map —
+            # it is a build step, not a query, and must not occupy a
+            # heavy_worst5 slot.  Shared-mode kernels are tagged in
+            # heavy_spread (third element "shared_edges") so naive
+            # cross-round heavy diffs can't silently compare a
+            # pre-cached-edge number against a cold one (≤ r8).
+            graph_edge_build = round(time.perf_counter() - t0, 4)
             for name in shared_names:
                 time_heavy(name, clear_between=False)
+                heavy_spread[name] = heavy_spread[name] + ["shared_edges"]
         finally:
             os.environ.pop("SPARK_GRAFT_SHARE_EDGES", None)
             copurchase._MEMO.clear()
@@ -260,6 +269,7 @@ def main() -> None:
         "heavy_spread": heavy_spread,
         "heavy_runs": n_heavy_runs,
         "graph_shared_edges": sorted(shared_names),
+        "graph_edge_build": graph_edge_build,
         "streaming": streaming,
         "sf": sf,
     }
@@ -362,6 +372,7 @@ def _emit(out: dict) -> None:
             "drift_cause",
             "recent_totals",
             "skipped_unparseable",
+            "graph_edge_build",
         )
         if k in out
     }

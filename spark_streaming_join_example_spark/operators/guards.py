@@ -34,10 +34,28 @@ from pyspark.sql import DataFrame
 class AllPairsBoundExceeded(ValueError):
     """An all-pairs baseline was invoked above its documented bound.
 
-    With the lazy guard the error surfaces at execution time as Spark's
-    ``SparkRuntimeException`` (``assert_true``) carrying this class's
-    name and message text; the class itself is kept for eager callers
-    (``check_now``) and as the greppable contract."""
+    EXCEPTION-TYPE CONTRACT (r10, advisor request): with the lazy
+    guard the violation surfaces at EXECUTION time as Spark's
+    ``SparkRuntimeException`` (from ``assert_true``) whose message
+    CONTAINS this class's name and full text — a bare
+    ``except AllPairsBoundExceeded`` around ``.collect()`` will NOT
+    catch it.  Catch broadly and classify with
+    :func:`is_allpairs_bound_error`, or use :func:`check_now` when you
+    want a real Python-side ``AllPairsBoundExceeded`` at build time.
+    The class itself is raised only by ``check_now`` and kept as the
+    greppable contract."""
+
+
+def is_allpairs_bound_error(exc: BaseException) -> bool:
+    """True if ``exc`` is an all-pairs bound violation in EITHER form:
+    the eager ``AllPairsBoundExceeded`` from :func:`check_now`, or the
+    execution-time ``SparkRuntimeException`` the lazy guard's
+    ``assert_true`` raises (identified by the class name embedded in
+    the guard message).  This is the supported way to catch the lazy
+    guard — see :class:`AllPairsBoundExceeded`'s contract note."""
+    return isinstance(exc, AllPairsBoundExceeded) or (
+        "AllPairsBoundExceeded" in str(exc)
+    )
 
 
 def assert_allpairs_bounded(
@@ -49,7 +67,19 @@ def assert_allpairs_bounded(
     more than ``max_rows`` rows the job fails with a message naming the
     sub-quadratic alternative (``scale_path``) before the downstream
     all-pairs join runs; otherwise the guard is one broadcast row and
-    the output is value-identical to ``df``."""
+    the output is value-identical to ``df``.
+
+    COST NOTE (advisor, r10): the guard's count aggregate is a SECOND
+    subtree over ``df``, so every action on the returned frame scans
+    the guarded input twice (the count side is map-side-partial — one
+    long per task — but the scan itself is not shared).  That is the
+    deliberate price of an unprunable in-plan check on an ORACLE
+    baseline whose input is bounded by construction; if the input is
+    expensive to produce, persist/localCheckpoint it BEFORE guarding so
+    both subtrees read the materialized form, or use :func:`check_now`
+    which scans once, eagerly.  Violations surface as
+    ``SparkRuntimeException`` — classify with
+    :func:`is_allpairs_bound_error` (see the class docstring)."""
     msg = F.concat(
         F.lit(
             f"AllPairsBoundExceeded: {what}: input has "

@@ -91,11 +91,18 @@ def _verify_or_freeze_scheme(
     path = f"{out_dir}/_scheme"
     try:
         existing = spark.read.json(path).collect()
-    except AnalysisException:
-        # path absent → first batch freezes the scheme.  ONLY the
-        # analysis-time missing-path error may take this branch: a
-        # transient read failure must surface, not silently overwrite
-        # a manifest that might disagree with the current scheme.
+    except AnalysisException as e:
+        # ONLY the missing-path analysis error may take the freeze
+        # branch.  Any OTHER AnalysisException — e.g. a crashed first
+        # write leaving a present-but-empty ``_scheme`` dir, which
+        # surfaces as UNABLE_TO_INFER_SCHEMA — must re-raise: the
+        # on-disk manifest state is indeterminate and silently
+        # re-freezing with the CALLER's scheme could legitimize an
+        # index whose data was written under a different one.  (r9
+        # matched any AnalysisException here; r10 advisor fix.)
+        if e.getCondition() != "PATH_NOT_FOUND":
+            raise
+        # path absent → first batch freezes the scheme.
         spark.createDataFrame(
             [tuple(scheme[k] for k in sorted(scheme))],
             ", ".join(
@@ -311,14 +318,23 @@ def lookup_near_duplicates(
     )
     q_sig = minhash_signatures(q_toks, id_col, F.col("toks"), num_hashes)
     q_banded = banded_signatures(q_sig, id_col, num_hashes, bands)
-    idx_banded = spark.read.parquet(f"{out_dir}/bands")
+    # the index stores carry the BUILD-time id column name — take it
+    # from the frozen manifest (r10 advisor fix: this was hardcoded
+    # 'doc_id', so an index maintained with a custom id_col failed
+    # lookup with column-not-found despite the manifest knowing better)
+    idx_id = m.get("id_col") or "doc_id"
+    idx_banded = spark.read.parquet(f"{out_dir}/bands").withColumnRenamed(
+        idx_id, "doc_id"
+    )
     cand = (
         q_banded.select(F.col(id_col).alias("q_id"), "band", "bucket")
         .join(idx_banded.select("doc_id", "band", "bucket"), ["band", "bucket"])
         .select("q_id", "doc_id")
         .distinct()
     )
-    idx_toks = spark.read.parquet(f"{out_dir}/toks")
+    idx_toks = spark.read.parquet(f"{out_dir}/toks").withColumnRenamed(
+        idx_id, "doc_id"
+    )
     return _cross_verify(cand, q_toks, idx_toks, t)
 
 

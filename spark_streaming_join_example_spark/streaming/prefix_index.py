@@ -193,7 +193,12 @@ def lookup_near_duplicates(
         eager=False
     )
     q_prefix = prefix_rows(q_toks, id_col, t, order="hash")
-    idx_prefix = spark.read.parquet(f"{out_dir}/prefix")
+    # index stores carry the BUILD-time id column name — take it from
+    # the frozen manifest (r10 advisor fix: was hardcoded 'doc_id')
+    idx_id = manifest.get("id_col") or "doc_id"
+    idx_prefix = spark.read.parquet(f"{out_dir}/prefix").withColumnRenamed(
+        idx_id, "doc_id"
+    )
     a = q_prefix.select(F.col(id_col).alias("q_id"), "tok", F.col("n").alias("_nq"))
     b = idx_prefix.select(F.col("doc_id"), "tok", F.col("n").alias("_nd"))
     cand = (
@@ -208,7 +213,9 @@ def lookup_near_duplicates(
         .select("q_id", "doc_id")
         .distinct()
     )
-    idx_toks = spark.read.parquet(f"{out_dir}/toks")
+    idx_toks = spark.read.parquet(f"{out_dir}/toks").withColumnRenamed(
+        idx_id, "doc_id"
+    )
     return _cross_verify(cand, q_toks, idx_toks, t)
 
 

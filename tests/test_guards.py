@@ -142,3 +142,29 @@ def test_banded_signatures_rejects_signature_length_mismatch(spark):
         banded_signatures(sig16, "doc_id", num_hashes=128, bands=16).count()
     with pytest.raises(Exception, match="scheme"):
         lsh_candidate_pairs(sig16, "doc_id", num_hashes=128, bands=16).count()
+
+
+def test_is_allpairs_bound_error_classifies_both_forms(spark):
+    """r10 advisor note: the lazy guard surfaces as Spark's
+    SparkRuntimeException, NOT AllPairsBoundExceeded — the supported
+    catch is is_allpairs_bound_error, which must recognize both the
+    eager and the execution-time form (and not random errors)."""
+    from spark_streaming_join_example_spark.operators.guards import (
+        is_allpairs_bound_error,
+    )
+
+    try:
+        check_now(spark.range(101), 100, "t", "alt")
+        raise AssertionError("check_now did not raise")
+    except AllPairsBoundExceeded as e:
+        assert is_allpairs_bound_error(e)
+
+    out = assert_allpairs_bounded(spark.range(101), 100, "t", "alt")
+    try:
+        out.count()
+        raise AssertionError("lazy guard did not fire")
+    except Exception as e:  # SparkRuntimeException from assert_true
+        assert not isinstance(e, AllPairsBoundExceeded)
+        assert is_allpairs_bound_error(e)
+
+    assert not is_allpairs_bound_error(ValueError("unrelated"))

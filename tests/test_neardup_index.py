@@ -224,3 +224,78 @@ def test_scheme_mismatch_refuses_to_run(spark, tmp_path):
 
     # same scheme, fresh checkpoint: manifest verifies and it runs
     start("ckpt3").awaitTermination()
+
+
+def test_corrupt_scheme_dir_is_not_silently_refrozen(spark, tmp_path):
+    """r10 advisor fix: _verify_or_freeze_scheme used to treat ANY
+    AnalysisException as 'manifest absent' and re-freeze with the
+    caller's scheme — a crashed first write leaving a present-but-
+    empty _scheme dir was silently legitimized.  Pin: only the
+    missing-path error freezes; an uninferable present manifest
+    surfaces and the dir is left untouched."""
+    from pyspark.errors import AnalysisException
+
+    from spark_streaming_join_example_spark.streaming.neardup_index import (
+        _verify_or_freeze_scheme,
+    )
+
+    out_dir = str(tmp_path / "idx")
+    scheme_dir = os.path.join(out_dir, "_scheme")
+    os.makedirs(scheme_dir)  # present but empty → UNABLE_TO_INFER_SCHEMA
+    with pytest.raises(AnalysisException):
+        _verify_or_freeze_scheme(spark, out_dir, {"kind": "minhash"})
+    assert os.listdir(scheme_dir) == []  # untouched, not overwritten
+
+    # genuinely absent path still freezes on first use
+    out_dir2 = str(tmp_path / "idx2")
+    _verify_or_freeze_scheme(spark, out_dir2, {"kind": "minhash"})
+    assert spark.read.json(f"{out_dir2}/_scheme").collect()[0].kind == "minhash"
+
+
+def test_minhash_lookup_honors_custom_id_col(spark, tmp_path):
+    """Twin of the prefix-index pin: the MinHash lookup reads the
+    index-side id column name from the frozen manifest."""
+    from spark_streaming_join_example_spark.operators.dedup import shingles
+    from spark_streaming_join_example_spark.streaming.neardup_index import (
+        lookup_near_duplicates,
+    )
+
+    all_docs = (
+        load_table(spark, _SF_DIR, "documents")
+        .select(F.col("doc_id").alias("news_id"), "text")
+        .filter(F.col("news_id") < 200)
+    )
+    corpus = all_docs.filter(F.col("news_id") < 150)
+    queries = all_docs.filter(F.col("news_id") >= 150).select(
+        F.col("news_id").alias("q_id"), "text"
+    )
+    replay = tmp_path / "replay_cid"
+    corpus.write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "minhash_idx_custom")
+    stream = spark.readStream.schema(corpus.schema).parquet(str(replay))
+    maintain_neardup_index(
+        stream, idx, str(tmp_path / "ckpt_cid"), threshold=0.9,
+        id_col="news_id",
+    ).awaitTermination()
+
+    got = lookup_near_duplicates(spark, idx, queries).collect()
+    # precision 1.0 by exact verify; every flagged pair really is >= t
+    t = all_docs.select("news_id", shingles("text", n=3).alias("toks"))
+    a = t.filter(F.col("news_id") >= 150).select(
+        F.col("news_id").alias("q_id"), F.col("toks").alias("a_toks")
+    )
+    b = t.filter(F.col("news_id") < 150).select(
+        F.col("news_id").alias("d_id"), F.col("toks").alias("b_toks")
+    )
+    from spark_streaming_join_example_spark.operators.dedup import jaccard
+
+    brute = {
+        (r.q_id, r.d_id)
+        for r in a.crossJoin(b)
+        .filter(jaccard(F.col("a_toks"), F.col("b_toks")) >= 0.9)
+        .select("q_id", "d_id")
+        .collect()
+    }
+    assert {(r.q_id, r.doc_id) for r in got} <= brute
+    # and the banded scheme recovers all planted cross pairs here
+    assert {(r.q_id, r.doc_id) for r in got} == brute

@@ -299,3 +299,55 @@ def test_compact_pairs_preserves_output(spark, tmp_path):
     live_files = glob.glob(_os.path.join(idx, "pairs", "*", "*.parquet"))
     dest_files = glob.glob(_os.path.join(dest, "*.parquet"))
     assert len(dest_files) < len(live_files)
+
+
+def test_lookup_honors_custom_id_col_from_manifest(spark, tmp_path):
+    """r10 advisor fix: lookup_near_duplicates used to hardcode the
+    index-side id column as 'doc_id'; an index maintained with a
+    custom id_col failed lookup with column-not-found even though the
+    frozen manifest records exactly the needed name.  Pin: a
+    custom-id index answers lookups, and the answer matches brute
+    force."""
+    from spark_streaming_join_example_spark.streaming.prefix_index import (
+        lookup_near_duplicates,
+    )
+
+    all_docs = (
+        load_table(spark, _SF_DIR, "documents")
+        .select(F.col("doc_id").alias("news_id"), "text")
+        .filter(F.col("news_id") < 200)
+    )
+    corpus = all_docs.filter(F.col("news_id") < 150)
+    queries = all_docs.filter(F.col("news_id") >= 150).select(
+        F.col("news_id").alias("q_id"), "text"
+    )
+
+    replay = tmp_path / "replay"
+    corpus.write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "prefix_idx_custom")
+    stream = spark.readStream.schema(corpus.schema).parquet(str(replay))
+    maintain_prefix_index(
+        stream, idx, str(tmp_path / "ckpt"), threshold=0.9, id_col="news_id"
+    ).awaitTermination()
+
+    got = {
+        (r.q_id, r.doc_id)
+        for r in lookup_near_duplicates(spark, idx, queries).collect()
+    }
+
+    t = all_docs.select("news_id", shingles("text", n=3).alias("toks"))
+    a = t.filter(F.col("news_id") >= 150).select(
+        F.col("news_id").alias("q_id"), F.col("toks").alias("a_toks")
+    )
+    b = t.filter(F.col("news_id") < 150).select(
+        F.col("news_id").alias("d_id"), F.col("toks").alias("b_toks")
+    )
+    jac = jaccard(F.col("a_toks"), F.col("b_toks"))
+    brute = {
+        (r.q_id, r.d_id)
+        for r in a.crossJoin(b)
+        .filter(jac >= 0.9)
+        .select("q_id", "d_id")
+        .collect()
+    }
+    assert got == brute

@@ -490,6 +490,116 @@ def q_dedup_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dup_clusters_incoming",
+    tags=("X1", "X2"),
+    oracle="""
+WITH RECURSIVE w AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 500
+), t AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END) AS toks
+  FROM w
+), pairs AS MATERIALIZED (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9
+), edges AS MATERIALIZED (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+), m1 AS MATERIALIZED (
+  SELECT s, LEAST(s, MIN(d)) AS m FROM edges GROUP BY s
+), e1 AS MATERIALIZED (
+  SELECT DISTINCT x.m AS s, y.m AS d
+  FROM edges e JOIN m1 x ON e.s = x.s JOIN m1 y ON e.d = y.s
+  WHERE x.m <> y.m
+), reach(s, d) AS (
+  SELECT s, d FROM e1
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e1 e ON r.d = e.s
+), comp1 AS (
+  SELECT s, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s
+)
+SELECT n.s AS node, COALESCE(c.comp, n.m) AS component
+FROM m1 n LEFT JOIN comp1 c ON n.m = c.s
+""",
+)
+def q_dup_clusters_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster ids AFTER an incoming shard merges into an
+    already-clustered corpus — the cluster-maintenance step of an
+    ingest pipeline as a standalone oracle-checked query, and the
+    batch twin of ``maintain_prefix_index(..., maintain_clusters=
+    True)`` (streaming/cluster_index.py).
+
+    Phases, exactly as the incremental path runs them: (1) the
+    EXISTING corpus (doc_id < 400) is clustered once — lossless
+    shingle-Jaccard ≥ 0.9 prefix join (q_prefix_shingle_join
+    semantics) → min-label connected components; (2) the INCOMING
+    shard (400 ≤ doc_id < 500) contributes only its DELTA pairs —
+    shard-vs-(corpus ∪ shard) through frozen hash-order prefixes,
+    never corpus × corpus again; (3) the delta folds in through
+    ``merge_pairs_into_clusters`` — endpoints contract onto their
+    current cluster roots and a connected-components pass over the
+    DELTA-SIZED contracted graph remaps merged roots.
+
+    The DuckDB oracle knows nothing of the staging: it recomputes the
+    transitive closure over ALL ≥ 0.9 pairs among doc_id < 500 in one
+    shot (recursive CTE, one min-label contraction round first — same
+    shape as q_dup_clusters' oracle).  Hash-equality against it is
+    the proof that incremental merge ≡ from-scratch clustering.
+
+    Scale shape: corpus prefixes and the cluster store are persisted,
+    pair-output-sized relations; a shard costs one window pass, one
+    scalar-token equi-join, and a CC loop over its own delta graph."""
+    from ..operators.dedup import (
+        exact_jaccard_verify,
+        prefix_candidate_join,
+        prefix_rows,
+        shingles,
+    )
+    from ..operators.graph import connected_components
+    from ..streaming.cluster_index import merge_pairs_into_clusters
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    toks = d.select(
+        "doc_id", shingles("text", n=3).alias("toks")
+    ).localCheckpoint(eager=False)
+    corpus_p = prefix_rows(
+        toks.filter(F.col("doc_id") < 400), "doc_id", 0.9, order="hash"
+    ).localCheckpoint(eager=False)
+    incoming_p = prefix_rows(
+        toks.filter(F.col("doc_id") >= 400), "doc_id", 0.9, order="hash"
+    ).localCheckpoint(eager=False)
+
+    # phase 1: the corpus as already clustered (corpus-only pairs)
+    corpus_pairs = exact_jaccard_verify(
+        prefix_candidate_join(corpus_p, corpus_p, "doc_id", 0.9),
+        toks,
+        "doc_id",
+        0.9,
+    )
+    prev = connected_components(corpus_pairs)
+
+    # phase 2+3: the shard's delta pairs fold into the mapping
+    delta = exact_jaccard_verify(
+        prefix_candidate_join(
+            incoming_p, corpus_p.unionByName(incoming_p), "doc_id", 0.9
+        ),
+        toks,
+        "doc_id",
+        0.9,
+    )
+    return merge_pairs_into_clusters(prev, delta).select(
+        "node", "component"
+    )
+
+
 @register("q_minhash_neardup", tags=("X2",))
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded-LSH near-duplicate pairs over word 3-gram

@@ -1,0 +1,215 @@
+"""Incrementally-maintained duplicate-CLUSTER ids (r10).
+
+The streaming text indexes (streaming/prefix_index.py,
+streaming/neardup_index.py) accumulate verified near-dup PAIRS per
+micro-batch — but a dedup pipeline ultimately groups on a CLUSTER id
+(the keep-one-per-cluster key), and until r10 cluster ids existed only
+as a from-scratch batch recomputation (q_dup_clusters).  This module
+folds each batch's pair delta into a persisted (node, component)
+mapping using contracted-graph connected components — the union-find
+merge step, expressed relationally:
+
+1. map each delta-pair endpoint to its CURRENT cluster root
+   (itself if unseen) — an equi-join against the cluster store;
+2. run min-label connected components (operators/graph.py) on the
+   CONTRACTED edge set {(root(a), root(b)) | root(a) != root(b)} —
+   a graph bounded by the DELTA pair count, not the corpus;
+3. remap: every stored node whose root merged takes the new root;
+   unseen endpoints enter with theirs.
+
+Because every root is the MIN node id of its cluster (the batch CC
+invariant), the contracted CC's min-label is the GLOBAL min of the
+merged node set — so the incremental mapping is value-identical to a
+from-scratch ``connected_components`` over all pairs ever seen
+(pinned in tests/test_cluster_index.py), while each batch pays
+O(|delta| + |store|) equi-joins and a CC loop over a delta-sized
+graph.  Merging is idempotent (re-unioning the same pairs is a
+no-op), which is exactly what foreachBatch retry semantics need.
+
+Storage: one FULL snapshot per batch under
+``out_dir/clusters/batch_id=N`` (the store is pair-output-sized —
+only nodes with at least one duplicate edge appear — so a snapshot is
+tiny next to the corpus).  Batch N merges against the newest snapshot
+with batch_id < N, so a retried batch never reads its own partial
+output (the same ``batch_id <=``/``<`` discipline the pair stores
+use).  ``latest_clusters`` reads the newest snapshot;
+``compact_clusters`` rewrites it standalone (separate-dir pattern,
+like the other indexes' OPTIMIZE passes).
+
+Scale shape at 100 TB: the cluster store and each delta are
+output-cardinality; nothing here joins the corpus against anything.
+The per-batch driver traffic is the CC convergence scalar per round
+over the contracted (delta-sized) graph.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.graph import connected_components
+
+
+def merge_pairs_into_clusters(
+    prev: DataFrame | None,
+    pairs: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Fold a pair delta into an existing (node, component) mapping.
+
+    Returns the updated mapping, value-identical to running
+    ``connected_components`` over (all pairs behind ``prev``) ∪
+    ``pairs``.  ``prev=None`` means an empty store (first batch) —
+    then this IS a plain batch CC over the delta."""
+    if prev is None:
+        return connected_components(pairs, src, dst, max_iter=max_iter)
+
+    # the store is read three times below (new-node anti-join, two
+    # contraction joins, final remap) — materialize once
+    prev = prev.select("node", "component").localCheckpoint(eager=True)
+    delta = pairs.select(
+        F.col(src).alias("a_id"), F.col(dst).alias("b_id")
+    ).localCheckpoint(eager=True)
+
+    new_nodes = (
+        delta.select(F.col("a_id").alias("node"))
+        .union(delta.select(F.col("b_id").alias("node")))
+        .distinct()
+        .join(prev.select("node"), "node", "left_anti")
+    )
+    # every node we must output, with its CURRENT root (self if new)
+    roots = prev.unionByName(
+        new_nodes.select("node", F.col("node").alias("component"))
+    ).localCheckpoint(eager=True)
+
+    # contract the delta onto roots; edges inside one cluster vanish
+    contracted = (
+        delta.join(
+            roots.select(
+                F.col("node").alias("a_id"), F.col("component").alias("_ra")
+            ),
+            "a_id",
+        )
+        .join(
+            roots.select(
+                F.col("node").alias("b_id"), F.col("component").alias("_rb")
+            ),
+            "b_id",
+        )
+        .filter(F.col("_ra") != F.col("_rb"))
+        .select(F.col("_ra").alias("a_id"), F.col("_rb").alias("b_id"))
+        .distinct()
+    )
+    cc = connected_components(contracted, max_iter=max_iter).select(
+        F.col("node").alias("_root"), F.col("component").alias("_merged")
+    )
+    # remap: roots touched by the merge move; everything else keeps
+    return (
+        roots.join(cc, roots["component"] == cc["_root"], "left")
+        .select(
+            "node",
+            F.coalesce("_merged", "component").alias("component"),
+        )
+    )
+
+
+def update_cluster_snapshot(
+    spark: SparkSession,
+    out_dir: str,
+    new_pairs: DataFrame,
+    batch_id: int,
+    src: str = "a_id",
+    dst: str = "b_id",
+) -> None:
+    """Merge one batch's pair delta and write the FULL updated mapping
+    as snapshot ``out_dir/clusters/batch_id=N``.  Reads only snapshots
+    with batch_id < N, so a RETRIED batch recomputes from its
+    predecessor's state and overwrites its own partial output —
+    idempotent under foreachBatch redelivery."""
+    prev = _snapshot_before(spark, out_dir, batch_id)
+    merged = merge_pairs_into_clusters(prev, new_pairs, src, dst)
+    merged.write.mode("overwrite").parquet(
+        f"{out_dir}/clusters/batch_id={batch_id}"
+    )
+
+
+def _snapshot_before(
+    spark: SparkSession, out_dir: str, batch_id: int
+) -> DataFrame | None:
+    """Newest snapshot strictly older than ``batch_id`` (None if the
+    store doesn't exist yet).  Partition pruning makes the data read
+    touch only the chosen snapshot."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        snaps = spark.read.parquet(f"{out_dir}/clusters")
+    except AnalysisException as e:
+        if e.getCondition() != "PATH_NOT_FOUND":
+            raise
+        return None
+    newest = (
+        snaps.filter(F.col("batch_id") < batch_id)
+        .agg(F.max("batch_id"))
+        .collect()[0][0]
+    )
+    if newest is None:
+        return None
+    return snaps.filter(F.col("batch_id") == newest).select(
+        "node", "component"
+    )
+
+
+def latest_clusters(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The current (node, component) mapping — the newest snapshot.
+    Read while maintenance is quiescent (or read a compacted copy):
+    like the live pair stores, a snapshot being written concurrently
+    is not yet committed."""
+    snaps = spark.read.parquet(f"{out_dir}/clusters")
+    newest = snaps.agg(F.max("batch_id")).collect()[0][0]
+    return snaps.filter(F.col("batch_id") == newest).select(
+        "node", "component"
+    )
+
+
+def compact_clusters(
+    spark: SparkSession, out_dir: str, dest: str, n_files: int = 1
+) -> int:
+    """Rewrite the NEWEST snapshot as a standalone consolidated parquet
+    dir (separate-dir pattern — the live store is untouched; a crash
+    mid-compaction leaves a partial ``dest`` and an intact source).
+    Old per-batch snapshots stay for the retry discipline; point
+    readers at ``dest`` for a stable, single-file-set view.  Returns
+    the row count written."""
+    cur = latest_clusters(spark, out_dir)
+    cur.coalesce(n_files).write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest).count()
+
+
+def maintain_cluster_index(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    src: str = "a_id",
+    dst: str = "b_id",
+):
+    """Standalone maintenance: fold ANY streaming (src, dst) pair
+    relation — e.g. a readStream over an index's ``pairs/`` store, or
+    pairs from some external matcher — into the cluster snapshots.
+    The in-index variant (``maintain_prefix_index(...,
+    maintain_clusters=True)``) is the usual entry point; this one
+    exists for pair streams the text indexes didn't produce.  Returns
+    the StreamingQuery."""
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        update_cluster_snapshot(
+            batch_df.sparkSession, out_dir, batch_df, batch_id, src, dst
+        )
+
+    return (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -134,9 +134,15 @@ def maintain_neardup_index(
     shingle: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    maintain_clusters: bool = False,
 ):
     """Start the index-maintenance query on a streaming DataFrame of
-    (id_col, text_col) rows.  Returns the StreamingQuery."""
+    (id_col, text_col) rows.  Returns the StreamingQuery.
+
+    ``maintain_clusters=True`` (r10) additionally folds each batch's
+    verified pair delta into incrementally-maintained duplicate
+    CLUSTER ids under ``out_dir/clusters`` — see
+    streaming/cluster_index.py."""
 
     scheme = {
         "kind": "minhash",
@@ -215,6 +221,17 @@ def maintain_neardup_index(
         verified.write.mode("overwrite").parquet(
             f"{out_dir}/pairs/batch_id={batch_id}"
         )
+
+        if maintain_clusters:
+            # fold the LANDED pairs into incrementally-maintained
+            # cluster ids (streaming/cluster_index.py) — read back
+            # rather than re-evaluating the verify join
+            from .cluster_index import update_cluster_snapshot
+
+            landed = spark.read.parquet(
+                f"{out_dir}/pairs/batch_id={batch_id}"
+            )
+            update_cluster_snapshot(spark, out_dir, landed, batch_id)
 
     return (
         stream.writeStream.foreachBatch(land)

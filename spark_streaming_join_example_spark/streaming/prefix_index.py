@@ -82,9 +82,16 @@ def maintain_prefix_index(
     shingle: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    maintain_clusters: bool = False,
 ):
     """Start the exact-dedup index maintenance on a streaming DataFrame
-    of (id_col, text_col) rows.  Returns the StreamingQuery."""
+    of (id_col, text_col) rows.  Returns the StreamingQuery.
+
+    ``maintain_clusters=True`` (r10) additionally folds each batch's
+    verified pair delta into incrementally-maintained duplicate
+    CLUSTER ids under ``out_dir/clusters`` — see
+    streaming/cluster_index.py; read with
+    ``cluster_index.latest_clusters``."""
     scheme = {
         "kind": "prefix",
         "order": "hash",
@@ -137,6 +144,17 @@ def maintain_prefix_index(
         verified.write.mode("overwrite").parquet(
             f"{out_dir}/pairs/batch_id={batch_id}"
         )
+
+        if maintain_clusters:
+            # fold the LANDED pairs (read back — cheaper than
+            # re-evaluating the verify join, and exactly what the
+            # retry discipline replays) into the cluster snapshots
+            from .cluster_index import update_cluster_snapshot
+
+            landed = spark.read.parquet(
+                f"{out_dir}/pairs/batch_id={batch_id}"
+            )
+            update_cluster_snapshot(spark, out_dir, landed, batch_id)
 
     return (
         stream.writeStream.foreachBatch(land)

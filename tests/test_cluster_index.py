@@ -1,0 +1,176 @@
+"""Incrementally-maintained duplicate-cluster ids (r10): folding the
+streaming indexes' per-batch pair deltas into a persisted
+(node, component) mapping must be value-identical to a from-scratch
+connected-components run over all pairs ever seen — that equivalence
+is the whole contract (streaming/cluster_index.py module docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_streaming_join_example_spark import load_table
+from spark_streaming_join_example_spark.operators.dedup import (
+    prefix_filter_jaccard_pairs,
+)
+from spark_streaming_join_example_spark.operators.graph import (
+    connected_components,
+)
+from spark_streaming_join_example_spark.streaming.cluster_index import (
+    compact_clusters,
+    latest_clusters,
+    merge_pairs_into_clusters,
+    update_cluster_snapshot,
+)
+from spark_streaming_join_example_spark.streaming.prefix_index import (
+    exact_pairs,
+    maintain_prefix_index,
+)
+
+_SF_DIR = "/root/testdata/sf0.01"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_SF_DIR),
+    reason=f"equivalence fixture {_SF_DIR} not generated on this machine",
+)
+
+
+def _cc_set(df):
+    return {(r.node, r.component) for r in df.collect()}
+
+
+def test_merge_fold_equals_batch_cc(spark):
+    """Pure-batch pin of the merge kernel: folding a pair set in
+    three arbitrary chunks through merge_pairs_into_clusters equals
+    one connected_components run over the union."""
+    docs = load_table(spark, _SF_DIR, "documents").select("doc_id", "text")
+    pairs = prefix_filter_jaccard_pairs(
+        docs, threshold=0.9, shingle=3
+    ).select("a_id", "b_id").localCheckpoint(eager=True)
+    assert pairs.count() >= 20, "fixture lost its planted pairs"
+
+    chunks = [
+        pairs.filter(F.col("b_id") % 3 == k) for k in range(3)
+    ]
+    state = None
+    for c in chunks:
+        state = merge_pairs_into_clusters(state, c)
+    want = _cc_set(connected_components(pairs))
+    assert _cc_set(state) == want
+
+    # folding the SAME chunk again is a no-op (idempotent union —
+    # the property foreachBatch retry semantics lean on)
+    again = merge_pairs_into_clusters(state, chunks[1])
+    assert _cc_set(again) == want
+
+
+def test_streaming_clusters_equal_batch_cc(spark, tmp_path):
+    """Drained streaming clusters (4 micro-batches through the exact
+    prefix index with maintain_clusters=True) == batch
+    connected_components over the batch prefix join's pairs == CC over
+    the index's own accumulated pair store."""
+    docs = load_table(spark, _SF_DIR, "documents").select("doc_id", "text")
+    replay = tmp_path / "replay"
+    docs.repartition(4).write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "prefix_idx")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    maintain_prefix_index(
+        stream, idx, str(tmp_path / "ckpt"), threshold=0.9,
+        maintain_clusters=True,
+    ).awaitTermination()
+
+    got = _cc_set(latest_clusters(spark, idx))
+    want = _cc_set(
+        connected_components(
+            prefix_filter_jaccard_pairs(docs, threshold=0.9, shingle=3)
+        )
+    )
+    assert got == want
+    # and against the index's OWN pair store (same relation the
+    # incremental fold consumed, one batch at a time)
+    assert got == _cc_set(connected_components(exact_pairs(spark, idx)))
+
+    # compaction preserves the mapping exactly
+    dest = str(tmp_path / "clusters_compact")
+    n = compact_clusters(spark, idx, dest)
+    assert n == len(got)
+    assert {
+        (r.node, r.component) for r in spark.read.parquet(dest).collect()
+    } == got
+
+
+def test_cluster_restart_and_new_shard(spark, tmp_path):
+    """Restart with nothing new leaves the mapping unchanged; a new
+    shard arriving through the SAME checkpoint folds incrementally and
+    still matches the from-scratch batch answer over the full corpus."""
+    docs = load_table(spark, _SF_DIR, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") < 400)
+    shard = docs.filter(F.col("doc_id") >= 400)
+
+    replay = tmp_path / "replay"
+    idx = str(tmp_path / "prefix_idx")
+    ckpt = str(tmp_path / "ckpt")
+    first.coalesce(1).write.mode("overwrite").parquet(str(replay))
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay))
+        )
+        maintain_prefix_index(
+            stream, idx, ckpt, threshold=0.9, maintain_clusters=True
+        ).awaitTermination()
+
+    run()
+    after_first = _cc_set(latest_clusters(spark, idx))
+    assert after_first == _cc_set(
+        connected_components(
+            prefix_filter_jaccard_pairs(first, threshold=0.9, shingle=3)
+        )
+    )
+
+    run()  # nothing new to drain
+    assert _cc_set(latest_clusters(spark, idx)) == after_first
+
+    # new shard lands as additional replay files → incremental fold
+    shard.coalesce(1).write.mode("append").parquet(str(replay))
+    run()
+    assert _cc_set(latest_clusters(spark, idx)) == _cc_set(
+        connected_components(
+            prefix_filter_jaccard_pairs(docs, threshold=0.9, shingle=3)
+        )
+    )
+
+
+def test_snapshot_retry_is_idempotent(spark, tmp_path):
+    """A retried batch id recomputes from its PREDECESSOR's snapshot
+    and overwrites its own — running the same update twice yields the
+    identical mapping (foreachBatch redelivery safety)."""
+    out = str(tmp_path / "idx")
+    p1 = spark.createDataFrame([(1, 2), (3, 4)], "a_id long, b_id long")
+    p2 = spark.createDataFrame([(2, 3), (5, 6)], "a_id long, b_id long")
+
+    update_cluster_snapshot(spark, out, p1, 0)
+    update_cluster_snapshot(spark, out, p2, 1)
+    want = _cc_set(latest_clusters(spark, out))
+    assert want == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5)}
+
+    update_cluster_snapshot(spark, out, p2, 1)  # retry batch 1
+    assert _cc_set(latest_clusters(spark, out)) == want
+
+
+def test_merge_handles_empty_delta_and_empty_store(spark):
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    assert merge_pairs_into_clusters(None, empty).count() == 0
+
+    p = spark.createDataFrame([(7, 9)], "a_id long, b_id long")
+    state = merge_pairs_into_clusters(None, p)
+    out = merge_pairs_into_clusters(state, empty)
+    assert _cc_set(out) == {(7, 7), (9, 7)}

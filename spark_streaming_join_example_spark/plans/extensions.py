@@ -616,6 +616,56 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(d, threshold=0.9)
 
 
+@register("q_minhash_incoming", tags=("X2",))
+def q_minhash_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-vs-corpus near-dup check through the banded-LSH path —
+    the approximate twin of q_dedup_incoming (same corpus/incoming
+    split, same shingle-Jaccard ≥ 0.9 semantics, same output shape)
+    and the batch form of the signature index's read-only
+    ``lookup_near_duplicates`` (streaming/neardup_index.py): sign the
+    shard, equi-join its bands against the corpus's bands, exact-
+    verify the candidates.  Rows-only by design (the candidate set
+    depends on the engine-seeded band scheme); precision is 1.0 by the
+    exact verify, and recall vs the EXACT prefix-join answer
+    (q_dedup_incoming) is pinned in tests/test_extensions.py.
+
+    Scale shape: at 100 TB the corpus band relation is the persisted
+    index; a shard costs one signature pass + a band-bucket equi-join
+    against it — never corpus × shard all-pairs, and candidate growth
+    is linear in data size (SCALE.md K-probe)."""
+    from ..operators.dedup import (
+        banded_signatures,
+        exact_jaccard_verify,
+        minhash_signatures,
+        shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    toks = d.select(
+        "doc_id", shingles("text", n=3).alias("toks")
+    ).localCheckpoint(eager=False)
+    sig = minhash_signatures(toks, "doc_id", F.col("toks"), 128)
+    banded = banded_signatures(sig, "doc_id", 128, 16)
+    corpus_b = banded.filter(F.col("doc_id") < 400)
+    incoming_b = banded.filter(F.col("doc_id") >= 400)
+    cand = (
+        corpus_b.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+        .join(
+            incoming_b.select(F.col("doc_id").alias("b_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # ids are disjoint with corpus < incoming, so verify's
+    # (least, greatest) normalization keeps corpus on a_id
+    return exact_jaccard_verify(cand, toks, "doc_id", 0.9).select(
+        F.col("a_id").alias("corpus_id"),
+        F.col("b_id").alias("incoming_id"),
+        "jac",
+    )
+
+
 @register("q_simhash_fingerprints", tags=("X2",))
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only: xxhash64-seeded)."""

@@ -568,3 +568,28 @@ def test_pq_sdc_approximates_cosine(spark, sf_dir):
         nb = sum(tables[j][cb[j]][cb[j]] for j in range(8)) ** 0.5
         errs.append(abs(dot / (na * nb) - r.cos_sim))
     assert np.mean(errs) < 0.3, np.mean(errs)
+
+
+def test_minhash_incoming_vs_exact_dedup_incoming(spark, sf_dir):
+    """r10: the LSH shard-vs-corpus twin (q_minhash_incoming) against
+    the EXACT prefix-join answer (q_dedup_incoming) on the same
+    corpus/shard split — precision 1.0 by the exact verify; recall
+    pinned (128/16 scheme: per-pair detect prob ~0.9999 at s>=0.9)."""
+    from spark_streaming_join_example_spark.plans.registry import (
+        REGISTRY,
+        _load_all_plans,
+    )
+
+    _load_all_plans()
+    exact = {
+        (r.corpus_id, r.incoming_id)
+        for r in REGISTRY["q_dedup_incoming"].fn(spark, sf_dir).collect()
+    }
+    got = {
+        (r.corpus_id, r.incoming_id)
+        for r in REGISTRY["q_minhash_incoming"].fn(spark, sf_dir).collect()
+    }
+    assert got <= exact  # precision 1.0
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.95, f"recall {recall:.2f} ({len(got)}/{len(exact)})"

@@ -133,10 +133,84 @@ def main() -> None:
         (r.a_id, r.b_id, r.jac) for r in pairs.orderBy("a_id").limit(3).collect()
     ])
 
-    print("done — every result above is watermark-correct and")
+    print("\n== 7. the full ingest loop: dedup-check an incoming shard,")
+    print("      admit only novel docs, clusters update incrementally ==")
+    from spark_streaming_join_example_spark.streaming.cluster_index import (
+        compact_clusters,
+        latest_clusters,
+    )
+    from spark_streaming_join_example_spark.streaming.prefix_index import (
+        lookup_near_duplicates,
+    )
+
+    # split the corpus: first 80% is the already-ingested corpus,
+    # last 20% is the incoming shard a pipeline would screen
+    n_docs = docs.count()
+    corpus = docs.orderBy("doc_id").limit(int(n_docs * 0.8))
+    shard = docs.join(corpus.select("doc_id"), "doc_id", "left_anti")
+
+    corpus.repartition(3).write.mode("overwrite").parquet(f"{work}/corpus")
+    corpus_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/corpus")
+    )
+    # maintain_clusters=True folds each batch's verified pair delta
+    # into incrementally-maintained duplicate-cluster ids (r10)
+    maintain_prefix_index(
+        corpus_stream,
+        f"{work}/ingest_idx",
+        f"{work}/ckpt7",
+        threshold=0.9,
+        maintain_clusters=True,
+    ).awaitTermination()
+
+    # (a) read-only dedup check: which incoming docs near-duplicate
+    #     something already in the corpus?  The index is untouched.
+    hits = lookup_near_duplicates(
+        spark, f"{work}/ingest_idx", shard, id_col="doc_id"
+    )
+    dup_ids = hits.select(F.col("q_id").alias("doc_id")).distinct()
+    n_dup = dup_ids.count()
+    admitted = shard.join(dup_ids, "doc_id", "left_anti")
+    print(
+        f"   shard: {shard.count()} docs -> {n_dup} rejected as "
+        f"near-dups of the corpus, {admitted.count()} admitted"
+    )
+
+    # (b) ingest the admitted remainder as the next stream batch; the
+    #     cluster snapshots advance under the same checkpoint
+    admitted.coalesce(1).write.mode("append").parquet(f"{work}/corpus")
+    maintain_prefix_index(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/corpus"),
+        f"{work}/ingest_idx",
+        f"{work}/ckpt7",
+        threshold=0.9,
+        maintain_clusters=True,
+    ).awaitTermination()
+
+    # (c) the incrementally-maintained duplicate clusters (node ->
+    #     component), equivalent to batch connected components over
+    #     all pairs (pinned in tests/test_cluster_index.py)
+    clusters = latest_clusters(spark, f"{work}/ingest_idx")
+    n_multi = (
+        clusters.groupBy("component").count().filter("count > 1").count()
+    )
+    print(
+        f"   incremental clusters: {clusters.count()} clustered docs "
+        f"in {n_multi} multi-doc duplicate groups"
+    )
+    n = compact_clusters(
+        spark, f"{work}/ingest_idx", f"{work}/clusters_compact"
+    )
+    print(f"   compacted snapshot: {n} rows at clusters_compact/")
+
+    print("\ndone — every result above is watermark-correct and")
     print("equivalent to the batch query over the same prefix")
-    print("(proven in tests/test_streaming.py,")
-    print(" tests/test_prefix_index.py).")
+    print("(proven in tests/test_streaming.py, tests/test_prefix_index.py,")
+    print(" tests/test_cluster_index.py).")
 
 
 if __name__ == "__main__":

@@ -84,76 +84,76 @@ def _load_all_plans() -> None:
 #: registration order and is still verified by the full local
 #: differential (tools/verify_local.py).
 #:
-#: ROTATION (round 7+): a fixed panel means the other ~240 oracle
-#: queries never earn an official driver CORRECTNESS row.  Each round,
-#: ~25-30 non-anchor slots rotate to a DIFFERENT query covering the
-#: SAME §2 family (the swapped-out name stays green in the full local
-#: differential); sole-coverage anchors (A6/A7/A9, F2/F6, J1/J2, T2,
-#: …) never rotate.  Swaps are marked "rN: was <name>" below.  The r9
-#: rotation (per the r8 VERDICT items 1+6) pushes 27 FIRST-TIME names
-#: plus the three F-series flavors the verdict asked to re-signal
-#: (q_apply_in_pandas, q_grouped_agg_udf, q_map_in_pandas) — after r9
-#: the never-driver-checked pool drops from 182 to ~155.  Family
-#: coverage proven lossless at swap time (old-panel tag-union ⊆
-#: new-panel tag-union; r9 additionally gains S1 + T4) and every
-#: incoming name verified green in the full sf0.01 differential first
-#: (r9 sweep: 275 pass, 0 fail).
+#: ROTATION (round 7+): a fixed panel means the long tail of oracle
+#: queries never earns an official driver CORRECTNESS row.  Each
+#: round, ~25-30 non-anchor slots rotate to a DIFFERENT query covering
+#: the SAME §2 family (the swapped-out name stays green in the full
+#: local differential).  Swaps are marked "rN: was <name>" below.  The
+#: r10 rotation pushes 27 FIRST-TIME names: by r10 seven families
+#: (A4/A6/A7/A9/P4/J6/FN-map) had NO never-checked member left, so
+#: plans/round10.py adds one genuinely new query per family and those
+#: ride the panel alongside 17 names from the r9 pre-validated
+#: shortlist, q_quantize_embeddings, and the two new incremental-dedup
+#: queries (q_dedup_incoming, q_dup_clusters_incoming).  Family
+#: coverage proven lossless at swap time (old-panel tag-union ==
+#: new-panel tag-union, checked programmatically) and every incoming
+#: name verified green in the sf0.01 differential first (r10 sweep of
+#: all 27: 27 pass, 0 fail).
 CURATED_FIRST: tuple[str, ...] = (
-    # headline relational anchors (bench set + core shapes)
-    "q_pricing_summary",      # A1 P2
-    "q_revenue_join3",        # J4
-    "q_scalar_subquery",      # J3 A1 (r9: was q_broadcast_enrich)
-    "q_lexicon_sentiment",    # X5 J3 A1 (r9: was q_sql_scripting)
-    "q_histogram",            # FN-math A1 (r9: was q_parameterized_sql)
-    "q_window_rank",          # W1 W4
-    "q_ewma",                 # W2 W3 FN-math (r9: was q_window_lag)
-    "q_kll_quantiles",        # A3 sketch, rows-only (r8: was q_window_frame)
-    "q_correlated_subquery",  # J9 A1 (r9: was q_exists_subquery)
-    "q_reconcile_totals",     # J10 A1 P5 (r9: was q_merge_upsert)
-    "q_geo_nearest",          # J6 W1 FN-math (r9: was q_levenshtein_fuzzy)
-    "q_share_of_total",       # A1 W3 A4 (r9: was q_grouping_id)
-    "q_pivot",                # A9
-    "q_max_concurrency",      # W3 A1 U1 FN-datetime (r8: was q_union_by_name)
-    "q_theta_setops",         # A3 U2 U3 sketch, rows-only (r8: was q_intersect_all)
-    "q_except_all",           # U3  (r7: was q_except_users)
-    "q_url_canonicalize",     # FN-string X1 A1 (r9: was q_parse_url)
-    "q_try_casts",            # P4 P5 (r9: was q_pricing_summary_decimal)
-    "q_order_priority",       # J9 A1 O1 (r9: was q_welch_ab; FN-math via q_histogram/q_ewma/q_geo_nearest)
-    "q_json_paths",           # P3 (r9: was q_xpath)
-    "q_transform_keys",       # FN-map (r9: was q_str_to_map; P3 via q_json_paths)
-    "q_arrays_zip",           # FN-array P1 (r9: was q_posexplode)
-    "q_zorder_stats",         # O3 P1 A1 (r9: was q_sort_within_partitions)
-    "q_hints_battery",        # J4 T5 A1 (r9: was q_skew_report; U1 via q_max_concurrency)
-    "q_file_lineage",         # S1 P1 (r9: was q_sql_pipe; NEW family tag — batch source lineage)
-    # streaming-twin batch queries
-    "q_stream_static_join",   # J1
-    "q_stream_stream_join",   # J2
-    "q_events_tumbling",      # A5
-    "q_events_sliding",       # A6
-    "q_distinct_users",       # A2
-    "q_session_window",       # A7
-    "q_dedup_events",         # T2
-    # temporal joins + approx
-    "q_asof_forward",         # J8 J7 (r7: was q_asof_join)
-    "q_sessionize_batch",     # W2 A1 T4 (r9: was q_attribution; J7 via q_asof_forward; NEW family tag T4)
-    "q_bitmap_distinct",      # A2 A3 (r9: was q_approx_topk_events)
-    # UDF ladder
-    "q_sql_udf",              # F1 (r8: was q_udf_scalar)
+    # ---- anchors (bench set + families with no unchecked member) ----
+    "q_pricing_summary",      # A1 P1 P2 (bench)
+    "q_revenue_join3",        # J4 J5 A1 (bench)
+    "q_window_rank",          # W1 W4 (bench)
+    "q_events_tumbling",      # A5 (bench)
+    "q_stream_static_join",   # J1 J3 (bench)
+    "q_stream_stream_join",   # J2 J7
+    "q_distinct_users",       # A2 (bench)
+    "q_cosine_topk",          # X3 J11 O2 (bench)
+    "q_kll_quantiles",        # A3 sketch, rows-only
+    "q_theta_setops",         # A3 U2 U3 sketch, rows-only
+    "q_sql_udf",              # F1
     "q_pandas_udf",           # F2
-    "q_grouped_agg_udf",      # F3 (r9: was q_embedding_centroid; r8 VERDICT item 6 re-signal)
-    "q_apply_in_pandas",      # F4 (r9: was q_apply_in_arrow; r8 VERDICT item 6 re-signal)
-    "q_map_in_pandas",        # F5 (r9: was q_map_in_arrow; r8 VERDICT item 6 re-signal)
+    "q_grouped_agg_udf",      # F3
+    "q_apply_in_pandas",      # F4
+    "q_map_in_pandas",        # F5
     "q_udtf_tokens",          # F6
-    # LLM-pipeline extensions
-    "q_minmax_by",            # A1 W4 (r9: was q_lateral_topk; J5 via q_bfs_hops/q_graph_degrees)
-    "q_prefix_shingle_join",  # X2 W1 J4 X1 (r9: was q_embedding_neardup; NEW r9 operator mode)
-    "q_cosine_topk",          # X3 (also covers J11 via block cross join)
-    "q_knn_search",           # X3 (r9: was q_knn_ivf_exact)
-    "q_binary_magic",         # X4 P5 FN-string (r9: was q_multimodal_binary)
-    "q_vector_join",          # X4 J4 (r9: was q_decontaminate; X5 via q_lexicon_sentiment; X1/J9 covered above)
-    "q_dup_clusters_star",    # X1 X2 (r9: was q_dup_clusters — large/small-star variant)
-    "q_bfs_hops",             # J5 A1 X2 iterative graph (r9: was q_kcore)
-    "q_graph_degrees",        # A1 J5 X2 (r9: was q_exact_global_median; O1 via q_order_priority)
+    "q_asof_forward",         # J8 J7
+    "q_zorder_stats",         # O3 P1 A1
+    "q_file_lineage",         # S1 P1
+    "q_dedup_events",         # T2 X1 A2
+    "q_sessionize_batch",     # W2 A1 T4
+    "q_hints_battery",        # J4 T5 A1
+    "q_max_concurrency",      # W3 A1 U1 FN-datetime
+    # ---- r10 rotation: 27 first-ever driver checks ----
+    # new-this-round queries (8)
+    "q_dedup_incoming",       # X1 X2 J4 (r10: NEW r9 operator, verdict ask)
+    "q_dup_clusters_incoming",  # X1 X2 (r10: NEW — incremental cluster fold)
+    "q_rollup_orders",        # A4 A1 (r10: was q_share_of_total — NEW member in exhausted family)
+    "q_pivot_priority",       # A9 A1 (r10: was q_pivot — NEW member)
+    "q_sliding_type_windows",  # A6 A1 (r10: was q_events_sliding — NEW member)
+    "q_session_value",        # A7 A1 (r10: was q_session_window — NEW member)
+    "q_cast_battery2",        # P4 P5 (r10: was q_try_casts — NEW member)
+    "q_band_join",            # J6 A1 (r10: was q_geo_nearest — NEW member)
+    "q_map_battery2",         # FN-map (r10: was q_transform_keys — NEW member)
+    # pre-validated r9 shortlist (NOTES_r9.md) + q_quantize_embeddings
+    "q_market_share",         # J5 J3 A1 P5 (r10: was q_scalar_subquery)
+    "q_min_cost_supplier",    # J5 J3 W1 O2 (r10: was q_lexicon_sentiment)
+    "q_triangle_count",       # J5 X2 O2 (r10: was q_bfs_hops)
+    "q_late_supplier_blame",  # J9 J5 O2 (r10: was q_correlated_subquery)
+    "q_gap_fill",             # P1 J10 FN-datetime (r10: was q_reconcile_totals)
+    "q_interpolate",          # J10 W2 FN-datetime (r10: was q_ewma)
+    "q_cumulative_distinct",  # A2 W3 (r10: was q_bitmap_distinct)
+    "q_audience_overlap",     # A2 J4 FN-math (r10: was q_histogram)
+    "q_approx_topk_per_group",  # A3 O2 X5 (r10: was q_order_priority)
+    "q_ohlc_bars",            # A5 W2 A1 (r10: was q_minmax_by; W4 via q_window_rank)
+    "q_from_csv",             # P3 (r10: was q_json_paths)
+    "q_mask_pii",             # X5 FN-string (r10: was q_url_canonicalize)
+    "q_regexp_battery2",      # FN-string (r10: was q_binary_magic; X4 via q_quantize_embeddings)
+    "q_math_battery2",        # FN-math (r10: was q_geo_nearest's FN-math share)
+    "q_quantize_embeddings",  # X3 FN-array X4 (r10: was q_arrays_zip/q_vector_join)
+    "q_null_ordering",        # O1 P5 (r10: was q_except_all; U3 via q_theta_setops)
+    "q_gopher_rules",         # X5 A1 P5 FN-string (r10: was q_prefix_shingle_join; X2 via q_triangle_count/q_dedup_incoming)
+    "q_rrf_fusion",           # W1 O2 X3 (r10: was q_knn_search/q_dup_clusters_star)
 )
 
 

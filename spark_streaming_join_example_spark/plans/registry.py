@@ -68,6 +68,7 @@ def _load_all_plans() -> None:
     from . import tpch_gaps  # noqa: F401
     from . import round7  # noqa: F401
     from . import round10  # noqa: F401
+    from . import round11  # noqa: F401
 
 
 #: The 50 queries exposed FIRST to the verification driver.  The

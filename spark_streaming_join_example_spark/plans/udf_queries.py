@@ -429,3 +429,210 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.groupBy("user_id").applyInPandas(
         hw, "user_id long, n_points long, level double, trend double, forecast double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: a SECOND member for every F-series family.  The
+# driver panel hash-checks 50 names per round; by r10 every F-family
+# member had a CORRECTNESS row, which made the F slots permanent
+# anchors (no new signal possible).  One fresh surface per family
+# turns them back into rotatable slots.  Same policy as above: these
+# prove the Python boundary, hot paths stay JVM-side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_udf_vowels",
+    tags=("F1",),
+    oracle="""
+SELECT doc_id,
+       CAST(len(text) - len(regexp_replace(lower(text), '[aeiou]', '', 'g'))
+            AS INT) AS n_vowels
+FROM documents WHERE doc_id < 300
+""",
+)
+def q_udf_vowels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF #2 (vowel census per document) — a
+    string-scan body instead of q_udf_scalar's split/parse, covering
+    the str-in/int-out signature.  Built-in twin (the oracle): two
+    length() calls around a regexp_replace."""
+
+    @F.udf("int")
+    def n_vowels(text: str) -> int:
+        return sum(1 for ch in text.lower() if ch in "aeiou")
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select("doc_id", n_vowels("text").alias("n_vowels"))
+
+
+@register(
+    "q_pandas_udf_bucket",
+    tags=("F2",),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) % 97 AS BIGINT)
+         AS cent_bucket
+FROM lineitem WHERE l_orderkey < 200
+""",
+)
+def q_pandas_udf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series→series pandas UDF #2: integer cent-bucketing (round to
+    cents in numpy, modulo 97) — an all-integer body, so the Arrow
+    round-trip is provably exact where q_pandas_udf's float multiply
+    relies on IEEE identity."""
+
+    @pandas_udf("long")
+    def cent_bucket(price: pd.Series) -> pd.Series:
+        return (price * 100.0).round().astype("int64") % 97
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey", "l_linenumber", cent_bucket("l_extendedprice").alias("cent_bucket")
+    )
+
+
+@register(
+    "q_grouped_agg_span",
+    tags=("F3",),
+    oracle="""
+SELECT source,
+       CAST(MAX(n_chars) - MIN(n_chars) AS BIGINT) AS char_span,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+""",
+)
+def q_grouped_agg_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF #2: integer span (max-min) and exact
+    int64 sum per source shard — whole-group reductions that stay in
+    integer space end-to-end (q_grouped_agg_udf's mean divides)."""
+
+    @pandas_udf("long")
+    def char_span(chars: pd.Series) -> int:
+        v = chars.to_numpy()
+        return int(v.max() - v.min())
+
+    @pandas_udf("long")
+    def total_chars(chars: pd.Series) -> int:
+        return int(chars.to_numpy().sum())
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        char_span("n_chars").alias("char_span"),
+        total_chars("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "q_apply_in_pandas_gaps",
+    tags=("F4",),
+    oracle="""
+WITH ev AS (
+  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts
+  FROM events
+), gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts)) AS gap
+  FROM ev
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q_apply_in_pandas_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas #2: per-user inter-arrival analysis
+    (sort inside the group, diff the timestamps, report the max gap in
+    µs) — a sort-then-scan group body where q_apply_in_pandas is a
+    head-k slice.  All arithmetic on int64 epoch-µs: exact."""
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        d = pdf["ts"].astype("int64").diff().dropna()
+        if len(d) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n_gaps": pd.Series([], dtype="int64"),
+                 "max_gap_us": pd.Series([], dtype="int64")}
+            )
+        # pandas datetime64 is ns; the fixture carries µs precision
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [len(d)],
+                "max_gap_us": [int(d.max()) // 1000],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return e.groupBy("user_id").applyInPandas(
+        gaps, "user_id long, n_gaps long, max_gap_us long"
+    )
+
+
+@register(
+    "q_map_in_pandas_sieve",
+    tags=("F5",),
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CAST(len(o_orderpriority) AS INT) AS prio_len
+FROM orders WHERE o_orderkey % 1000 < 3
+""",
+)
+def q_map_in_pandas_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas #2: a batch-wise FILTER (keep keys in a modular
+    sieve) + derived column — the shape that changes row COUNT inside
+    the Arrow batch, where q_map_in_pandas is 1:1 per row."""
+
+    def sieve(batches):
+        for pdf in batches:
+            keep = pdf[pdf["o_orderkey"] % 1000 < 3]
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": keep["o_orderkey"],
+                    "o_orderstatus": keep["o_orderstatus"],
+                    "prio_len": keep["o_orderpriority"].str.len().astype("int32"),
+                }
+            )
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.mapInPandas(
+        sieve, "o_orderkey long, o_orderstatus string, prio_len int"
+    )
+
+
+@register(
+    "q_udtf_bigrams",
+    tags=("F6",),
+    oracle="""
+SELECT doc_id,
+       t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bigram
+FROM (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id < 150
+), LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+""",
+)
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF #2: word bigrams (n yields per input row vs
+    q_udtf_tokens' token explode) — the n-gram shingling primitive as
+    a LATERAL table function."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram string")
+    class BigramUDTF:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                yield (a + " " + b,)
+
+    spark.udtf.register("bigram_udtf", BigramUDTF)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    d.createOrReplaceTempView("__udtf_docs_bigrams")
+    return spark.sql(
+        "SELECT doc_id, t.bigram "
+        "FROM __udtf_docs_bigrams, LATERAL bigram_udtf(text) t"
+    )

@@ -817,3 +817,51 @@ def q_stream_stream_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("v_user").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FN-map — map_from_arrays / map_contains_key / map_entries explode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_map_entries_explode",
+    tags=("FN-map", "FN-array"),
+    oracle="""
+SELECT doc_id, 'len' AS k, CAST(n_chars AS BIGINT) AS v,
+       CAST(n_chars > 100 AS INT) AS has_long
+FROM documents WHERE doc_id < 250
+UNION ALL
+SELECT doc_id, 'words', CAST(len(string_split(text, ' ')) AS BIGINT),
+       CAST(n_chars > 100 AS INT)
+FROM documents WHERE doc_id < 250
+""",
+)
+def q_map_entries_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining FN-map constructors/inspectors: map_from_arrays
+    (parallel key/value arrays -> map), map_contains_key (membership
+    probe), and map_entries + explode (map -> rows, the inverse of
+    map_from_entries).  The map round-trips through entry explosion,
+    which the oracle rebuilds as a 2-way UNION."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    m = F.map_from_arrays(
+        F.array(F.lit("len"), F.lit("words")),
+        F.array(
+            F.col("n_chars").cast("long"),
+            F.size(F.split("text", " ")).cast("long"),
+        ),
+    )
+    probe = F.map_contains_key(
+        F.map_filter(m, lambda k, v: v > 100), F.lit("len")
+    ).cast("int")
+    entries = d.select(
+        "doc_id",
+        F.explode(F.map_entries(m)).alias("e"),
+        probe.alias("has_long"),
+    )
+    return entries.select(
+        "doc_id",
+        F.col("e.key").alias("k"),
+        F.col("e.value").alias("v"),
+        "has_long",
+    )

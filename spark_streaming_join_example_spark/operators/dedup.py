@@ -491,23 +491,19 @@ def simhash63(tokens: Column, n_bits: int = 63) -> Column:
     return out
 
 
-def simhash_near_duplicates(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
-    n_bits: int = 63,
-) -> DataFrame:
-    """Bucketed SimHash near-dup pairs: hamming(a, b) <= max_hamming.
+def simhash_chunks(fp: Column, n_bits: int, max_hamming: int) -> Column:
+    """``array<struct<ci,cv>>`` of the pigeonhole chunks of a SimHash
+    fingerprint: the fingerprint split into (max_hamming + 1) disjoint
+    bit ranges — any pair within hamming r must agree EXACTLY on at
+    least one chunk, so candidate pairs form only inside a (chunk_idx,
+    chunk_value) bucket (a plain equi-join after explode, same shape as
+    MinHash LSH banding).
 
-    Pigeonhole blocking: split the fingerprint into (max_hamming + 1)
-    bit chunks — any pair within hamming r must agree EXACTLY on at
-    least one chunk, so candidates form only inside a (chunk_idx,
-    chunk_value) bucket (plain equi-join, same shape as MinHash LSH
-    banding), then bit_count(a XOR b) verifies exactly. Replaces the
-    quadratic all-pairs comparison the fingerprint alone would need —
-    shuffle is O(n·(r+1)) id+chunk rows plus the candidate set.
-    """
+    Shared by the batch pairing (:func:`simhash_near_duplicates`) and
+    the streaming index (streaming/simhash_index.py) so both derive
+    bit-identical buckets — the streaming≡batch equivalence pin depends
+    on it.  Chunks are pure bit ops on one long, so indexes never store
+    them: they re-derive from the fingerprint at read time."""
     n_chunks = max_hamming + 1
     if n_chunks > n_bits:
         raise ValueError(
@@ -523,6 +519,33 @@ def simhash_near_duplicates(
     base, rem = divmod(n_bits, n_chunks)
     sizes = [base + 1] * rem + [base] * (n_chunks - rem)
     offsets = [sum(sizes[:i]) for i in range(n_chunks)]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(fp, offsets[i])
+                .bitwiseAND(F.lit((1 << sizes[i]) - 1))
+                .alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bits: int = 63,
+) -> DataFrame:
+    """Bucketed SimHash near-dup pairs: hamming(a, b) <= max_hamming.
+
+    Pigeonhole blocking (:func:`simhash_chunks`), then
+    bit_count(a XOR b) verifies exactly. Replaces the quadratic
+    all-pairs comparison the fingerprint alone would need — shuffle is
+    O(n·(r+1)) id+chunk rows plus the candidate set.
+    """
     fp = docs.select(
         F.col(id_col),
         simhash63(distinct_tokens(text_col), n_bits=n_bits).alias("fp"),
@@ -530,19 +553,7 @@ def simhash_near_duplicates(
     chunks = fp.select(
         F.col(id_col),
         "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright("fp", offsets[i])
-                        .bitwiseAND(F.lit((1 << sizes[i]) - 1))
-                        .alias("cv"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
+        F.explode(simhash_chunks(F.col("fp"), n_bits, max_hamming)).alias("c"),
     ).select(F.col(id_col), "fp", "c.ci", "c.cv")
     a = chunks.select(
         F.col(id_col).alias("a_id"), F.col("fp").alias("a_fp"), "ci", "cv"

@@ -359,7 +359,9 @@ def compact_pairs(
     spark: SparkSession, out_dir: str, dest: str, n_files: int = 1
 ) -> int:
     """The OPTIMIZE pass for a text index's accumulated PAIRS output
-    (works for both the MinHash and the prefix index — same layout).
+    (works for all three text indexes — MinHash/prefix carry a ``jac``
+    score column, SimHash a ``hamming`` one; the consolidation keys on
+    (a_id, b_id) and preserves whatever score column the index wrote).
 
     Streaming ingestion necessarily lands one small file set per
     micro-batch under ``pairs/batch_id=N``; after N batches every
@@ -377,11 +379,8 @@ def compact_pairs(
     layout (default 1 — pair sets are output-cardinality, tiny next to
     the corpus; size it up when a pair file would exceed a block).
     Returns the pair count written."""
-    pairs = (
-        spark.read.parquet(f"{out_dir}/pairs")
-        .select("a_id", "b_id", "jac")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    raw = spark.read.parquet(f"{out_dir}/pairs")
+    pairs = raw.drop("batch_id").dropDuplicates(["a_id", "b_id"])
     pairs.repartition(n_files).write.mode("overwrite").parquet(dest)
     return spark.read.parquet(dest).count()
 

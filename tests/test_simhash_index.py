@@ -1,0 +1,263 @@
+"""Streaming SimHash near-dup index (round 10): the third text index
+must be EXACTLY equivalent to the batch pigeonhole pipeline — same
+fingerprints, same chunk layout (the shared simhash_chunks helper),
+same bit_count verify — on the drained corpus, with each pair claimed
+by exactly one batch.  Blocking is lossless at the frozen radius, so
+the read-only lookup is pinned EQUAL to brute force (not ≥-recall like
+the statistical MinHash twin)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_streaming_join_example_spark import load_table
+from spark_streaming_join_example_spark.operators.dedup import (
+    distinct_tokens,
+    simhash63,
+    simhash_near_duplicates,
+)
+from spark_streaming_join_example_spark.streaming.simhash_index import (
+    lookup_near_duplicates,
+    maintain_simhash_index,
+    simhash_pairs,
+)
+
+
+def _replay_stream(spark, docs, replay_dir, n_chunks):
+    docs.repartition(n_chunks).write.mode("overwrite").parquet(
+        str(replay_dir)
+    )
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay_dir))
+    )
+
+
+def test_streaming_simhash_equals_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _replay_stream(spark, docs, tmp_path / "replay", 4)
+    idx = str(tmp_path / "sh_idx")
+    maintain_simhash_index(
+        stream, idx, str(tmp_path / "ckpt"), max_hamming=3
+    ).awaitTermination()
+
+    streamed = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_pairs(spark, idx).collect()
+    }
+    batch = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    assert batch, "fixture lost its planted near-dup structure"
+    assert streamed == batch
+
+    # each pair claimed by exactly ONE batch
+    raw = spark.read.parquet(f"{idx}/pairs").groupBy("a_id", "b_id").count()
+    assert raw.filter(F.col("count") > 1).count() == 0
+
+    # really incremental, and with cross-batch discoveries
+    fps = spark.read.parquet(f"{idx}/fps")
+    assert fps.select("batch_id").distinct().count() >= 3
+    first = {
+        r.doc_id
+        for r in fps.filter(F.col("batch_id") == 0).select("doc_id").collect()
+    }
+    assert [
+        p for p in streamed if (p[0] in first) != (p[1] in first)
+    ], "replay produced no cross-batch pairs; equivalence vacuous"
+
+
+def test_streaming_simhash_restart_is_idempotent(spark, sf_dir, tmp_path):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    replay = tmp_path / "replay"
+    docs.repartition(2).write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "sh_idx")
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay))
+        )
+        return maintain_simhash_index(stream, idx, str(tmp_path / "ckpt"))
+
+    start().awaitTermination()
+    before = sorted(
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_pairs(spark, idx).collect()
+    )
+    n_before = (
+        spark.read.parquet(f"{idx}/fps").select("batch_id").distinct().count()
+    )
+    start().awaitTermination()  # same checkpoint: nothing new to do
+    after = sorted(
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_pairs(spark, idx).collect()
+    )
+    n_after = (
+        spark.read.parquet(f"{idx}/fps").select("batch_id").distinct().count()
+    )
+    assert after == before
+    assert n_after == n_before
+
+
+def test_simhash_scheme_mismatch_refuses_to_run(spark, sf_dir, tmp_path):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    replay = tmp_path / "replay"
+    docs.write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "sh_idx")
+
+    def start(ckpt: str, **kw):
+        stream = spark.readStream.schema(docs.schema).parquet(str(replay))
+        return maintain_simhash_index(
+            stream, idx, str(tmp_path / ckpt), **kw
+        )
+
+    start("ckpt1").awaitTermination()
+    m = spark.read.json(f"{idx}/_scheme").collect()[0]
+    assert (m.kind, m.n_bits, m.max_hamming) == ("simhash", 63, 3)
+
+    q = start("ckpt2", max_hamming=4)
+    with pytest.raises(Exception, match="versioned rebuild"):
+        q.awaitTermination()
+
+    start("ckpt3").awaitTermination()  # same scheme: verifies and runs
+
+
+def test_simhash_lookup_equals_brute_force(spark, sf_dir, tmp_path):
+    """Pigeonhole blocking is lossless at the frozen radius, so the
+    read-only lookup must find EXACTLY the brute-force cross pairs —
+    and the index must be unchanged by the lookup."""
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = all_docs.filter(F.col("doc_id") < 400)
+    queries = all_docs.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("q_id"), "text"
+    )
+    stream = _replay_stream(spark, corpus, tmp_path / "replay", 2)
+    idx = str(tmp_path / "sh_idx")
+    maintain_simhash_index(
+        stream, idx, str(tmp_path / "ckpt"), max_hamming=3
+    ).awaitTermination()
+    pairs_before = sorted(
+        (r.a_id, r.b_id) for r in simhash_pairs(spark, idx).collect()
+    )
+
+    got = {
+        (r.q_id, r.doc_id, r.hamming)
+        for r in lookup_near_duplicates(spark, idx, queries).collect()
+    }
+    fp = all_docs.select(
+        "doc_id", simhash63(distinct_tokens("text")).alias("fp")
+    )
+    a = fp.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("q_id"), F.col("fp").alias("a_fp")
+    )
+    b = fp.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("d_id"), F.col("fp").alias("b_fp")
+    )
+    brute = {
+        (r.q_id, r.d_id, r.hamming)
+        for r in a.crossJoin(b)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert brute, "fixture has no cross-boundary planted pairs"
+    assert got == brute  # lossless blocking + exact verify
+
+    # tighter radius is allowed and is exactly the brute subset
+    tighter = {
+        (r.q_id, r.doc_id, r.hamming)
+        for r in lookup_near_duplicates(
+            spark, idx, queries, max_hamming=1
+        ).collect()
+    }
+    assert tighter == {p for p in brute if p[2] <= 1}
+
+    # looser-than-frozen refuses (pigeonhole layout sized for frozen r)
+    with pytest.raises(ValueError, match="frozen radius"):
+        lookup_near_duplicates(spark, idx, queries, max_hamming=5)
+
+    assert (
+        sorted((r.a_id, r.b_id) for r in simhash_pairs(spark, idx).collect())
+        == pairs_before
+    )
+
+
+def test_simhash_maintain_clusters_matches_batch_cc(spark, sf_dir, tmp_path):
+    """maintain_clusters=True on the SimHash index folds pair deltas
+    into the shared incremental cluster snapshots — drained clusters
+    must equal batch connected components over the batch pairs."""
+    from spark_streaming_join_example_spark.operators.graph import (
+        connected_components,
+    )
+    from spark_streaming_join_example_spark.streaming.cluster_index import (
+        latest_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _replay_stream(spark, docs, tmp_path / "replay", 3)
+    idx = str(tmp_path / "sh_idx")
+    maintain_simhash_index(
+        stream, idx, str(tmp_path / "ckpt"), maintain_clusters=True
+    ).awaitTermination()
+
+    def cc_set(df):
+        from collections import defaultdict
+
+        groups = defaultdict(set)
+        for r in df.collect():
+            groups[r.component].add(r.node)
+        return {frozenset(v) for v in groups.values()}
+
+    batch_pairs = simhash_near_duplicates(docs, max_hamming=3).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    batch_cc = connected_components(batch_pairs, src="src", dst="dst")
+    assert cc_set(latest_clusters(spark, idx)) == cc_set(batch_cc)
+
+
+def test_compact_pairs_preserves_simhash_layout(spark, sf_dir, tmp_path):
+    """The shared OPTIMIZE pass keys on (a_id, b_id) and preserves the
+    index's own score column — hamming here, jac for the twins."""
+    from spark_streaming_join_example_spark.streaming.neardup_index import (
+        compact_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    stream = _replay_stream(spark, docs, tmp_path / "replay", 2)
+    idx = str(tmp_path / "sh_idx")
+    maintain_simhash_index(
+        stream, idx, str(tmp_path / "ckpt")
+    ).awaitTermination()
+
+    dest = str(tmp_path / "pairs_compacted")
+    n = compact_pairs(spark, idx, dest)
+    live = sorted(
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_pairs(spark, idx).collect()
+    )
+    compacted = sorted(
+        (r.a_id, r.b_id, r.hamming)
+        for r in spark.read.parquet(dest).collect()
+    )
+    assert compacted == live
+    assert n == len(live)

@@ -636,3 +636,227 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.bigram "
         "FROM __udtf_docs_bigrams, LATERAL bigram_udtf(text) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 F-family members: one more per UDF flavor — each a different
+# shape from its checked and round-11 siblings (see docstrings).  As
+# everywhere in this module: these exist to prove the Python boundary;
+# hot paths stay JVM-side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_udf_digitsum",
+    tags=("F1",),
+    oracle="""
+SELECT o_orderkey,
+       CAST(list_sum(list_transform(
+         regexp_extract_all(CAST(o_orderkey AS VARCHAR), '[0-9]'),
+         x -> CAST(x AS INT))) AS INT) AS digit_sum
+FROM orders WHERE o_orderkey < 500
+""",
+)
+def q_udf_digitsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF #3: int-in/int-out arithmetic body
+    (decimal digit sum of the key) — no string column in sight, where
+    the checked F1 siblings parse/scan strings.  Built-in twin: a
+    regexp digit explode + list_sum (the oracle)."""
+
+    @F.udf("int")
+    def digit_sum(k: int) -> int:
+        return sum(int(ch) for ch in str(k))
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select("o_orderkey", digit_sum("o_orderkey").alias("digit_sum"))
+
+
+@register(
+    "q_pandas_udf_intlen",
+    tags=("F2",),
+    oracle="""
+SELECT o_orderkey,
+       CAST(len(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR))
+            AS INT) AS int_digits
+FROM orders WHERE o_orderkey < 300
+""",
+)
+def q_pandas_udf_intlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series→series pandas UDF #3: numeric→string→length round trip
+    INSIDE the pandas body (digit count of the integer part) — the
+    dtype-crossing shape (float64 → int64 → str → int) where the
+    checked F2 siblings stay in one numeric dtype end-to-end."""
+
+    @pandas_udf("int")
+    def int_digits(price: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return (
+            np.floor(price).astype("int64").astype(str).str.len()
+        ).astype("int32")
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey", int_digits("o_totalprice").alias("int_digits")
+    )
+
+
+@register(
+    "q_grouped_agg_second_max",
+    tags=("F3",),
+    oracle="""
+SELECT lang,
+       CAST(MAX(CASE WHEN n_chars < mx THEN n_chars END) AS BIGINT)
+         AS second_max_chars
+FROM (
+  SELECT lang, n_chars, MAX(n_chars) OVER (PARTITION BY lang) AS mx
+  FROM documents
+)
+GROUP BY lang
+""",
+)
+def q_grouped_agg_second_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF #3: second-largest DISTINCT value per
+    group (NULL when the group is constant) — an order-statistic body
+    that needs the whole group sorted, not a streaming reduction like
+    the checked span/sum/mean siblings.  Oracle: max over values
+    strictly below the group max."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def second_max(chars: pd.Series) -> int | None:
+        u = np.unique(chars.to_numpy())  # sorted ascending, distinct
+        return int(u[-2]) if len(u) >= 2 else None
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        second_max("n_chars").alias("second_max_chars")
+    )
+
+
+@register(
+    "q_apply_in_pandas_norm",
+    tags=("F4",),
+    oracle="""
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+         MIN(n_chars) OVER (PARTITION BY source) AS mn,
+         MAX(n_chars) OVER (PARTITION BY source) AS mx
+  FROM documents
+)
+SELECT source, doc_id,
+       CAST(n_chars - mn AS DOUBLE) / (mx - mn) AS norm
+FROM s WHERE mx > mn
+""",
+)
+def q_apply_in_pandas_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas #3: per-group MIN-MAX NORMALIZATION —
+    a transform that returns one row per INPUT row but needs two
+    whole-group statistics first (the checked F4 siblings reduce the
+    group to one row / slice a head).  Integer min/max and a single
+    IEEE divide keep both engines bit-identical; constant groups are
+    dropped (0-range guard) on both sides."""
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = int(pdf["n_chars"].min()), int(pdf["n_chars"].max())
+        if mx == mn:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "norm": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {
+                "source": pdf["source"],
+                "doc_id": pdf["doc_id"],
+                "norm": (pdf["n_chars"] - mn) / (mx - mn),
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return d.groupBy("source").applyInPandas(
+        norm, "source string, doc_id long, norm double"
+    )
+
+
+@register(
+    "q_map_in_pandas_repeat",
+    tags=("F5",),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(i.i AS INT) AS copy_idx
+FROM (
+  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS q
+  FROM lineitem WHERE l_quantity <= 3.0
+) t, LATERAL (SELECT unnest(range(0, q)) AS i) i
+""",
+)
+def q_map_in_pandas_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas #3: row EXPANSION inside the Arrow batch — each
+    small-quantity lineitem is repeated quantity times with a copy
+    index (1:N where the checked siblings are 1:1 and N:1) — the
+    oversampling/replication shape of a curriculum or class-balance
+    stage.  numpy repeat keeps it vectorized; the oracle is a LATERAL
+    range unnest."""
+
+    def repeat(batches):
+        import numpy as np
+
+        for pdf in batches:
+            keep = pdf[pdf["l_quantity"] <= 3.0]
+            q = keep["l_quantity"].astype("int64").to_numpy()
+            idx = np.repeat(np.arange(len(keep)), q)
+            out = keep.iloc[idx]
+            copy_idx = np.concatenate(
+                [np.arange(n) for n in q]
+            ) if len(q) else np.array([], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": out["l_orderkey"].to_numpy(),
+                    "l_linenumber": out["l_linenumber"].to_numpy(),
+                    "copy_idx": copy_idx.astype("int32"),
+                }
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return li.mapInPandas(
+        repeat, "l_orderkey long, l_linenumber int, copy_idx int"
+    )
+
+
+@register(
+    "q_udtf_chargrams",
+    tags=("F6",),
+    oracle="""
+SELECT c_custkey, CAST(i.i AS INT) AS pos,
+       substr(c_name, CAST(i.i AS INT), 3) AS trigram
+FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 120) t,
+     LATERAL (SELECT unnest(range(1, len(c_name) - 1)) AS i) i
+""",
+)
+def q_udtf_chargrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF #3: positional CHARACTER trigrams (two output
+    columns per yield — position and gram) vs the word-level
+    single-column yields of the checked F6 siblings; the
+    character-shingle primitive of fuzzy-name matching."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, trigram string")
+    class ChargramUDTF:
+        def eval(self, name: str):
+            for i in range(len(name) - 2):
+                yield (i + 1, name[i : i + 3])
+
+    spark.udtf.register("chargram_udtf", ChargramUDTF)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 120
+    )
+    c.createOrReplaceTempView("__udtf_cust_chargrams")
+    return spark.sql(
+        "SELECT c_custkey, t.pos, t.trigram "
+        "FROM __udtf_cust_chargrams, LATERAL chargram_udtf(c_name) t"
+    )

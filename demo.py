@@ -178,6 +178,24 @@ def main() -> None:
         f"near-dups of the corpus, {admitted.count()} admitted"
     )
 
+    # (a') cluster membership of the rejects (read-only, r10 late
+    #      addition): does a rejected doc hit ONE duplicate cluster
+    #      (ordinary dup) or would it MERGE several (worth review)?
+    from spark_streaming_join_example_spark.streaming.cluster_index import (
+        lookup_components,
+    )
+
+    widths = (
+        lookup_components(spark, f"{work}/ingest_idx", hits)
+        .groupBy("q_id")
+        .count()
+    )
+    n_merge = widths.filter("count > 1").count()
+    print(
+        f"   membership check: {n_merge} of the {n_dup} rejects span "
+        f"more than one existing duplicate cluster"
+    )
+
     # (b) ingest the admitted remainder as the next stream batch; the
     #     cluster snapshots advance under the same checkpoint
     admitted.coalesce(1).write.mode("append").parquet(f"{work}/corpus")

@@ -213,3 +213,55 @@ def maintain_cluster_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def lookup_components(
+    spark: SparkSession,
+    out_dir: str,
+    matches: DataFrame,
+    q_col: str = "q_id",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Read-only CLUSTER membership for incoming documents: map the
+    (q_id, doc_id) near-dup matches an index lookup returned (any of
+    the three text indexes' ``lookup_near_duplicates``) onto the
+    current cluster snapshot — (q_id, component, n_members) per
+    distinct cluster the query document would merge into.
+
+    This is the read half the ingest decision needs AFTER the lookup:
+    "this shard document matches 3 corpus documents — are they one
+    duplicate cluster (ordinary dup, keep best) or do they span
+    several (the incoming doc would MERGE clusters, worth a second
+    look)?"  Pure joins against the committed snapshot; nothing is
+    written, mirroring the lookup-vs-maintain split of the indexes.
+    Matched corpus documents that never earned a pair (singletons —
+    never seen in any pairs/ delta) are their own implicit cluster:
+    they surface with the document id as the component and
+    n_members = 1, so the merge-width count stays truthful."""
+    cur = latest_clusters(spark, out_dir)
+    sizes = cur.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    m = matches.select(
+        F.col(q_col).alias("q_id"), F.col(doc_col).alias("_doc")
+    ).distinct()
+    joined = (
+        m.join(cur, m["_doc"] == cur["node"], "left")
+        .select(
+            "q_id",
+            F.coalesce("component", F.col("_doc")).alias("component"),
+            F.col("component").isNull().alias("_singleton"),
+        )
+        .distinct()
+    )
+    return (
+        joined.join(sizes, "component", "left")
+        .select(
+            "q_id",
+            "component",
+            F.when(F.col("_singleton"), F.lit(1))
+            .otherwise(F.col("n_members"))
+            .cast("long")
+            .alias("n_members"),
+        )
+    )

@@ -174,3 +174,71 @@ def test_merge_handles_empty_delta_and_empty_store(spark):
     state = merge_pairs_into_clusters(None, p)
     out = merge_pairs_into_clusters(state, empty)
     assert _cc_set(out) == {(7, 7), (9, 7)}
+
+
+def test_lookup_components_maps_matches_to_clusters(spark, tmp_path):
+    """Read-only cluster membership for an incoming shard (r10 late
+    addition): index the corpus with maintain_clusters=True, run the
+    read-only near-dup lookup for held-out queries, then map the
+    matches onto clusters with lookup_components — every row must
+    agree with a hand-computed model over batch connected components
+    (matched singletons surface as their own 1-member cluster), and
+    nothing is written."""
+    from collections import defaultdict
+
+    from spark_streaming_join_example_spark.streaming.cluster_index import (
+        lookup_components,
+    )
+    from spark_streaming_join_example_spark.streaming.simhash_index import (
+        lookup_near_duplicates,
+        maintain_simhash_index,
+        simhash_pairs,
+    )
+
+    all_docs = load_table(spark, _SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = all_docs.filter(F.col("doc_id") < 400)
+    queries = all_docs.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("q_id"), "text"
+    )
+    replay = tmp_path / "replay"
+    corpus.repartition(2).write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "sh_idx")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    maintain_simhash_index(
+        stream, idx, str(tmp_path / "ckpt"), maintain_clusters=True
+    ).awaitTermination()
+
+    matches = lookup_near_duplicates(spark, idx, queries)
+    assert matches.count() > 0, "no cross-boundary matches; test vacuous"
+    got = {
+        (r.q_id, r.component, r.n_members)
+        for r in lookup_components(spark, idx, matches).collect()
+    }
+
+    # model: components from the drained pair store (= batch CC),
+    # sizes per component, singletons map to themselves
+    comp = {
+        r.node: r.component
+        for r in connected_components(
+            simhash_pairs(spark, idx).select("a_id", "b_id")
+        ).collect()
+    }
+    sizes = defaultdict(int)
+    for n, c in comp.items():
+        sizes[c] += 1
+    want = set()
+    for r in matches.select("q_id", "doc_id").distinct().collect():
+        c = comp.get(r.doc_id, r.doc_id)
+        want.add((r.q_id, c, sizes.get(c, 1)))
+    assert got == want
+
+    # read-only: snapshot store unchanged by the lookup
+    snaps = spark.read.parquet(f"{idx}/clusters").count()
+    lookup_components(spark, idx, matches).collect()
+    assert spark.read.parquet(f"{idx}/clusters").count() == snaps

@@ -830,3 +830,37 @@ def test_dedup_incoming_plan_is_equijoin(spark, sf_dir, qd):
     p = plan_of(qd["q_dedup_incoming"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round12_plan_shapes(spark, sf_dir, qd):
+    """Plan pins for the round-12 surface (same discipline as every
+    other family): derived-key dim joins still broadcast, the bounded
+    conversion join stays an EQUI join on the user key with the time
+    band as a post-condition, the tolerance-asof plans with NO join at
+    all (one keyed window pass over the tagged union), and the chunk
+    fan-out aggregates with map-side partials."""
+    # J1 derived shard key: dim broadcast, fact never shuffled for it
+    p = plan_of(qd["q_events_supplier_mix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    # J2/J7 conversion: equi-join on user key (hash-partitioned both
+    # sides or broadcast), band rides as join condition — and never a
+    # cartesian
+    p = plan_of(qd["q_click_purchase"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "Join" in p and "user_id" in p
+
+    # J8 tolerance-asof: the tagged-union window form has NO join node
+    p = plan_of(qd["q_asof_tolerance"](spark, sf_dir))
+    assert "Join" not in p
+    assert "Window" in p
+
+    # X4 chunking: explode fan-out then partial+final aggregation
+    # (sort-based here — the distinct-count agg key is an md5 string)
+    p = plan_of(qd["q_payload_chunks"](spark, sf_dir))
+    assert "Generate" in p and "explode" in p
+    assert p.count("Aggregate") >= 2
+
+    # O3 descending layout: range repartition feeds an in-partition sort
+    p = plan_of(qd["q_desc_range_layout"](spark, sf_dir))
+    assert "rangepartitioning" in p and "o_totalprice" in p

@@ -261,3 +261,72 @@ def test_compact_pairs_preserves_simhash_layout(spark, sf_dir, tmp_path):
     )
     assert compacted == live
     assert n == len(live)
+
+
+def test_simhash_chunk_blocking_is_lossless_for_random_flips(spark):
+    """Pigeonhole coverage of the SHARED chunk helper, driven through
+    the distributed expression itself: 2,000 seeded fingerprint pairs
+    with 0–3 random bit flips must EVERY one share at least one
+    (chunk_idx, chunk_value) bucket at r=3 — the invariant both the
+    batch pairing and the streaming index's candidate join stand on.
+    A control with 4 flips concentrated past every chunk boundary is
+    also checked to document what the guarantee does NOT promise."""
+    import random
+
+    from spark_streaming_join_example_spark.operators.dedup import (
+        simhash_chunks,
+    )
+
+    rng = random.Random(20260815)
+    rows = []
+    for i in range(2000):
+        a = rng.getrandbits(63)
+        ham = rng.randint(0, 3)
+        b = a
+        for bit in rng.sample(range(63), ham):
+            b ^= 1 << bit
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "pair_id long, fa long, fb long")
+    chunked = df.select(
+        "pair_id",
+        F.explode(
+            F.arrays_zip(
+                simhash_chunks(F.col("fa"), 63, 3).alias("ca"),
+                simhash_chunks(F.col("fb"), 63, 3).alias("cb"),
+            )
+        ).alias("z"),
+    ).select(
+        "pair_id",
+        F.col("z.ca.cv").alias("cva"),
+        F.col("z.cb.cv").alias("cvb"),
+    )
+    sharing = (
+        chunked.filter(F.col("cva") == F.col("cvb"))
+        .select("pair_id")
+        .distinct()
+        .count()
+    )
+    assert sharing == 2000  # every hamming<=3 pair shares a chunk
+
+    # negative control: 4 flips, one per chunk (layout 16/16/16/15 →
+    # offsets 0/16/32/48), never share a chunk — the pigeonhole bound
+    # is tight, not conservative
+    offsets = [0, 16, 32, 48]
+    a = rng.getrandbits(63)
+    b = a
+    for off in offsets:
+        b ^= 1 << off
+    ctl = spark.createDataFrame([(0, a, b)], "pair_id long, fa long, fb long")
+    ctl_share = (
+        ctl.select(
+            F.explode(
+                F.arrays_zip(
+                    simhash_chunks(F.col("fa"), 63, 3).alias("ca"),
+                    simhash_chunks(F.col("fb"), 63, 3).alias("cb"),
+                )
+            ).alias("z")
+        )
+        .filter(F.col("z.ca.cv") == F.col("z.cb.cv"))
+        .count()
+    )
+    assert ctl_share == 0

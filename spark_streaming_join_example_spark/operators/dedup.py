@@ -538,6 +538,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     n_bits: int = 63,
+    shingle: int = 1,
 ) -> DataFrame:
     """Bucketed SimHash near-dup pairs: hamming(a, b) <= max_hamming.
 
@@ -545,10 +546,26 @@ def simhash_near_duplicates(
     bit_count(a XOR b) verifies exactly. Replaces the quadratic
     all-pairs comparison the fingerprint alone would need — shuffle is
     O(n·(r+1)) id+chunk rows plus the candidate set.
+
+    ``shingle > 1`` fingerprints word n-gram units instead of distinct
+    tokens — the SAME fix that rescued MinHash (r8) and the prefix
+    join (r9) on small-vocabulary corpora applies verbatim here, and
+    it is what makes SimHash blocking scale-safe: token-unit
+    fingerprints of same-vocabulary docs concentrate, so chunk buckets
+    collide massively (measured 14.2 % of all-pairs admitted on the
+    fixture), while shingle units give a corpus-sized unit vocabulary
+    that spreads the fingerprints (0.01 % admitted — SCALE.md
+    §Round-10).  Default stays 1 for the registered token-unit
+    queries' semantics; use 3 at scale.
     """
+    unit = (
+        shingles(text_col, n=shingle)
+        if shingle > 1
+        else distinct_tokens(text_col)
+    )
     fp = docs.select(
         F.col(id_col),
-        simhash63(distinct_tokens(text_col), n_bits=n_bits).alias("fp"),
+        simhash63(unit, n_bits=n_bits).alias("fp"),
     ).localCheckpoint(eager=True)
     chunks = fp.select(
         F.col(id_col),

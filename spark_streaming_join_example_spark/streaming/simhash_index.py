@@ -41,11 +41,20 @@ restart idempotence, scheme-mismatch refusal, and lookup == brute
 force (pigeonhole blocking is lossless, so the read-only lookup has
 precision AND recall 1.0 at the frozen radius).
 
-At 100 TB: per-batch work is one fingerprint pass over the batch
-(JVM bit expressions, no Python) plus an equi-join of (r+1) chunk rows
-per new document against (r+1) chunk rows per corpus document — both
-sides fixed-width longs; cost tracks true chunk collisions, not
-corpus × batch.  File-count hygiene: ``neardup_index.compact_pairs``
+Scale contract (measured — SCALE.md §Round-10): the candidate join's
+cost tracks CHUNK COLLISIONS, so the UNIT the fingerprint summarizes
+decides everything.  Token-unit fingerprints (shingle=1, the
+registered batch queries' semantics) concentrate on small-vocabulary
+corpora and the blocker saturates to a constant all-pairs fraction
+(14.2 % → 7.8 % measured from n=5 k to n=80 k — Θ(n²); do not
+self-join a 100 TB corpus in that mode).  ``shingle=3`` fingerprints
+word n-gram units — the SAME fix that rescued MinHash (r8) and the
+prefix join (r9) — and collapses the measured candidate rate to
+0.01 % of all-pairs on the identical corpus: THAT is the scale mode,
+and the unit width freezes into the scheme manifest like every other
+parameter.  Maintenance work per batch is one fingerprint pass (JVM
+bit expressions, no Python) plus the chunk equi-join (AQE skew-split
+applies).  File-count hygiene: ``neardup_index.compact_pairs``
 consolidates the pairs output (shared layout); the fps store compacts
 the same way on a schedule (union of CLOSED batches to a versioned
 dir).
@@ -56,8 +65,24 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.dedup import distinct_tokens, simhash63, simhash_chunks
+from ..operators.dedup import (
+    distinct_tokens,
+    shingles,
+    simhash63,
+    simhash_chunks,
+)
 from .neardup_index import _verify_or_freeze_scheme, read_scheme
+
+
+def _unit(text_col: str, shingle: int):
+    """The fingerprinted unit: word n-gram shingles when shingle > 1
+    (the scale-safe form — see simhash_near_duplicates), else distinct
+    tokens (the registered batch queries' semantics)."""
+    return (
+        shingles(text_col, n=shingle)
+        if shingle > 1
+        else distinct_tokens(text_col)
+    )
 
 
 def _chunk_rows(
@@ -82,12 +107,18 @@ def maintain_simhash_index(
     checkpoint_dir: str,
     max_hamming: int = 3,
     n_bits: int = 63,
+    shingle: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
     maintain_clusters: bool = False,
 ):
     """Start the index-maintenance query on a streaming DataFrame of
     (id_col, text_col) rows.  Returns the StreamingQuery.
+
+    ``shingle > 1`` fingerprints word n-gram units — the scale-safe
+    form on small-vocabulary corpora (candidates 14.2 % → 0.01 % of
+    all-pairs measured at n=5 k; SCALE.md §Round-10).  The unit choice
+    freezes into the scheme manifest like every other parameter.
 
     ``maintain_clusters=True`` folds each batch's verified pair delta
     into incrementally-maintained duplicate CLUSTER ids under
@@ -98,6 +129,7 @@ def maintain_simhash_index(
         "kind": "simhash",
         "n_bits": n_bits,
         "max_hamming": max_hamming,
+        "shingle": shingle,
         "id_col": id_col,
         "text_col": text_col,
     }
@@ -111,7 +143,7 @@ def maintain_simhash_index(
         # consumes one consistent on-disk relation
         batch_df.select(
             F.col(id_col),
-            simhash63(distinct_tokens(text_col), n_bits=n_bits).alias("fp"),
+            simhash63(_unit(text_col, shingle), n_bits=n_bits).alias("fp"),
         ).write.mode("overwrite").parquet(f"{out_dir}/fps/batch_id={batch_id}")
 
         # 2. candidates + verify in one pass: the chunk rows CARRY the
@@ -221,10 +253,13 @@ def lookup_near_duplicates(
             "a larger one)"
         )
     n_bits = int(m["n_bits"])
+    # unit scheme comes from the frozen manifest — a caller cannot
+    # query with a different shingle width than the index was built at
+    shingle = int(m.get("shingle") or 1)
     idx_id = m.get("id_col") or "doc_id"
     q_fps = docs.select(
         F.col(id_col),
-        simhash63(distinct_tokens(text_col), n_bits=n_bits).alias("fp"),
+        simhash63(_unit(text_col, shingle), n_bits=n_bits).alias("fp"),
     )
     idx_fps = (
         spark.read.parquet(f"{out_dir}/fps")

@@ -330,3 +330,85 @@ def test_simhash_chunk_blocking_is_lossless_for_random_flips(spark):
         .count()
     )
     assert ctl_share == 0
+
+
+def test_simhash_shingle_mode_equals_batch_and_prunes(spark, sf_dir, tmp_path):
+    """shingle=3 — the scale-safe unit (the same fix that rescued
+    MinHash/prefix on the small-vocabulary fixture): streamed must
+    still equal batch EXACTLY, the lookup must still equal brute
+    force, the scheme manifest must carry the unit width, and the
+    shingle fingerprints must be dramatically sparser than token-unit
+    ones (the measured 14 % → 0.01 % candidate collapse in SCALE.md)."""
+    from spark_streaming_join_example_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _replay_stream(spark, docs, tmp_path / "replay", 3)
+    idx = str(tmp_path / "sh_idx")
+    maintain_simhash_index(
+        stream, idx, str(tmp_path / "ckpt"), max_hamming=3, shingle=3
+    ).awaitTermination()
+
+    streamed = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_pairs(spark, idx).collect()
+    }
+    batch = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_near_duplicates(
+            docs, max_hamming=3, shingle=3
+        ).collect()
+    }
+    assert batch, "fixture lost its shingle-mode near-dup structure"
+    assert streamed == batch
+    # far sparser than the token-unit relation on the same corpus
+    token_pairs = simhash_near_duplicates(docs, max_hamming=3).count()
+    assert len(batch) * 10 < token_pairs
+
+    m = spark.read.json(f"{idx}/_scheme").collect()[0]
+    assert m.shingle == 3
+
+    # read-only lookup at the frozen shingle scheme == brute force
+    corpus_ids = {r.doc_id for r in docs.select("doc_id").collect()
+                  if r.doc_id < 400}
+    queries = docs.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("q_id"), "text"
+    )
+    # index contains ALL docs here; restrict brute force accordingly
+    got = {
+        (r.q_id, r.doc_id, r.hamming)
+        for r in lookup_near_duplicates(spark, idx, queries).collect()
+        if r.doc_id in corpus_ids
+    }
+    fp = docs.select(
+        "doc_id", simhash63(shingles("text", n=3)).alias("fp")
+    )
+    a = fp.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("q_id"), F.col("fp").alias("a_fp")
+    )
+    b = fp.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("d_id"), F.col("fp").alias("b_fp")
+    )
+    brute = {
+        (r.q_id, r.d_id, r.hamming)
+        for r in a.crossJoin(b)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert brute, "no cross-boundary shingle-mode pairs; test vacuous"
+    assert got == brute
+
+    # restarting with a DIFFERENT unit width refuses (frozen scheme)
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "replay"))
+    )
+    q = maintain_simhash_index(
+        stream2, idx, str(tmp_path / "ckpt2"), max_hamming=3, shingle=1
+    )
+    with pytest.raises(Exception, match="versioned rebuild"):
+        q.awaitTermination()

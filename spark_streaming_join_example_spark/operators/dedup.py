@@ -469,26 +469,45 @@ def simhash63(tokens: Column, n_bits: int = 63) -> Column:
     Per bit b: sum over tokens of ±1 depending on bit b of
     xxhash64(token); fingerprint bit b = 1 iff the sum is positive.
     Pure JVM expressions; near-dup pairs are then `bit_count(a ^ b)
-    <= r`. Quadratic pairing — use the MinHash LSH path at scale and
-    SimHash for fingerprint storage/verification.
-    """
+    <= r` (blocked sub-quadratically by :func:`simhash_chunks` —
+    use shingle units at scale, see simhash_near_duplicates).
 
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            tokens,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(n_bits):
-        out = out + F.when(bit_sum(b) > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    ONE-PASS form (r10): a single aggregate carries an array of
+    n_bits counters; each token is hashed ONCE (the inner
+    single-element aggregate binds the hash value so the 63 bit
+    tests share it) and contributes ±1 per bit via zip_with against
+    precomputed mask literals.  The previous per-bit form ran 63
+    separate aggregates, each re-hashing every token — measured
+    86.7 s → 3.1 s for shingle-unit fingerprints of the sf0.1 corpus
+    (27×), 4.1 s → 1.0 s for token units; outputs bit-identical
+    (pinned by the old-vs-new differential run in NOTES_r10 and by
+    every existing brute-force-equality test)."""
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    counts = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, t: F.aggregate(
+            F.array(F.xxhash64(t)),  # binds the hash ONCE per token
+            acc,
+            lambda a2, h: F.zip_with(
+                a2,
+                F.transform(
+                    masks,
+                    lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+                ),
+                lambda c, s: c + s,
+            ),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_chunks(fp: Column, n_bits: int, max_hamming: int) -> Column:

@@ -1119,3 +1119,24 @@ def q_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_chunk_md5"),
         F.countDistinct("chunk_md5").alias("n_distinct_chunks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X2 — SimHash near-dup pairs over SHINGLE units (the scale mode)
+# ---------------------------------------------------------------------------
+
+
+@register("q_simhash_shingle_pairs", tags=("X2",))
+def q_simhash_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with word-3-gram SHINGLE fingerprint
+    units — the corpus-scale self-join mode (q_simhash_pairs is the
+    token-unit form, whose blocker measurably saturates on this
+    fixture's 31-word vocabulary: 14.24 % of all-pairs admitted vs
+    0.0100 % shingled, SCALE.md §Round-10).  Rows-only (xxhash64-based
+    fingerprints have no DuckDB twin); the pigeonhole-lossless
+    equivalence to brute force is pytest-pinned for both unit modes
+    (tests/test_extensions.py, tests/test_simhash_index.py)."""
+    from ..operators.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=3, shingle=3)

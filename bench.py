@@ -163,6 +163,9 @@ def main() -> None:
             # round-9: the exact shingle-unit prefix-filter join (the
             # provably-complete dedup scale path; new operator mode)
             "q_prefix_shingle_join",
+            # round-10: shingle-unit SimHash pairs (the scale mode of
+            # the third dedup blocker; one-pass fingerprint kernel)
+            "q_simhash_shingle_pairs",
         )
         if n in qd
     ]

@@ -412,3 +412,59 @@ def test_simhash_shingle_mode_equals_batch_and_prunes(spark, sf_dir, tmp_path):
     )
     with pytest.raises(Exception, match="versioned rebuild"):
         q.awaitTermination()
+
+
+def test_simhash_index_mid_batch_crash_recovery(spark, sf_dir, tmp_path):
+    """Crash-window chaos (the same scenario pinned for both Jaccard
+    indexes): a batch whose fps/pairs output landed but whose
+    checkpoint commit did not is re-executed on restart — the
+    per-batch_id overwrite must converge to the exact same pair set,
+    with every pair still claimed exactly once."""
+    import glob
+    import os as _os
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    replay = tmp_path / "replay"
+    docs.repartition(3).write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "sh_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay))
+        )
+        return maintain_simhash_index(stream, idx, ckpt)
+
+    start().awaitTermination()
+    before = sorted(
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_pairs(spark, idx).collect()
+    )
+    assert before, "fixture produced no pairs; chaos test vacuous"
+
+    commits = sorted(
+        glob.glob(_os.path.join(ckpt, "commits", "[0-9]*")),
+        key=lambda p: int(_os.path.basename(p)),
+    )
+    assert len(commits) >= 2
+    _os.remove(commits[-1])
+    crc = _os.path.join(
+        _os.path.dirname(commits[-1]),
+        f".{_os.path.basename(commits[-1])}.crc",
+    )
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    start().awaitTermination()
+    after = sorted(
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_pairs(spark, idx).collect()
+    )
+    assert after == before
+    raw = spark.read.parquet(f"{idx}/pairs").groupBy("a_id", "b_id").count()
+    assert raw.filter(F.col("count") > 1).count() == 0

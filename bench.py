@@ -326,12 +326,66 @@ def main() -> None:
     _emit(out)
 
 
+def _heavy_comparability(heavy: dict, prev_name, here: str) -> dict:
+    """``heavy_total_comparable``: the subset of this run's heavy tier
+    that the PREVIOUS artifact's heavy_total could also contain, so a
+    cross-round heavy drift read needs no manual subtraction (the r10
+    lesson: q_simhash_shingle_pairs landed mid-round and r10's
+    heavy_total was silently not comparable to r9's).
+
+    A name ledger (BENCH_HEAVY_NAMES.json, committed) records, per
+    heavy query, the newest BENCH_r*.json that existed when the name
+    FIRST appeared.  A name whose first-seen artifact IS the current
+    prev artifact was added after prev was recorded, so prev's total
+    cannot include it — exclude it from the comparable sum and list it
+    under ``heavy_new``.  Names present in the ledger (and in prev's
+    total) but absent from this run are listed under ``heavy_dropped``
+    and trimmed, so a later re-add is treated as new again."""
+    path = os.path.join(here, "BENCH_HEAVY_NAMES.json")
+    try:
+        with open(path) as f:
+            ledger = json.load(f)
+        if not isinstance(ledger, dict):
+            ledger = {}
+    except Exception:
+        ledger = {}
+    marker = prev_name or ""
+    for name in heavy:
+        ledger.setdefault(name, marker)
+    new = sorted(n for n in heavy if marker and ledger[n] == marker)
+    dropped = sorted(
+        n for n in ledger if n not in heavy and ledger[n] != marker
+    )
+    ledger = {n: v for n, v in ledger.items() if n in heavy}
+    try:
+        with open(path, "w") as f:
+            json.dump(ledger, f, indent=0, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: comparability is still emitted
+    res = {
+        "heavy_total_comparable": round(
+            sum(v for n, v in heavy.items() if n not in set(new)), 3
+        )
+    }
+    if new:
+        res["heavy_new"] = new
+    if dropped:
+        res["heavy_dropped"] = dropped
+    return res
+
+
 def _emit(out: dict) -> None:
     """Write the full payload to BENCH_FULL.json (file ONLY — a long
     stdout line would leave a truncated fragment in the driver's tail
     window), then print the compact summary as the FINAL stdout line
     (driver keeps ~2000 chars of tail; see module docstring)."""
     here = os.path.dirname(os.path.abspath(__file__))
+    out.update(
+        _heavy_comparability(
+            out.get("heavy") or {}, out.get("prev_artifact"), here
+        )
+    )
     full = json.dumps(out)
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         f.write(full + "\n")
@@ -376,6 +430,9 @@ def _emit(out: dict) -> None:
             "recent_totals",
             "skipped_unparseable",
             "graph_edge_build",
+            "heavy_total_comparable",
+            "heavy_new",
+            "heavy_dropped",
         )
         if k in out
     }
@@ -393,6 +450,8 @@ def _emit(out: dict) -> None:
         "vs_baseline_per_query",
         "streaming_rows_s",
         "heavy_worst5",
+        "heavy_new",
+        "heavy_dropped",
         "recent_totals",
         "skipped_unparseable",
         "spread",

@@ -14,27 +14,56 @@ import contextlib
 import io
 import json
 import pathlib
+import shutil
 
 import pytest
 
 import bench
 
 REPO = pathlib.Path(bench.__file__).parent
+FIXTURES = REPO / "tests" / "data" / "bench_artifacts"
 
 
-def test_recovers_plain_and_truncated_artifacts():
+@pytest.fixture
+def artifact_sandbox(tmp_path, monkeypatch):
+    """A repo-shaped sandbox holding ONLY the fixture artifacts, so the
+    rolling _recorded_totals window never depends on how many rounds
+    the driver has run (the r10 lesson: asserting a live artifact name
+    inside the max_n=3 window aged out the moment BENCH_r10.json
+    landed and slid the window)."""
+    for p in FIXTURES.glob("BENCH_r*.json"):
+        shutil.copy(p, tmp_path / p.name)
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    return tmp_path
+
+
+def test_recovers_plain_and_truncated_artifacts(artifact_sandbox):
     recovered, skipped = bench._recorded_totals()
     names = dict(recovered)
-    # the newest artifact (plain driver format) recovers directly
-    newest = sorted(REPO.glob("BENCH_r*.json"))[-1].name
-    assert recovered[0][0] == newest
+    # the newest fixture (plain bench.py format) recovers directly
+    assert recovered[0] == ("BENCH_r99.json", 0.42)
     # r7's head-truncated tail reconstructs value = baseline × ratio
-    # (its "value" field was cut off; the trailing fields survive)
+    # (its "value" field was cut off; the trailing fields survive) —
+    # fixture copy of the real truncated driver artifact
+    assert names["BENCH_r07.json"] == pytest.approx(1.269 * 0.26, abs=0.01)
+    # an unrecoverable artifact between them is NAMED, never silently
+    # lost (r8 compared itself to r6 because r7 was dropped traceless)
+    assert skipped == ["BENCH_r98.json"]
+
+
+def test_live_artifacts_all_recoverable():
+    """Every committed driver artifact yields a total — with the window
+    sized to the artifact count, so this can never age out as rounds
+    accumulate."""
+    arts = sorted(REPO.glob("BENCH_r*.json"))
+    recovered, skipped = bench._recorded_totals(max_n=len(arts))
+    assert skipped == []
+    assert len(recovered) == len(arts)
+    assert recovered[0][0] == arts[-1].name
+    # the live r7 artifact still reconstructs (same property as the
+    # fixture pin, asserted window-free via the single-artifact API)
     r7 = bench._total_from_artifact(str(REPO / "BENCH_r07.json"))
     assert r7 == pytest.approx(1.269 * 0.26, abs=0.01)
-    assert "BENCH_r07.json" in names or len(recovered) < 2
-    # nothing in the committed artifact set is unrecoverable
-    assert skipped == []
 
 
 def test_total_from_artifact_handles_garbage(tmp_path):
@@ -81,3 +110,78 @@ def test_emit_compact_line_fits_and_parses(tmp_path, monkeypatch):
     parsed = json.loads(line)
     assert parsed["value"] == 1.23
     assert parsed["full"] == "BENCH_FULL.json"
+
+
+def test_heavy_total_comparable_tracks_tier_changes(tmp_path, monkeypatch):
+    """heavy_total is not cross-round comparable when the heavy tier
+    changes mid-round (r10: q_simhash_shingle_pairs).  The ledger-backed
+    heavy_total_comparable excludes names the PREV artifact cannot
+    contain, names them under heavy_new, and reports removals under
+    heavy_dropped — so the next drift read needs no manual subtraction."""
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+
+    # round N: a, b existed before BENCH_r01.json; fresh ledger means
+    # both look first-seen at the current prev — i.e. new
+    comp = bench._heavy_comparability(
+        {"a": 1.0, "b": 2.0}, "BENCH_r01.json", str(tmp_path)
+    )
+    assert comp["heavy_total_comparable"] == 0.0
+    assert comp["heavy_new"] == ["a", "b"]
+
+    # driver records BENCH_r02.json; a and b's first-seen artifact
+    # (r01) now differs from prev (r02) → comparable; c lands mid-round
+    comp = bench._heavy_comparability(
+        {"a": 1.0, "b": 2.0, "c": 4.0}, "BENCH_r02.json", str(tmp_path)
+    )
+    assert comp["heavy_total_comparable"] == 3.0
+    assert comp["heavy_new"] == ["c"]
+    assert "heavy_dropped" not in comp
+
+    # a second run inside the SAME round keeps c excluded (its
+    # first-seen artifact is still the current prev)
+    comp = bench._heavy_comparability(
+        {"a": 1.0, "b": 2.0, "c": 4.0}, "BENCH_r02.json", str(tmp_path)
+    )
+    assert comp["heavy_total_comparable"] == 3.0
+
+    # next round: c becomes comparable; dropping b is REPORTED (prev's
+    # total contained it) and trimmed from the ledger
+    comp = bench._heavy_comparability(
+        {"a": 1.0, "c": 4.0}, "BENCH_r03.json", str(tmp_path)
+    )
+    assert comp["heavy_total_comparable"] == 5.0
+    assert "heavy_new" not in comp
+    assert comp["heavy_dropped"] == ["b"]
+
+    # re-adding b after the trim treats it as new again
+    comp = bench._heavy_comparability(
+        {"a": 1.0, "b": 2.0, "c": 4.0}, "BENCH_r03.json", str(tmp_path)
+    )
+    assert comp["heavy_new"] == ["b"]
+    assert comp["heavy_total_comparable"] == 5.0
+
+    ledger = json.loads((tmp_path / "BENCH_HEAVY_NAMES.json").read_text())
+    assert set(ledger) == {"a", "b", "c"}
+
+
+def test_emit_carries_comparability_into_compact_line(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    (tmp_path / "BENCH_HEAVY_NAMES.json").write_text(
+        json.dumps({"h_old": "BENCH_r01.json", "h_new": "BENCH_r02.json"})
+    )
+    line = _emit_line(
+        {
+            "metric": "warm_total_headline_queries",
+            "value": 1.0,
+            "unit": "sec",
+            "sf": 0.1,
+            "queries": {"q": 1.0},
+            "runs": 1,
+            "heavy": {"h_old": 2.0, "h_new": 3.0},
+            "prev_artifact": "BENCH_r02.json",
+        }
+    )
+    parsed = json.loads(line)
+    assert parsed["heavy_total"] == 5.0
+    assert parsed["heavy_total_comparable"] == 2.0
+    assert parsed["heavy_new"] == ["h_new"]

@@ -1086,6 +1086,12 @@ def q_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.hex(F.encode("text", "UTF-8")).alias("h"),
         F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+    ).filter(
+        # zero-byte guard: Spark's sequence(0, -1) yields a DESCENDING
+        # [0, -1] (two bogus chunk rows), while the oracle's
+        # range(0, 0) is empty — drop empty payloads before the
+        # generator so both engines emit no chunks for them
+        F.col("n_bytes") > 0
     )
     chunks = b.select(
         "doc_id",

@@ -380,7 +380,21 @@ def compact_pairs(
     the corpus; size it up when a pair file would exceed a block).
     Returns the pair count written."""
     raw = spark.read.parquet(f"{out_dir}/pairs")
-    pairs = raw.drop("batch_id").dropDuplicates(["a_id", "b_id"])
+    # explicit column contract: (a_id, b_id, <one score column>) [+ the
+    # batch_id partition column].  An unexpected layout must fail here,
+    # not silently leak a stray column into the compacted output; and
+    # the representative row per (a_id, b_id) is picked by a
+    # DETERMINISTIC min over the score rather than dropDuplicates'
+    # arbitrary row (duplicate claims across a retry race carry equal
+    # scores — same doc pair, same metric — so min is also lossless)
+    score_cols = [c for c in raw.columns if c not in ("a_id", "b_id", "batch_id")]
+    if len(score_cols) != 1 or not {"a_id", "b_id"} <= set(raw.columns):
+        raise ValueError(
+            f"compact_pairs: expected columns (a_id, b_id, <score>"
+            f"[, batch_id]), got {raw.columns}"
+        )
+    score = score_cols[0]
+    pairs = raw.groupBy("a_id", "b_id").agg(F.min(score).alias(score))
     pairs.repartition(n_files).write.mode("overwrite").parquet(dest)
     return spark.read.parquet(dest).count()
 

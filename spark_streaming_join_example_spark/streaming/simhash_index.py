@@ -41,6 +41,17 @@ restart idempotence, scheme-mismatch refusal, and lookup == brute
 force (pigeonhole blocking is lossless, so the read-only lookup has
 precision AND recall 1.0 at the frozen radius).
 
+Precondition shared with both siblings (write-once corpus): doc ids
+are UNIQUE across the whole stream — each document is ingested exactly
+once.  Re-ingesting an existing id in a later batch re-discovers its
+old pairs and lands them under a second batch_id partition: readers
+still return the correct pair set (the belt-and-braces dropDuplicates
+collapses the copies), but the "each pair claimed by exactly one
+batch" invariant the tests pin no longer holds, and the re-ingested
+document's fingerprint is stored twice.  Screen incoming shards with
+``lookup_near_duplicates`` (or an id anti-join) before admission —
+demo.py §7 shows the loop.
+
 Scale contract (measured — SCALE.md §Round-10): the candidate join's
 cost tracks CHUNK COLLISIONS, so the UNIT the fingerprint summarizes
 decides everything.  Token-unit fingerprints (shingle=1, the

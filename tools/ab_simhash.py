@@ -30,7 +30,11 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
-sys.path.insert(0, "/root/repo")
+import os
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from spark_streaming_join_example_spark import get_spark, load_table
 from spark_streaming_join_example_spark.operators.dedup import (

@@ -31,7 +31,11 @@ from decimal import Decimal
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+import os
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from spark_streaming_join_example_spark import get_spark
 from spark_streaming_join_example_spark.plans.registry import (

@@ -88,74 +88,80 @@ def _load_all_plans() -> None:
 #:
 #: ROTATION (round 7+): a fixed panel means the long tail of oracle
 #: queries never earns an official driver CORRECTNESS row.  Each
-#: round, ~25-30 non-anchor slots rotate to a DIFFERENT query covering
-#: the SAME §2 family (the swapped-out name stays green in the full
+#: round, the non-anchor slots rotate to DIFFERENT queries covering
+#: the SAME §2 families (the swapped-out names stay green in the full
 #: local differential).  Swaps are marked "rN: was <name>" below.  The
-#: r10 rotation pushes 27 FIRST-TIME names: by r10 seven families
-#: (A4/A6/A7/A9/P4/J6/FN-map) had NO never-checked member left, so
-#: plans/round10.py adds one genuinely new query per family and those
-#: ride the panel alongside 17 names from the r9 pre-validated
-#: shortlist, q_quantize_embeddings, and the two new incremental-dedup
-#: queries (q_dedup_incoming, q_dup_clusters_incoming).  Family
-#: coverage proven lossless at swap time (old-panel tag-union ==
-#: new-panel tag-union, checked programmatically) and every incoming
-#: name verified green in the sf0.01 differential first (r10 sweep of
-#: all 27: 27 pass, 0 fail).
+#: r11 rotation pushes 42 FIRST-TIME names — the 28-name pre-validated
+#: shortlist from NOTES_r10.md, 6 multi-family gap fillers, and 8
+#: breadth picks — by shrinking the anchor section to the bench set
+#: plus the one family (A3) with no never-checked oracle member: the
+#: two rows-only sketch anchors (q_kll_quantiles, q_theta_setops)
+#: earned driver rows in r7-r10 and rotate off, freeing their slots
+#: for hash-checked names.  Family coverage proven lossless at swap
+#: time (old-panel tag-union ⊆ new-panel tag-union, checked
+#: programmatically) and every incoming name verified green in the
+#: sf0.01 differential immediately before the swap.
 CURATED_FIRST: tuple[str, ...] = (
-    # ---- anchors (bench set + families with no unchecked member) ----
+    # ---- anchors: the bench set (always hash-checked on the round's
+    # artifact) + the A3 keeper (no never-checked oracle member left;
+    # the two rows-only sketch anchors rotated OFF this round after
+    # earning rows in r7-r10, freeing two hash-check slots) ----
     "q_pricing_summary",      # A1 P1 P2 (bench)
     "q_revenue_join3",        # J4 J5 A1 (bench)
     "q_window_rank",          # W1 W4 (bench)
     "q_events_tumbling",      # A5 (bench)
     "q_stream_static_join",   # J1 J3 (bench)
-    "q_stream_stream_join",   # J2 J7
     "q_distinct_users",       # A2 (bench)
     "q_cosine_topk",          # X3 J11 O2 (bench)
-    "q_kll_quantiles",        # A3 sketch, rows-only
-    "q_theta_setops",         # A3 U2 U3 sketch, rows-only
-    "q_sql_udf",              # F1
-    "q_pandas_udf",           # F2
-    "q_grouped_agg_udf",      # F3
-    "q_apply_in_pandas",      # F4
-    "q_map_in_pandas",        # F5
-    "q_udtf_tokens",          # F6
-    "q_asof_forward",         # J8 J7
-    "q_zorder_stats",         # O3 P1 A1
-    "q_file_lineage",         # S1 P1
-    "q_dedup_events",         # T2 X1 A2
-    "q_sessionize_batch",     # W2 A1 T4
-    "q_hints_battery",        # J4 T5 A1
-    "q_max_concurrency",      # W3 A1 U1 FN-datetime
-    # ---- r10 rotation: 27 first-ever driver checks ----
-    # new-this-round queries (8)
-    "q_dedup_incoming",       # X1 X2 J4 (r10: NEW r9 operator, verdict ask)
-    "q_dup_clusters_incoming",  # X1 X2 (r10: NEW — incremental cluster fold)
-    "q_rollup_orders",        # A4 A1 (r10: was q_share_of_total — NEW member in exhausted family)
-    "q_pivot_priority",       # A9 A1 (r10: was q_pivot — NEW member)
-    "q_sliding_type_windows",  # A6 A1 (r10: was q_events_sliding — NEW member)
-    "q_session_value",        # A7 A1 (r10: was q_session_window — NEW member)
-    "q_cast_battery2",        # P4 P5 (r10: was q_try_casts — NEW member)
-    "q_band_join",            # J6 A1 (r10: was q_geo_nearest — NEW member)
-    "q_map_battery2",         # FN-map (r10: was q_transform_keys — NEW member)
-    # pre-validated r9 shortlist (NOTES_r9.md) + q_quantize_embeddings
-    "q_market_share",         # J5 J3 A1 P5 (r10: was q_scalar_subquery)
-    "q_min_cost_supplier",    # J5 J3 W1 O2 (r10: was q_lexicon_sentiment)
-    "q_triangle_count",       # J5 X2 O2 (r10: was q_bfs_hops)
-    "q_late_supplier_blame",  # J9 J5 O2 (r10: was q_correlated_subquery)
-    "q_gap_fill",             # P1 J10 FN-datetime (r10: was q_reconcile_totals)
-    "q_interpolate",          # J10 W2 FN-datetime (r10: was q_ewma)
-    "q_cumulative_distinct",  # A2 W3 (r10: was q_bitmap_distinct)
-    "q_audience_overlap",     # A2 J4 FN-math (r10: was q_histogram)
-    "q_approx_topk_per_group",  # A3 O2 X5 (r10: was q_order_priority)
-    "q_ohlc_bars",            # A5 W2 A1 (r10: was q_minmax_by; W4 via q_window_rank)
-    "q_from_csv",             # P3 (r10: was q_json_paths)
-    "q_mask_pii",             # X5 FN-string (r10: was q_url_canonicalize)
-    "q_regexp_battery2",      # FN-string (r10: was q_binary_magic; X4 via q_quantize_embeddings)
-    "q_math_battery2",        # FN-math (r10: was q_geo_nearest's FN-math share)
-    "q_quantize_embeddings",  # X3 FN-array X4 (r10: was q_arrays_zip/q_vector_join)
-    "q_null_ordering",        # O1 P5 (r10: was q_except_all; U3 via q_theta_setops)
-    "q_gopher_rules",         # X5 A1 P5 FN-string (r10: was q_prefix_shingle_join; X2 via q_triangle_count/q_dedup_incoming)
-    "q_rrf_fusion",           # W1 O2 X3 (r10: was q_knn_search/q_dup_clusters_star)
+    "q_approx_topk_events",   # A3 keeper (family has no unchecked member)
+    # ---- r11 rotation: 42 first-ever driver checks ----
+    # pre-validated r11 shortlist (NOTES_r10.md; all green in the r10
+    # three-tier seal sweeps)
+    "q_setops_years",         # U1 U2 U3 A2 (r11: was q_max_concurrency's U1 + q_null_ordering's U-share)
+    "q_grouping_sets_returns",  # A4 A1 (r11: was q_rollup_orders)
+    "q_tumbling_daily",       # A5 A2 (r11: second A5 leg alongside bench anchor)
+    "q_sliding_global_3h",    # A6 A1 (r11: was q_sliding_type_windows)
+    "q_session_bounds",       # A7 (r11: was q_session_value)
+    "q_pivot_year",           # A9 J3 (r11: was q_pivot_priority)
+    "q_cast_numeric_edges",   # P4 P1 (r11: was q_cast_battery2)
+    "q_acctbal_tier_join",    # J6 A1 (r11: was q_band_join)
+    "q_ship_service_window",  # J7 J4 (r11: was q_hints_battery's J4 share)
+    "q_asof_backward",        # J8 W2 (r11: was q_asof_forward)
+    "q_nation_status_grid",   # J11 J10 J5 (r11: was q_gap_fill/q_interpolate's J10)
+    "q_clustered_layout",     # O3 P2 (r11: was q_zorder_stats)
+    "q_row_index",            # S1 P1 (r11: was q_file_lineage)
+    "q_latest_event",         # T2 A2 (r11: was q_dedup_events)
+    "q_user_streaks",         # T4 W2 (r11: was q_sessionize_batch)
+    "q_repartition_hint",     # T5 A1 (r11: was q_hints_battery)
+    "q_stream_static_nation",  # J1 J3 J5 A1 (r11: second J1 leg)
+    "q_stream_stream_views",  # J2 J7 (r11: was q_stream_stream_join)
+    "q_map_entries_explode",  # FN-map FN-array (r11: was q_map_battery2)
+    "q_from_xml",             # P3 (r11: was q_from_csv)
+    "q_udf_vowels",           # F1 (r11: was q_sql_udf)
+    "q_pandas_udf_bucket",    # F2 (r11: was q_pandas_udf)
+    "q_grouped_agg_span",     # F3 (r11: was q_grouped_agg_udf)
+    "q_apply_in_pandas_gaps",  # F4 (r11: was q_apply_in_pandas)
+    "q_map_in_pandas_sieve",  # F5 (r11: was q_map_in_pandas)
+    "q_udtf_bigrams",         # F6 (r11: was q_udtf_tokens)
+    "q_minhash_incoming",     # X2 rows-only (r11: the index lookup API under the driver's weaker check)
+    "q_frame_sample",         # X4 (r11: was q_quantize_embeddings's X4 share)
+    # multi-family gap fillers (each covers 2-3 families the shortlist
+    # leaves open; all green in the r10 three-tier seal sweeps)
+    "q_content_split",        # A1 P5 X5 FN-string (r11: was q_gopher_rules)
+    "q_checksums",            # X1 FN-string (r11: was q_dedup_incoming's X1)
+    "q_cohort_ltv",           # W3 A1 FN-datetime (r11: was q_cumulative_distinct's W3)
+    "q_funnel_timing",        # A1 FN-datetime FN-math (r11: was q_math_battery2)
+    "q_revenue_concentration",  # W3 A1 O1 (r11: was q_null_ordering)
+    "q_idle_customers",       # J9 A1 P5 (r11: was q_late_supplier_blame)
+    # breadth picks (never-checked, diverse families)
+    "q_collab_filter",        # J4 A1 W4 X3 (r11: was q_market_share)
+    "q_mrl_truncation",       # X3 FN-array W1 (r11: was q_quantize_embeddings)
+    "q_prefix_jaccard_join",  # X2 W1 J4 (r11: was q_dup_clusters_incoming's X2)
+    "q_bm25_search",          # X5 A1 J3 O2 (r11: was q_min_cost_supplier's O2)
+    "q_supplier_shortlist",   # J9 A2 O2 (r11: was q_triangle_count's O2)
+    "q_json_roundtrip",       # P3 FN-string (r11: was q_regexp_battery2/q_mask_pii's FN-string)
+    "q_file_row_profile",     # S1 P1 A1 (r11: second S1 leg)
+    "q_run_lengths",          # T4 W2 A1 (r11: second T4 leg)
 )
 
 

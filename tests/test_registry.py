@@ -60,9 +60,19 @@ def test_curated_slice_spans_every_driver_visible_family():
 #: The r7 VERDICT's panel-rotation item explicitly asked for the
 #: sketch family's rows-only members to earn official driver rows
 #: (their ε/exactness proofs live in pytest, not DuckDB — KLL and
-#: theta sketch internals are engine-specific by nature).  Exactly
-#: these two may appear in the curated slice without an oracle.
-_CURATED_ROWS_ONLY_ALLOWED = {"q_kll_quantiles", "q_theta_setops"}
+#: theta sketch internals are engine-specific by nature); they earned
+#: rows every round r7-r10 and rotated OFF the r11 panel to free two
+#: hash-check slots.  q_minhash_incoming is the r11 rows-only slot:
+#: the streaming-index lookup API gets its first official driver row
+#: under the weaker rows-only check (its precision/recall pins vs the
+#: exact incremental join live in pytest).  Only names in this set may
+#: appear in the curated slice without an oracle, and at most 2 at a
+#: time (tools/rotation_report.py --check enforces the count).
+_CURATED_ROWS_ONLY_ALLOWED = {
+    "q_kll_quantiles",
+    "q_theta_setops",
+    "q_minhash_incoming",
+}
 
 
 def test_every_curated_query_has_an_oracle():

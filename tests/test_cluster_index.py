@@ -176,6 +176,183 @@ def test_merge_handles_empty_delta_and_empty_store(spark):
     assert _cc_set(out) == {(7, 7), (9, 7)}
 
 
+def _parts_versions(base):
+    """{(bucket, batch_id)} part dirs present on disk."""
+    import pathlib
+
+    out = set()
+    root = pathlib.Path(base) / "clusters_parts"
+    if not root.is_dir():
+        return out
+    for b in root.glob("bucket=*"):
+        for v in b.glob("batch_id=*"):
+            out.add((int(b.name.split("=")[1]), int(v.name.split("=")[1])))
+    return out
+
+
+def _dir_bytes(path):
+    import pathlib
+
+    return sum(
+        p.stat().st_size
+        for p in pathlib.Path(path).rglob("*")
+        if p.is_file()
+    )
+
+
+def test_partitioned_equals_full_rewrite_and_batch_cc(spark, tmp_path):
+    """The r11 production layout: folding the same per-batch pair
+    deltas through the partitioned touched-bucket store must equal the
+    full-rewrite snapshot store AND a from-scratch batch CC — after
+    every batch, not just the last."""
+    docs = load_table(spark, _SF_DIR, "documents").select("doc_id", "text")
+    pairs = prefix_filter_jaccard_pairs(
+        docs, threshold=0.9, shingle=3
+    ).select("a_id", "b_id").localCheckpoint(eager=True)
+    assert pairs.count() >= 20, "fixture lost its planted pairs"
+    chunks = [pairs.filter(F.col("b_id") % 3 == k) for k in range(3)]
+
+    full = str(tmp_path / "full")
+    part = str(tmp_path / "part")
+    seen = None
+    for i, c in enumerate(chunks):
+        update_cluster_snapshot(spark, full, c, i)
+        update_cluster_snapshot(spark, part, c, i, n_buckets=8)
+        seen = c if seen is None else seen.unionByName(c)
+        want = _cc_set(connected_components(seen))
+        assert _cc_set(latest_clusters(spark, full)) == want
+        assert (
+            _cc_set(latest_clusters(spark, part, partitioned=True)) == want
+        )
+
+    # compaction over the partitioned store preserves the mapping
+    dest = str(tmp_path / "compact")
+    n = compact_clusters(spark, part, dest, partitioned=True)
+    got = {
+        (r.node, r.component) for r in spark.read.parquet(dest).collect()
+    }
+    assert n == len(got) and got == _cc_set(connected_components(pairs))
+
+
+def test_partitioned_rewrites_only_touched_buckets(spark, tmp_path):
+    """The point of the layout: a batch whose merges touch few
+    components must leave the other buckets' parts untouched on disk
+    (carried by manifest reference), and its rewrite volume must be a
+    strict subset of what a full snapshot would write."""
+    out = str(tmp_path / "idx")
+    # batch 0: many separate 2-clusters spread across buckets
+    p0 = spark.createDataFrame(
+        [(2 * k, 2 * k + 1) for k in range(64)], "a_id long, b_id long"
+    )
+    update_cluster_snapshot(spark, out, p0, 0, n_buckets=16)
+    v0 = _parts_versions(out)
+    assert v0 and all(v == 0 for _, v in v0)
+
+    # batch 1: ONE merge (components 0 and 2 join)
+    p1 = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    update_cluster_snapshot(spark, out, p1, 1, n_buckets=16)
+    v1 = _parts_versions(out)
+    rewritten = {b for b, v in v1 if v == 1}
+    # the merge touches at most the two buckets on either side of the
+    # move (one when both components hash together) — NOT all 16
+    assert 1 <= len(rewritten) <= 2
+    # untouched batch-0 parts still on disk, untouched
+    assert {(b, 0) for b, _ in v0} <= v1
+
+    # mapping still exact
+    want = _cc_set(
+        connected_components(p0.unionByName(p1))
+    )
+    assert _cc_set(latest_clusters(spark, out, partitioned=True)) == want
+
+    # rewrite volume: batch 1's new parts are much smaller than the
+    # full store (the full-rewrite layout would rewrite everything)
+    import pathlib
+
+    new_bytes = sum(
+        _dir_bytes(str(pathlib.Path(out) / "clusters_parts" / f"bucket={b}" / "batch_id=1"))
+        for b in rewritten
+    )
+    total_bytes = _dir_bytes(str(pathlib.Path(out) / "clusters_parts"))
+    assert new_bytes < total_bytes / 4
+
+
+def test_partitioned_retry_and_crash_recovery(spark, tmp_path):
+    """Retried batch ids are idempotent, including the crash window:
+    parts written but the manifest (the commit point) missing — the
+    retry reads only predecessor manifests and overwrites the orphan
+    parts deterministically."""
+    import shutil
+
+    out = str(tmp_path / "idx")
+    p1 = spark.createDataFrame([(1, 2), (3, 4)], "a_id long, b_id long")
+    p2 = spark.createDataFrame([(2, 3), (5, 6)], "a_id long, b_id long")
+
+    update_cluster_snapshot(spark, out, p1, 0, n_buckets=4)
+    update_cluster_snapshot(spark, out, p2, 1, n_buckets=4)
+    want = _cc_set(latest_clusters(spark, out, partitioned=True))
+    assert want == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5)}
+
+    # plain retry
+    update_cluster_snapshot(spark, out, p2, 1, n_buckets=4)
+    assert _cc_set(latest_clusters(spark, out, partitioned=True)) == want
+
+    # crash window: batch 1's manifest vanishes after its parts landed
+    shutil.rmtree(f"{out}/clusters_manifest/batch_id=1")
+    # readers now see batch 0's state (the commit point is the manifest)
+    assert _cc_set(latest_clusters(spark, out, partitioned=True)) == {
+        (1, 1),
+        (2, 1),
+        (3, 3),
+        (4, 3),
+    }
+    update_cluster_snapshot(spark, out, p2, 1, n_buckets=4)  # redelivery
+    assert _cc_set(latest_clusters(spark, out, partitioned=True)) == want
+
+
+def test_partitioned_empty_delta_carries_manifest(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    p = spark.createDataFrame([(7, 9)], "a_id long, b_id long")
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+
+    update_cluster_snapshot(spark, out, p, 0, n_buckets=4)
+    update_cluster_snapshot(spark, out, empty, 1, n_buckets=4)
+    # no new parts, but batch 1 committed a manifest carrying batch 0's
+    assert all(v == 0 for _, v in _parts_versions(out))
+    assert _cc_set(latest_clusters(spark, out, partitioned=True)) == {
+        (7, 7),
+        (9, 7),
+    }
+
+
+def test_partitioned_streaming_maintenance(spark, tmp_path):
+    """End-to-end through foreachBatch: maintain_cluster_index with
+    n_buckets folds a replayed pair stream into the partitioned store;
+    drained state == batch CC over all pairs."""
+    from spark_streaming_join_example_spark.streaming.cluster_index import (
+        maintain_cluster_index,
+    )
+
+    docs = load_table(spark, _SF_DIR, "documents").select("doc_id", "text")
+    pairs = prefix_filter_jaccard_pairs(
+        docs, threshold=0.9, shingle=3
+    ).select("a_id", "b_id")
+    replay = tmp_path / "replay"
+    pairs.repartition(3).write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema(pairs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    maintain_cluster_index(
+        stream, idx, str(tmp_path / "ckpt"), n_buckets=8
+    ).awaitTermination()
+    assert _cc_set(latest_clusters(spark, idx, partitioned=True)) == _cc_set(
+        connected_components(pairs)
+    )
+
+
 def test_lookup_components_maps_matches_to_clusters(spark, tmp_path):
     """Read-only cluster membership for an incoming shard (r10 late
     addition): index the corpus with maintain_clusters=True, run the

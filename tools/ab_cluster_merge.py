@@ -27,12 +27,15 @@ Usage: python tools/ab_cluster_merge.py [--nodes 50000]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import pyspark.sql.functions as F
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from spark_streaming_join_example_spark import get_spark  # noqa: E402
 from spark_streaming_join_example_spark.operators.graph import (  # noqa: E402

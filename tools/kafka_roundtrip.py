@@ -34,6 +34,7 @@ Steps:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -48,7 +49,9 @@ def main() -> int:
     import pyspark.sql.functions as F
     from pyspark.sql import SparkSession
 
-    sys.path.insert(0, ".")
+    sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
     from spark_streaming_join_example_spark.sources.batch import load_table
     from spark_streaming_join_example_spark.sources.kafka import (
         parse_json_payload,

@@ -135,6 +135,7 @@ def maintain_neardup_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     maintain_clusters: bool = False,
+    cluster_buckets: int | None = None,
 ):
     """Start the index-maintenance query on a streaming DataFrame of
     (id_col, text_col) rows.  Returns the StreamingQuery.
@@ -142,7 +143,9 @@ def maintain_neardup_index(
     ``maintain_clusters=True`` (r10) additionally folds each batch's
     verified pair delta into incrementally-maintained duplicate
     CLUSTER ids under ``out_dir/clusters`` — see
-    streaming/cluster_index.py."""
+    streaming/cluster_index.py.  ``cluster_buckets`` selects the
+    partitioned touched-bucket snapshot layout (r11; read back via
+    ``latest_clusters(..., partitioned=True)``)."""
 
     scheme = {
         "kind": "minhash",
@@ -231,7 +234,13 @@ def maintain_neardup_index(
             landed = spark.read.parquet(
                 f"{out_dir}/pairs/batch_id={batch_id}"
             )
-            update_cluster_snapshot(spark, out_dir, landed, batch_id)
+            update_cluster_snapshot(
+                spark,
+                out_dir,
+                landed,
+                batch_id,
+                n_buckets=cluster_buckets,
+            )
 
     return (
         stream.writeStream.foreachBatch(land)

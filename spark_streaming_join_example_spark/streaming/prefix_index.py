@@ -83,6 +83,7 @@ def maintain_prefix_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     maintain_clusters: bool = False,
+    cluster_buckets: int | None = None,
 ):
     """Start the exact-dedup index maintenance on a streaming DataFrame
     of (id_col, text_col) rows.  Returns the StreamingQuery.
@@ -91,7 +92,9 @@ def maintain_prefix_index(
     verified pair delta into incrementally-maintained duplicate
     CLUSTER ids under ``out_dir/clusters`` — see
     streaming/cluster_index.py; read with
-    ``cluster_index.latest_clusters``."""
+    ``cluster_index.latest_clusters``.  ``cluster_buckets`` selects the
+    partitioned touched-bucket snapshot layout (r11; read back via
+    ``latest_clusters(..., partitioned=True)``)."""
     scheme = {
         "kind": "prefix",
         "order": "hash",
@@ -154,7 +157,13 @@ def maintain_prefix_index(
             landed = spark.read.parquet(
                 f"{out_dir}/pairs/batch_id={batch_id}"
             )
-            update_cluster_snapshot(spark, out_dir, landed, batch_id)
+            update_cluster_snapshot(
+                spark,
+                out_dir,
+                landed,
+                batch_id,
+                n_buckets=cluster_buckets,
+            )
 
     return (
         stream.writeStream.foreachBatch(land)

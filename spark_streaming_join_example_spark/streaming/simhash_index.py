@@ -122,6 +122,7 @@ def maintain_simhash_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     maintain_clusters: bool = False,
+    cluster_buckets: int | None = None,
 ):
     """Start the index-maintenance query on a streaming DataFrame of
     (id_col, text_col) rows.  Returns the StreamingQuery.
@@ -134,7 +135,9 @@ def maintain_simhash_index(
     ``maintain_clusters=True`` folds each batch's verified pair delta
     into incrementally-maintained duplicate CLUSTER ids under
     ``out_dir/clusters`` (streaming/cluster_index.py) — same option as
-    both Jaccard siblings."""
+    both Jaccard siblings.  ``cluster_buckets`` selects the
+    partitioned touched-bucket snapshot layout (r11; read back via
+    ``latest_clusters(..., partitioned=True)``)."""
 
     scheme = {
         "kind": "simhash",
@@ -213,7 +216,13 @@ def maintain_simhash_index(
             landed = spark.read.parquet(
                 f"{out_dir}/pairs/batch_id={batch_id}"
             )
-            update_cluster_snapshot(spark, out_dir, landed, batch_id)
+            update_cluster_snapshot(
+                spark,
+                out_dir,
+                landed,
+                batch_id,
+                n_buckets=cluster_buckets,
+            )
 
     return (
         stream.writeStream.foreachBatch(land)

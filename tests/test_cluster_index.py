@@ -325,6 +325,42 @@ def test_partitioned_empty_delta_carries_manifest(spark, tmp_path):
     }
 
 
+def test_index_cluster_buckets_passthrough(spark, tmp_path):
+    """The text indexes' maintain_clusters path can select the
+    partitioned snapshot layout: prefix index with cluster_buckets=8
+    yields the same clusters (via the partitioned reader) as the
+    batch connected components over its own pair join."""
+    docs = load_table(spark, _SF_DIR, "documents").select("doc_id", "text")
+    replay = tmp_path / "replay"
+    docs.repartition(3).write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "prefix_idx")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    maintain_prefix_index(
+        stream,
+        idx,
+        str(tmp_path / "ckpt"),
+        threshold=0.9,
+        maintain_clusters=True,
+        cluster_buckets=8,
+    ).awaitTermination()
+    got = _cc_set(latest_clusters(spark, idx, partitioned=True))
+    assert got == _cc_set(
+        connected_components(
+            prefix_filter_jaccard_pairs(docs, threshold=0.9, shingle=3)
+        )
+    )
+    # the partitioned store was used: manifest exists, full-snapshot
+    # layout was never written
+    import pathlib
+
+    assert (pathlib.Path(idx) / "clusters_manifest").is_dir()
+    assert not (pathlib.Path(idx) / "clusters").exists()
+
+
 def test_partitioned_streaming_maintenance(spark, tmp_path):
     """End-to-end through foreachBatch: maintain_cluster_index with
     n_buckets folds a replayed pair stream into the partitioned store;

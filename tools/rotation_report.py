@@ -77,6 +77,23 @@ def main() -> None:
         ]
         if len(rows_only) > 2:
             problems.append(f">2 rows-only slots: {rows_only}")
+        # span: every driver-visible §2 family must keep a panel row
+        # (same set test_registry pins; the tool checks it pre-commit
+        # so a bad swap fails here, not in CI)
+        try:
+            from tests.test_registry import _DRIVER_VISIBLE_FAMILIES
+
+            covered: set[str] = set()
+            for n in CURATED_FIRST:
+                if n in REGISTRY:
+                    covered.update(REGISTRY[n].tags or ())
+            gaps = sorted(_DRIVER_VISIBLE_FAMILIES - covered)
+            if gaps:
+                problems.append(f"families with no panel row: {gaps}")
+        except ImportError:
+            problems.append(
+                "tests.test_registry not importable - family span unchecked"
+            )
         print(json.dumps({"ok": not problems, "problems": problems,
                           "rows_only": rows_only}))
         raise SystemExit(1 if problems else 0)

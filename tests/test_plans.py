@@ -864,3 +864,82 @@ def test_round12_plan_shapes(spark, sf_dir, qd):
     # O3 descending layout: range repartition feeds an in-partition sort
     p = plan_of(qd["q_desc_range_layout"](spark, sf_dir))
     assert "rangepartitioning" in p and "o_totalprice" in p
+
+
+def test_round13_plan_shapes(spark, sf_dir, qd):
+    """Plan pins for the round-13 surface: the sketch top-k stays one
+    partial-aggregable pass (no concat-key groupBy shuffle beyond the
+    single merge), the debounce twin funnels BOTH windows and both
+    aggregations through ONE user_id shuffle, and the chunk profile is
+    a plain two-phase hash aggregate."""
+    # A3 composite-key sketch: ObjectHashAggregate partial+final, one
+    # exchange, top-k lowered to TakeOrderedAndProject
+    p = plan_of(qd["q_approx_topk_flags"](spark, sf_dir))
+    assert "ObjectHashAggregate" in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("(\n") == 0  # formatted mode sanity
+
+    # T4 debounce: exactly ONE shuffle (hashpartitioning on user_id);
+    # both window passes and both groupBys reuse it
+    p = plan_of(qd["q_debounce"](spark, sf_dir))
+    assert p.count("Exchange") <= 2  # tree node + detail section
+    assert "hashpartitioning(user_id" in p
+    assert p.count("Window") >= 2
+
+    # S1 row chunking: two-phase hash aggregate over the derived chunk
+    p = plan_of(qd["q_row_chunks"](spark, sf_dir))
+    assert "HashAggregate" in p and "row_index" in p
+
+
+def test_round14_plan_shapes(spark, sf_dir, qd):
+    """Plan pins for the round-14 surface — the load-bearing shapes a
+    silent de-optimization would break."""
+    # A7 dynamic-gap sessions: the REAL session operator (MergingSessions
+    # after one keyed exchange), not a window rewrite
+    p = plan_of(qd["q_session_dynamic_gap"](spark, sf_dir))
+    assert "MergingSessions" in p
+
+    # A9 unpivot lowers to Expand (row fan-out), not a join or union
+    p = plan_of(qd["q_unpivot_flags"](spark, sf_dir))
+    assert "Expand" in p and "Union" not in p
+
+    # A4 subtotals-only: rollup's Expand + partial/final aggregation
+    p = plan_of(qd["q_rollup_subtotals"](spark, sf_dir))
+    assert "Expand" in p and p.count("HashAggregate") >= 2
+
+    # J7 calendar range join: nested-loop against the BROADCAST 5-row
+    # generated dim — and never a cartesian
+    p = plan_of(qd["q_calendar_range_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+    # J8 forward-asof+tolerance: the tagged-union window kernel — NO
+    # join node anywhere
+    p = plan_of(qd["q_asof_forward_tol"](spark, sf_dir))
+    assert "Join" not in p
+    assert "Window" in p and "Union" in p
+
+    # J6 dominance theta: an EQUI join on the nation anchor (broadcast
+    # or SMJ — never a cartesian; the inequality rides as condition)
+    p = plan_of(qd["q_acctbal_dominance"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+
+    # T5 rebalance: the hint survives to an AQE REBALANCE exchange
+    p = plan_of(qd["q_rebalance_hint"](spark, sf_dir))
+    assert "REBALANCE" in p
+
+    # O3 composite layout: range partitioning carries BOTH keys
+    p = plan_of(qd["q_composite_range_layout"](spark, sf_dir))
+    assert "rangepartitioning(l_returnflag" in p
+    assert "l_shipdate" in p
+
+    # X2 chargram pairs: gram EQUI joins only (the integer-exact
+    # threshold is a filter, never a cross)
+    p = plan_of(qd["q_chargram_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+
+    # X4 entropy: Arrow/JVM only — generate + aggregates, no Python
+    p = plan_of(qd["q_binary_entropy"](spark, sf_dir))
+    assert "Generate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

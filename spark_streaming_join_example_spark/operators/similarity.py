@@ -243,6 +243,69 @@ def lsh_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> 
     return F.array(*bits)
 
 
+def _banded_salted(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int,
+    bands: int,
+    max_bucket: int,
+) -> DataFrame:
+    """The shared LSH blocking relation: band-sliced sign signatures
+    exploded to (vec_id, vec, band, bucket) rows, hot buckets salted
+    into triangular sub-block pair groups (see ann_topk_pairs' skew
+    guard note — P=1 buckets come through untouched)."""
+    rows_per_band = n_planes // bands
+    sig = emb.select(
+        "vec_id",
+        as_double_array("embedding").alias("vec"),
+    ).withColumn("sig", lsh_signature(F.col("vec"), dim, n_planes))
+    banded = sig.select(
+        "vec_id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.array_join(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                            "",
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "vec", "bb.band", "bb.bucket")
+
+    # Salt-within-bucket: P sub-blocks per bucket (P=1 when not hot),
+    # triangular sub-block pair groups, each row replicated P times
+    # within its bucket only.
+    w_bucket = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn(
+            "p",
+            F.ceil(F.count(F.lit(1)).over(w_bucket) / F.lit(max_bucket)).cast(
+                "int"
+            ),
+        )
+        .withColumn("sb", F.pmod(F.xxhash64("vec_id"), F.col("p")).cast("int"))
+        .withColumn(
+            "g",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("p") - 1),
+                    lambda j: F.struct(
+                        F.least(F.col("sb"), j).alias("gi"),
+                        F.greatest(F.col("sb"), j).alias("gj"),
+                    ),
+                )
+            ),
+        )
+        .select("vec_id", "vec", "band", "bucket", "sb", "g.gi", "g.gj")
+    )
+
+
 def ann_topk_pairs(
     emb: DataFrame,
     k: int = 10,
@@ -295,57 +358,8 @@ def ann_topk_pairs(
         n = emb.count() if n_rows is None else n_rows
         bits = max(2, min(16, math.ceil(math.log2(max(2, n / 64)))))
         n_planes = bands * bits
-    rows_per_band = n_planes // bands
     keep = max(3 * k, 64)
-    sig = emb.select(
-        "vec_id",
-        as_double_array("embedding").alias("vec"),
-    ).withColumn("sig", lsh_signature(F.col("vec"), dim, n_planes))
-    banded = sig.select(
-        "vec_id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.array_join(
-                            F.slice("sig", i * rows_per_band + 1, rows_per_band),
-                            "",
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "vec", "bb.band", "bb.bucket")
-
-    # Salt-within-bucket: P sub-blocks per bucket (P=1 when not hot),
-    # triangular sub-block pair groups, each row replicated P times
-    # within its bucket only.
-    w_bucket = Window.partitionBy("band", "bucket")
-    salted = (
-        banded.withColumn(
-            "p",
-            F.ceil(F.count(F.lit(1)).over(w_bucket) / F.lit(max_bucket)).cast(
-                "int"
-            ),
-        )
-        .withColumn("sb", F.pmod(F.xxhash64("vec_id"), F.col("p")).cast("int"))
-        .withColumn(
-            "g",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("p") - 1),
-                    lambda j: F.struct(
-                        F.least(F.col("sb"), j).alias("gi"),
-                        F.greatest(F.col("sb"), j).alias("gj"),
-                    ),
-                )
-            ),
-        )
-        .select("vec_id", "vec", "band", "bucket", "sb", "g.gi", "g.gj")
-    )
+    salted = _banded_salted(emb, dim, n_planes, bands, max_bucket)
 
     def bucket_topk(pdf):
         import numpy as np
@@ -374,6 +388,83 @@ def ann_topk_pairs(
         cand.select("a_id", "b_id", F.round("cos_sim", round_to).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "a_id", "b_id")
         .limit(k)
+    )
+
+
+def ann_pairs_above(
+    emb: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    n_planes: int | None = None,
+    bands: int = 4,
+    round_to: int = 6,
+    n_rows: int | None = None,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Embedding-cosine NEAR-DUP pairs at scale: every pair with
+    cosine ≥ ``threshold`` whose vectors share at least one LSH band
+    bucket — the vector twin of the MinHash banded join
+    (operators/dedup.minhash_near_duplicates), and the sub-quadratic
+    path where :func:`cosine_pairs_above` (the exact reference) pays
+    Θ(n²·d) block-pair flops.
+
+    Same banded hyperplane blocking + hot-bucket salting as
+    :func:`ann_topk_pairs`, but the per-bucket kernel emits ALL
+    bucket-local pairs meeting the threshold instead of a local
+    top-k, and there is no global limit.  The verify is the exact
+    cosine on the raw vectors inside the kernel, so PRECISION IS
+    EXACT — every emitted pair truly clears the threshold; recall is
+    the LSH collision probability 1 − (1 − s^bits)^bands (high where
+    near-dups live, s → 1), pinned against the exact kernel in
+    tests/test_extensions.py.  Cross-band rediscoveries carry the
+    same exact cosine, so the dedup keeps an arbitrary-but-identical
+    row.
+
+    At 100 TB: shuffle is O(n·bands) vector rows; per-bucket work is
+    bounded by ``max_bucket`` (salting splits hot near-dup pile-ups);
+    output is near-dup-pair-sized.  Like the Jaccard indexes, the
+    plane seed and band scheme must stay FROZEN for any persisted
+    signature store."""
+    import math
+
+    if n_planes is None:
+        n = emb.count() if n_rows is None else n_rows
+        bits = max(2, min(16, math.ceil(math.log2(max(2, n / 64)))))
+        n_planes = bands * bits
+    salted = _banded_salted(emb, dim, n_planes, bands, max_bucket)
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        gi = int(pdf["gi"].iloc[0])
+        gj = int(pdf["gj"].iloc[0])
+        sb = pdf["sb"].to_numpy()
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        a_sel, b_sel = sb == gi, sb == gj
+        a_ids, b_ids = ids[a_sel], ids[b_sel]
+        sims = mat[a_sel] @ mat[b_sel].T
+        if gi == gj:
+            mask = a_ids[:, None] < b_ids[None, :]
+        else:
+            mask = np.ones_like(sims, dtype=bool)
+        keep = mask & (sims >= threshold)
+        ai, bi = np.nonzero(keep)
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame(
+            {"a_id": lo, "b_id": hi, "cos_sim": sims[ai, bi]}
+        )
+
+    cand = (
+        salted.groupBy("band", "bucket", "gi", "gj")
+        .applyInPandas(bucket_pairs, "a_id long, b_id long, cos_sim double")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return cand.select(
+        "a_id", "b_id", F.round("cos_sim", round_to).alias("cos_sim")
     )
 
 

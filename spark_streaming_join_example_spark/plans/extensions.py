@@ -843,6 +843,26 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_embedding_neardup_lsh", tags=("X2", "X3"))
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.4) via banded hyperplane
+    LSH blocking + exact in-bucket verify — the SUB-QUADRATIC scale
+    path where the checked q_embedding_neardup runs the exact Θ(n²·d)
+    block kernel (its correctness yardstick).  Rows-only (LSH bucket
+    membership has no DuckDB twin); precision is exact by
+    construction and recall vs the exact kernel is pinned in
+    tests/test_extensions.py."""
+    from ..operators.similarity import ann_pairs_above
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_pairs_above(
+        emb,
+        threshold=0.4,
+        bands=8,
+        n_rows=parquet_num_rows(sf_dir, "embeddings"),
+    )
+
+
 @register("q_ivf_topk", tags=("X3",))
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-10 cosine pairs (seeded k-means coarse

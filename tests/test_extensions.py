@@ -15,7 +15,9 @@ from spark_streaming_join_example_spark.operators.dedup import (
     simhash63,
 )
 from spark_streaming_join_example_spark.operators.similarity import (
+    ann_pairs_above,
     ann_topk_pairs,
+    cosine_pairs_above,
     cosine_topk_pairs,
 )
 
@@ -166,6 +168,61 @@ def test_ann_recall_against_exact(spark, sf_dir):
     }
     overlap = len(exact & approx) / 10
     assert overlap >= 0.5, f"ANN top-10 overlap {overlap:.1%}"
+
+
+def test_ann_pairs_above_precision_and_recall(spark, sf_dir):
+    """The LSH embedding near-dup path (r11): PRECISION must be exact
+    — every emitted pair is in the exact cosine_pairs_above set with
+    the same rounded cosine (the verify is the true cosine inside the
+    bucket kernel) — and recall vs the exact kernel must clear the
+    REGISTERED parameterization's bound.  At the 0.4 threshold the
+    collision probability is the weak end of the LSH curve, so the
+    bound is deliberately modest; near 1.0 similarity (real near-dups)
+    recall approaches 1 — asserted with a planted pile-up."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in cosine_pairs_above(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in ann_pairs_above(emb, threshold=0.4, bands=8).collect()
+    }
+    assert approx, "no LSH pairs at all — test vacuous"
+    # precision 1.0: emitted ⊆ exact, identical rounded cosines
+    wrong = {k: v for k, v in approx.items() if exact.get(k) != v}
+    assert not wrong, f"pairs not in the exact set (or wrong cos): {wrong}"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.3, f"LSH near-dup recall {recall:.1%} at t=0.4"
+
+    # planted near-dups (cos → 1): recall must be ~total
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    rows = [
+        (int(i), (base + 0.001 * rng.normal(size=16)).tolist())
+        for i in range(40)
+    ] + [
+        (int(100 + i), rng.normal(size=16).tolist()) for i in range(200)
+    ]
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    exact_p = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs_above(
+            planted, threshold=0.95, n_rows=240
+        ).collect()
+    }
+    got_p = {
+        (r.a_id, r.b_id)
+        for r in ann_pairs_above(
+            planted, threshold=0.95, n_rows=240
+        ).collect()
+    }
+    assert exact_p, "no planted near-dup pairs — fixture broken"
+    assert len(got_p & exact_p) / len(exact_p) >= 0.99
 
 
 def test_ann_hot_bucket_salting(spark, sf_dir):

@@ -19,10 +19,6 @@ from spark_streaming_join_example_spark.streaming.cosine_index import (
     lookup_near_duplicates,
     maintain_cosine_index,
 )
-from spark_streaming_join_example_spark.streaming.neardup_index import (
-    SchemeMismatch,
-)
-
 _T = 0.4  # fixture similarity is diffuse; the scheme is frozen per test
 
 
@@ -248,3 +244,55 @@ def test_compact_pairs_preserves_cosine_layout(spark, sf_dir, tmp_path):
         "b_id",
         "cos_sim",
     }
+
+
+def test_cosine_index_mid_batch_crash_recovery(spark, sf_dir, tmp_path):
+    """Crash-window chaos (same scenario as all three text siblings):
+    a batch whose vecs/bands/pairs output landed but whose checkpoint
+    commit did not is re-executed on restart — the per-batch_id
+    overwrite must converge to the exact same pair set, with every
+    pair still claimed exactly once."""
+    import glob
+    import os as _os
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 300)
+    replay = tmp_path / "replay"
+    emb.repartition(3).write.mode("overwrite").parquet(str(replay))
+    idx = str(tmp_path / "cos_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay))
+        )
+        return maintain_cosine_index(stream, idx, ckpt, threshold=_T)
+
+    start().awaitTermination()
+    before = sorted(
+        (r.a_id, r.b_id, r.cos_sim)
+        for r in cosine_pairs(spark, idx).collect()
+    )
+    assert before, "fixture produced no pairs; chaos test vacuous"
+
+    commits = sorted(
+        glob.glob(_os.path.join(ckpt, "commits", "[0-9]*")),
+        key=lambda p: int(_os.path.basename(p)),
+    )
+    assert len(commits) >= 2
+    _os.remove(commits[-1])
+    crc = _os.path.join(
+        _os.path.dirname(commits[-1]),
+        f".{_os.path.basename(commits[-1])}.crc",
+    )
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    start().awaitTermination()
+    after = sorted(
+        (r.a_id, r.b_id, r.cos_sim)
+        for r in cosine_pairs(spark, idx).collect()
+    )
+    assert after == before
+    raw = spark.read.parquet(f"{idx}/pairs").groupBy("a_id", "b_id").count()
+    assert raw.filter(F.col("count") > 1).count() == 0

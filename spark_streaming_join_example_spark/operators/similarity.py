@@ -1036,3 +1036,68 @@ def knn_join_ivf(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def semdedup_keep(
+    emb: DataFrame,
+    threshold: float,
+    mode: str = "exact",
+    n_rows: int | None = None,
+    bands: int = 8,
+) -> DataFrame:
+    """SemDeDup — semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): vectors whose cosine
+    clears ``threshold`` are semantic duplicates; each duplicate
+    GROUP (transitive closure of the pair graph) keeps exactly one
+    representative and drops the rest.
+
+    Returns one row per input vector: ``(vec_id, component, kept)``
+    where ``component`` is the min vec_id reachable through ≥-threshold
+    pairs (singletons map to themselves) and ``kept`` marks the
+    deterministic representative (the min id — stable across runs and
+    partitionings, so the kept corpus is reproducible).
+
+    ``mode='exact'`` generates pairs with the Θ(n²·d) block-matmul
+    kernel (:func:`cosine_pairs_above`) — the oracle-checkable
+    reference.  ``mode='lsh'`` swaps in the banded hyperplane blocking
+    (:func:`ann_pairs_above`) — the sub-quadratic 100 TB path; its
+    precision is exact by construction (in-bucket verify is the true
+    cosine) so dropped-but-should-keep errors come only from LSH
+    recall, pinned vs the exact mode in tests/test_extensions.py.
+
+    The production SemDeDup recipe clusters with k-means first and
+    compares within cells only — that is exactly ``mode='lsh'`` with
+    hyperplane buckets standing in for k-means cells (same
+    blocking-arity trade, no trained quantizer to freeze).  Cluster
+    contraction reuses :func:`operators.graph.connected_components`
+    (min-label propagation, one scalar collect per round).
+
+    At 100 TB: pair generation is the dominant cost and is
+    output-sized under LSH blocking; the CC loop runs over the
+    PAIR graph (near-dup-sized, ≪ corpus-sized); the final left join
+    back to the corpus is a broadcast when the dup set is small, a
+    key-partitioned shuffle otherwise — never all-pairs.
+    """
+    from .graph import connected_components
+
+    if mode == "exact":
+        pairs = cosine_pairs_above(emb, threshold=threshold, n_rows=n_rows)
+    elif mode == "lsh":
+        pairs = ann_pairs_above(
+            emb, threshold=threshold, bands=bands, n_rows=n_rows
+        )
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown semdedup mode: {mode}")
+
+    comp = connected_components(pairs)  # (node, component), min-label
+    ids = emb.select(F.col("vec_id"))
+    out = ids.join(comp, ids["vec_id"] == comp["node"], "left").select(
+        "vec_id",
+        F.coalesce("component", "vec_id").alias("component"),
+    )
+    return out.select(
+        "vec_id",
+        "component",
+        (F.col("vec_id") == F.col("component")).alias("kept"),
+    )

@@ -1,0 +1,299 @@
+"""Round-15 additions: two LLM-training-pipeline dedup components the
+registry did not yet cover as first-class operators —
+
+* **Repeated-span (substring-level) dedup** (Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better"): find
+  word-n-gram spans that recur across documents and measure, per
+  document, how much of its text is covered by cross-document
+  duplicated spans (the signal the ExactSubstr pass thresholds on).
+  Document-level near-dup (MinHash/SimHash/prefix families) misses
+  these partial overlaps by design.
+
+* **SemDeDup** (Abbas et al. 2023): semantic duplicate groups over
+  the embedding column — transitive closure of cosine ≥ τ pairs,
+  keep one deterministic representative per group.  The exact mode
+  is DuckDB-oracle-checked value-for-value (recursive-CTE closure,
+  same contraction shape as q_dup_clusters' oracle); the LSH-blocked
+  mode is the sub-quadratic 100 TB path (rows-only; precision exact
+  by construction, recall pinned vs the exact mode in
+  tests/test_extensions.py).
+
+Conventions as in plans/round10-14.py: every computed column aliased
+identically in both engines, BIGINT casts on counts, round(…, 6) on
+the one float ratio, 1-based token positions on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from ..sources.batch import load_table, parquet_num_rows
+from .registry import register
+
+# Word-5-gram spans: long enough that duplication means real copying
+# on this fixture (docs are 10-99 words over a small vocabulary),
+# short enough that partial overlaps still hit — the fixture-scaled
+# stand-in for the 50-token spans of the ExactSubstr paper.
+_SPAN = 5
+
+
+def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_toks, pos, gram): every word-_SPAN-gram with its
+    1-based start position.  All JVM built-ins — split/sequence/
+    slice/array_join stay inside whole-stage codegen; the explode is
+    the only row-multiplying step and emits ~n_toks rows per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).withColumn("n_toks", F.size("w").cast("long"))
+    return (
+        toks.filter(F.col("n_toks") >= _SPAN)
+        .select(
+            "doc_id",
+            "n_toks",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), (F.col("n_toks") - (_SPAN - 1)).cast("int"))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.col("pos").cast("long").alias("pos"),
+            F.array_join(F.slice("w", F.col("pos"), _SPAN), " ").alias("gram"),
+        )
+    )
+
+
+_GRAMS_CTE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks, CAST(i AS BIGINT) AS pos,
+         array_to_string(w[i:i+4], ' ') AS gram
+  FROM w, UNNEST(range(1, len(w) - 3)) AS r(i)
+  WHERE len(w) >= 5
+)
+"""
+
+
+@register(
+    "q_repeated_grams",
+    tags=("X1", "X5", "A1"),
+    oracle=_GRAMS_CTE
+    + """
+SELECT gram,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS first_doc
+FROM g
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def q_repeated_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated spans: every word-5-gram appearing in
+    ≥ 2 DISTINCT documents, with document frequency, total occurrence
+    count, and the earliest document carrying it — the posting-list
+    side of substring-level dedup (Lee et al. 2022), and the raw
+    input q_span_coverage thresholds per-document.
+
+    Scale: one explode (output ≈ token count, not n²) + one
+    hash-partial groupBy on the gram key; the shuffle carries
+    (gram, partial counts) — at 100 TB this is the canonical
+    inverted-index build, and hot grams (boilerplate) collapse in the
+    map-side combine.  No joins, no Python."""
+    g = _grams(spark, sf_dir)
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "q_span_coverage",
+    tags=("X1", "X5", "W3", "A1"),
+    oracle=_GRAMS_CTE
+    + """
+, dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), spans AS (
+  SELECT doc_id, pos AS s, pos + 4 AS e, n_toks
+  FROM g WHERE gram IN (SELECT gram FROM dup)
+), isl AS (
+  SELECT doc_id, s, e, n_toks,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), -1) + 1 THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+), isl2 AS (
+  SELECT doc_id, s, e, n_toks,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s) AS isl_id
+  FROM isl
+), islands AS (
+  SELECT doc_id, isl_id, MIN(s) AS st, MAX(e) AS en, MAX(n_toks) AS n_toks
+  FROM isl2 GROUP BY doc_id, isl_id
+)
+SELECT doc_id,
+       MAX(n_toks) AS n_toks,
+       CAST(SUM(en - st + 1) AS BIGINT) AS covered_toks,
+       round(CAST(SUM(en - st + 1) AS DOUBLE) / MAX(n_toks), 6) AS dup_coverage,
+       CAST(MAX(en - st + 1) AS BIGINT) AS longest_span
+FROM islands
+GROUP BY doc_id
+""",
+)
+def q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a
+    document's tokens lying inside a word-5-gram that also occurs in
+    ANOTHER document — substring-level dedup's keep/trim signal
+    (documents above a coverage threshold get trimmed or dropped;
+    doc-level Jaccard never sees these partial overlaps).
+
+    Overlapping-or-adjacent hit spans merge into islands first
+    (classic gaps-and-islands: a span opens a new island iff its
+    start exceeds the running max end + 1), so covered_toks counts
+    each token once; longest_span is the largest merged island.
+
+    Scale: gram posting build + one self-semi-join on the gram key
+    (duplicated grams only — boilerplate-sized, not corpus-sized) +
+    ONE window pass per document ordered by position.  The window
+    partition is a single document's hit spans (bounded by its token
+    count), never the corpus."""
+    g = _grams(spark, sf_dir)
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    spans = g.join(dup, "gram", "left_semi").select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + (_SPAN - 1)).alias("e"),
+        "n_toks",
+    )
+    prior = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = spans.withColumn(
+        "new_isl",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(prior), F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl").over(Window.partitionBy("doc_id").orderBy("s")),
+    )
+    islands = isl.groupBy("doc_id", "isl_id").agg(
+        F.min("s").alias("st"),
+        F.max("e").alias("en"),
+        F.max("n_toks").alias("n_toks"),
+    )
+    return islands.groupBy("doc_id").agg(
+        F.max("n_toks").alias("n_toks"),
+        F.sum(F.col("en") - F.col("st") + 1).alias("covered_toks"),
+        F.round(
+            F.sum(F.col("en") - F.col("st") + 1).cast("double")
+            / F.max("n_toks"),
+            6,
+        ).alias("dup_coverage"),
+        F.max(F.col("en") - F.col("st") + 1).alias("longest_span"),
+    )
+
+
+@register(
+    "q_semdedup_keep",
+    tags=("X2", "X3", "J11"),
+    oracle="""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+), edges AS MATERIALIZED (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+), m1 AS MATERIALIZED (
+  SELECT s, LEAST(s, MIN(d)) AS m FROM edges GROUP BY s
+), e1 AS MATERIALIZED (
+  SELECT DISTINCT x.m AS s, y.m AS d
+  FROM edges e JOIN m1 x ON e.s = x.s JOIN m1 y ON e.d = y.s
+  WHERE x.m <> y.m
+), reach(s, d) AS (
+  SELECT s, d FROM e1
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e1 e ON r.d = e.s
+), comp1 AS (
+  SELECT s, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s
+), labels AS (
+  SELECT n.s AS node, COALESCE(c.comp, n.m) AS component
+  FROM m1 n LEFT JOIN comp1 c ON n.m = c.s
+)
+SELECT v.vec_id,
+       COALESCE(l.component, v.vec_id) AS component,
+       v.vec_id = COALESCE(l.component, v.vec_id) AS kept
+FROM embeddings v LEFT JOIN labels l ON v.vec_id = l.node
+""",
+)
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table, exact
+    mode: semantic duplicate groups = transitive closure of cosine ≥
+    0.4 pairs; each group keeps its min-vec_id representative.  One
+    row per vector — (vec_id, component, kept) — so downstream
+    filters are a single `WHERE kept` and group sizes are one
+    groupBy away.
+
+    The DuckDB oracle recomputes the closure from the quadratic
+    cosine join (one min-label contraction round, then a recursive
+    CTE over the CONTRACTED graph — same shape as q_dup_clusters'
+    oracle), proving pairs→CC→representative end to end.
+
+    Scale: this mode is the bounded correctness yardstick (Θ(n²·d)
+    block kernel); the production path is q_semdedup_lsh — identical
+    fold, sub-quadratic pair generation."""
+    from ..operators.similarity import semdedup_keep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_keep(
+        emb,
+        threshold=0.4,
+        mode="exact",
+        n_rows=parquet_num_rows(sf_dir, "embeddings"),
+    )
+
+
+@register("q_semdedup_lsh", tags=("X2", "X3"))
+def q_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at scale: identical closure + keep-representative fold
+    as q_semdedup_keep, but pairs come from banded hyperplane LSH
+    blocking (operators/similarity.ann_pairs_above) instead of the
+    Θ(n²·d) exact kernel — per-bucket work only, output-sized pair
+    shuffle, the paper's cluster-then-compare recipe with LSH buckets
+    standing in for k-means cells.
+
+    Rows-only (bucket membership has no DuckDB twin).  Precision is
+    exact by construction (the in-bucket verify computes the true
+    cosine); the keep-set's agreement with the exact mode is pinned
+    in tests/test_extensions.py."""
+    from ..operators.similarity import semdedup_keep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_keep(
+        emb,
+        threshold=0.4,
+        mode="lsh",
+        bands=8,
+        n_rows=parquet_num_rows(sf_dir, "embeddings"),
+    )

@@ -650,3 +650,143 @@ def test_minhash_incoming_vs_exact_dedup_incoming(spark, sf_dir):
     if exact:
         recall = len(got) / len(exact)
         assert recall >= 0.95, f"recall {recall:.2f} ({len(got)}/{len(exact)})"
+
+
+def test_semdedup_exact_matches_bruteforce_closure(spark, sf_dir):
+    """q_semdedup_keep's operator (exact mode) against an independent
+    Python union-find over the same exact pair set: the (vec_id →
+    component) mapping and the kept flags must match exactly — the
+    engine-independent twin of the DuckDB recursive-CTE oracle."""
+    from spark_streaming_join_example_spark.operators.similarity import (
+        semdedup_keep,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = [
+        (r.a_id, r.b_id)
+        for r in cosine_pairs_above(emb, threshold=0.4).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    got = {
+        r.vec_id: (r.component, r.kept)
+        for r in semdedup_keep(emb, threshold=0.4, mode="exact").collect()
+    }
+    assert len(got) == emb.count()  # one row per vector
+    for vid, (comp, kept) in got.items():
+        want = find(vid) if vid in parent else vid
+        assert comp == want, f"vec {vid}: component {comp} != {want}"
+        assert kept == (vid == comp)
+
+
+def test_semdedup_lsh_keepset_contains_exact_keepset(spark, sf_dir):
+    """LSH mode can only MISS pairs (precision is exact), and missing
+    edges only SPLIT components — every exact representative stays
+    the min of whatever subcomponent holds it, so exact_kept ⊆
+    lsh_kept is a hard guarantee, not a statistical one.  On a
+    planted near-identical pile-up (cos → 1, where LSH recall ≈ 1)
+    the two keep-sets must be identical."""
+    import numpy as np
+
+    from spark_streaming_join_example_spark.operators.similarity import (
+        semdedup_keep,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_kept = {
+        r.vec_id
+        for r in semdedup_keep(emb, threshold=0.4, mode="exact").collect()
+        if r.kept
+    }
+    lsh_kept = {
+        r.vec_id
+        for r in semdedup_keep(
+            emb, threshold=0.4, mode="lsh", bands=8
+        ).collect()
+        if r.kept
+    }
+    assert exact_kept <= lsh_kept
+    # and the LSH keep-set stays close to the exact one on this fixture
+    assert len(lsh_kept) <= len(exact_kept) * 1.2
+
+    rng = np.random.default_rng(15)
+    base = rng.normal(size=16)
+    rows = [
+        (int(i), (base + 0.001 * rng.normal(size=16)).tolist())
+        for i in range(40)
+    ] + [(int(100 + i), rng.normal(size=16).tolist()) for i in range(200)]
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    kept_exact = {
+        r.vec_id
+        for r in semdedup_keep(
+            planted, threshold=0.95, mode="exact", n_rows=240
+        ).collect()
+        if r.kept
+    }
+    kept_lsh = {
+        r.vec_id
+        for r in semdedup_keep(
+            planted, threshold=0.95, mode="lsh", n_rows=240
+        ).collect()
+        if r.kept
+    }
+    assert 0 in kept_exact and len(kept_exact) <= 202
+    assert kept_lsh == kept_exact
+
+
+def test_span_coverage_matches_bruteforce(spark, sf_dir):
+    """q_span_coverage against an independent Python re-derivation
+    (posting lists → duplicated 5-grams → merged intervals) on the
+    full sf0.001 documents table — pins the island-merge semantics
+    (overlapping-or-adjacent) the DuckDB oracle shares."""
+    from collections import defaultdict
+
+    from spark_streaming_join_example_spark.plans.round15 import (
+        q_span_coverage,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    where = defaultdict(set)  # gram -> {doc_id}
+    for did, w in docs.items():
+        for i in range(len(w) - 4):
+            where[" ".join(w[i : i + 5])].add(did)
+    dup = {g for g, ds in where.items() if len(ds) >= 2}
+    want = {}
+    for did, w in docs.items():
+        spans = [
+            (i + 1, i + 5)
+            for i in range(len(w) - 4)
+            if " ".join(w[i : i + 5]) in dup
+        ]
+        if not spans:
+            continue
+        merged = [list(spans[0])]
+        for s, e in spans[1:]:
+            if s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        covered = sum(e - s + 1 for s, e in merged)
+        longest = max(e - s + 1 for s, e in merged)
+        want[did] = (len(w), covered, round(covered / len(w), 6), longest)
+
+    got = {
+        r.doc_id: (r.n_toks, r.covered_toks, r.dup_coverage, r.longest_span)
+        for r in q_span_coverage(spark, sf_dir).collect()
+    }
+    assert got == want

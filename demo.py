@@ -249,10 +249,72 @@ def main() -> None:
         f"identical to the full-rewrite mapping: {same}"
     )
 
+    print("\n== 8. semantic + substring dedup (r11): SemDeDup over the")
+    print("      embedding column, span-trim over the text column ==")
+    from spark_streaming_join_example_spark.operators.similarity import (
+        semdedup_keep,
+    )
+    from spark_streaming_join_example_spark.plans.round15 import q_span_trim
+    from spark_streaming_join_example_spark.streaming.cosine_index import (
+        lookup_near_duplicates as cosine_lookup,
+        maintain_cosine_index,
+    )
+
+    # (a) batch SemDeDup: semantic duplicate groups over embeddings,
+    #     one deterministic representative kept per group
+    emb = load_table(spark, sf_dir, "embeddings")
+    sd = semdedup_keep(emb, threshold=0.4, mode="exact").cache()
+    n_vec, n_kept = sd.count(), sd.filter("kept").count()
+    big = (
+        sd.groupBy("component").count().orderBy(F.desc("count"), "component")
+    ).first()
+    print(
+        f"   SemDeDup @0.4: {n_vec} vectors -> {n_kept} kept "
+        f"({n_vec - n_kept} semantic dups dropped; largest group "
+        f"component={big['component']} size={big['count']})"
+    )
+
+    # (b) the streaming form: corpus embeddings build a cosine-LSH
+    #     index; an incoming shard is screened READ-ONLY before
+    #     admission — semantic dedup as ingest admission control
+    e_corpus = emb.filter(F.col("vec_id") < 400)
+    e_shard = emb.filter(F.col("vec_id") >= 400)
+    e_corpus.repartition(2).write.mode("overwrite").parquet(f"{work}/emb")
+    maintain_cosine_index(
+        spark.readStream.schema(e_corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/emb"),
+        f"{work}/cos_idx",
+        f"{work}/ckpt8",
+        threshold=0.4,
+    ).awaitTermination()
+    sem_hits = cosine_lookup(
+        spark, f"{work}/cos_idx", e_shard, id_col="vec_id"
+    )
+    n_sem = sem_hits.select("q_id").distinct().count()
+    print(
+        f"   streaming screen: {e_shard.count()}-vector shard -> "
+        f"{n_sem} flagged as semantic dups of the indexed corpus"
+    )
+
+    # (c) substring-level dedup: per-document duplicated-span trim
+    #     decision (Lee et al. 2022 style), integer-exact 50% rule
+    trim = q_span_trim(spark, sf_dir).cache()
+    n_drop = trim.filter("dropped").count()
+    toks_saved = (
+        trim.agg(F.sum(F.col("n_toks") - F.col("kept_toks"))).first()[0]
+    )
+    print(
+        f"   span-trim: {trim.count()} docs, {n_drop} dropped at the "
+        f"50% duplicated-coverage rule, {toks_saved} duplicated "
+        f"tokens trimmable overall"
+    )
+
     print("\ndone — every result above is watermark-correct and")
     print("equivalent to the batch query over the same prefix")
     print("(proven in tests/test_streaming.py, tests/test_prefix_index.py,")
-    print(" tests/test_cluster_index.py).")
+    print(" tests/test_cluster_index.py, tests/test_cosine_index.py,")
+    print(" tests/test_extensions.py).")
 
 
 if __name__ == "__main__":

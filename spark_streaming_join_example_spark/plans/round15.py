@@ -297,3 +297,98 @@ def q_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=8,
         n_rows=parquet_num_rows(sf_dir, "embeddings"),
     )
+
+
+@register(
+    "q_span_trim",
+    tags=("X1", "X5", "J10", "P5"),
+    oracle=_GRAMS_CTE
+    + """
+, dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), spans AS (
+  SELECT doc_id, pos AS s, pos + 4 AS e
+  FROM g WHERE gram IN (SELECT gram FROM dup)
+), isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), -1) + 1 THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+), isl2 AS (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s) AS isl_id
+  FROM isl
+), islands AS (
+  SELECT doc_id, isl_id, MIN(s) AS st, MAX(e) AS en
+  FROM isl2 GROUP BY doc_id, isl_id
+), cov AS (
+  SELECT doc_id, CAST(SUM(en - st + 1) AS BIGINT) AS covered
+  FROM islands GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(c.covered, 0)
+            AS BIGINT) AS kept_toks,
+       COALESCE(c.covered, 0) * 2
+         >= len(string_split(d.text, ' ')) AS dropped
+FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
+""",
+)
+def q_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION step of substring-level dedup: every document (left
+    join — docs with no duplicated spans keep everything) with its
+    retained token count after trimming cross-document duplicated
+    islands, and the drop decision at the 50 % coverage rule.  The
+    comparison is integer-exact (covered·2 ≥ n_toks), never a float
+    divide, so the keep/drop set is bit-identical at any partitioning
+    and in any engine.
+
+    Scale: q_span_coverage's island relation (doc-bounded window) +
+    one left join back to the corpus on the id key — corpus rows flow
+    through untouched; only the covered-token column joins in."""
+    g = _grams(spark, sf_dir)
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    spans = g.join(dup, "gram", "left_semi").select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + (_SPAN - 1)).alias("e"),
+    )
+    prior = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = spans.withColumn(
+        "new_isl",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(prior), F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl").over(Window.partitionBy("doc_id").orderBy("s")),
+    )
+    cov = (
+        isl.groupBy("doc_id", "isl_id")
+        .agg(F.min("s").alias("st"), F.max("e").alias("en"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("en") - F.col("st") + 1).alias("covered"))
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    )
+    out = d.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        (F.col("n_toks") - F.coalesce("covered", F.lit(0))).alias("kept_toks"),
+        (F.coalesce("covered", F.lit(0)) * 2 >= F.col("n_toks")).alias(
+            "dropped"
+        ),
+    )
+    return out

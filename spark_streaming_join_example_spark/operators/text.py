@@ -86,3 +86,98 @@ def predict_language(
         F.col(id_col),
         F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
     )
+
+
+def gram_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 5,
+) -> DataFrame:
+    """(id, n_toks, pos, gram): every word-``span``-gram of every
+    document with its 1-based start position — the posting-list
+    relation of substring-level dedup (plans/round15.py, the Lee et
+    al. 2022 ExactSubstr signal) and the storable unit of the
+    streaming span index (streaming/span_index.py).
+
+    All JVM built-ins (split/sequence/slice/array_join stay inside
+    whole-stage codegen); the explode is the only row-multiplying
+    step and emits ~n_toks rows per document."""
+    toks = docs.select(
+        F.col(id_col), F.split(text_col, " ").alias("w")
+    ).withColumn("n_toks", F.size("w").cast("long"))
+    return (
+        toks.filter(F.col("n_toks") >= span)
+        .select(
+            id_col,
+            "n_toks",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), (F.col("n_toks") - (span - 1)).cast("int"))
+            ).alias("pos"),
+        )
+        .select(
+            id_col,
+            "n_toks",
+            F.col("pos").cast("long").alias("pos"),
+            F.array_join(F.slice("w", F.col("pos"), span), " ").alias("gram"),
+        )
+    )
+
+
+def span_coverage_frame(
+    grams: DataFrame,
+    dup_grams: DataFrame,
+    id_col: str = "doc_id",
+    span: int = 5,
+) -> DataFrame:
+    """Per-document duplicated-span coverage from a gram-position
+    relation and a set of flagged grams: semi-join hit positions,
+    merge overlapping-or-adjacent spans into islands (gaps-and-islands
+    via one per-document window pass), and report
+    (id, n_toks, covered_toks, dup_coverage, longest_span).
+
+    Shared by the batch queries (q_span_coverage / q_span_trim) and
+    the streaming span index's read + lookup paths, so "coverage"
+    means exactly one thing everywhere.  The window partition is one
+    document's hit spans — bounded by its own token count at any
+    corpus size."""
+    from pyspark.sql.window import Window
+
+    spans = grams.join(
+        dup_grams.select("gram"), "gram", "left_semi"
+    ).select(
+        id_col,
+        F.col("pos").alias("s"),
+        (F.col("pos") + (span - 1)).alias("e"),
+        "n_toks",
+    )
+    prior = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = spans.withColumn(
+        "new_isl",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(prior), F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl").over(Window.partitionBy(id_col).orderBy("s")),
+    )
+    islands = isl.groupBy(id_col, "isl_id").agg(
+        F.min("s").alias("st"),
+        F.max("e").alias("en"),
+        F.max("n_toks").alias("n_toks"),
+    )
+    return islands.groupBy(id_col).agg(
+        F.max("n_toks").alias("n_toks"),
+        F.sum(F.col("en") - F.col("st") + 1).alias("covered_toks"),
+        F.round(
+            F.sum(F.col("en") - F.col("st") + 1).cast("double")
+            / F.max("n_toks"),
+            6,
+        ).alias("dup_coverage"),
+        F.max(F.col("en") - F.col("st") + 1).alias("longest_span"),
+    )

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.window import Window
 
 from ..sources.batch import load_table, parquet_num_rows
 from .registry import register
@@ -40,30 +39,13 @@ _SPAN = 5
 
 
 def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_toks, pos, gram): every word-_SPAN-gram with its
-    1-based start position.  All JVM built-ins — split/sequence/
-    slice/array_join stay inside whole-stage codegen; the explode is
-    the only row-multiplying step and emits ~n_toks rows per doc."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.split("text", " ").alias("w")
-    ).withColumn("n_toks", F.size("w").cast("long"))
-    return (
-        toks.filter(F.col("n_toks") >= _SPAN)
-        .select(
-            "doc_id",
-            "n_toks",
-            "w",
-            F.explode(
-                F.sequence(F.lit(1), (F.col("n_toks") - (_SPAN - 1)).cast("int"))
-            ).alias("pos"),
-        )
-        .select(
-            "doc_id",
-            "n_toks",
-            F.col("pos").cast("long").alias("pos"),
-            F.array_join(F.slice("w", F.col("pos"), _SPAN), " ").alias("gram"),
-        )
+    """(doc_id, n_toks, pos, gram) over the documents table — the
+    shared posting-list builder (operators/text.gram_positions, also
+    the storable unit of streaming/span_index.py)."""
+    from ..operators.text import gram_positions
+
+    return gram_positions(
+        load_table(spark, sf_dir, "documents"), span=_SPAN
     )
 
 
@@ -168,6 +150,8 @@ def q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE window pass per document ordered by position.  The window
     partition is a single document's hit spans (bounded by its token
     count), never the corpus."""
+    from ..operators.text import span_coverage_frame
+
     g = _grams(spark, sf_dir)
     dup = (
         g.groupBy("gram")
@@ -175,41 +159,7 @@ def q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("gram")
     )
-    spans = g.join(dup, "gram", "left_semi").select(
-        "doc_id",
-        F.col("pos").alias("s"),
-        (F.col("pos") + (_SPAN - 1)).alias("e"),
-        "n_toks",
-    )
-    prior = (
-        Window.partitionBy("doc_id")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    isl = spans.withColumn(
-        "new_isl",
-        F.when(
-            F.col("s") > F.coalesce(F.max("e").over(prior), F.lit(-1)) + 1, 1
-        ).otherwise(0),
-    ).withColumn(
-        "isl_id",
-        F.sum("new_isl").over(Window.partitionBy("doc_id").orderBy("s")),
-    )
-    islands = isl.groupBy("doc_id", "isl_id").agg(
-        F.min("s").alias("st"),
-        F.max("e").alias("en"),
-        F.max("n_toks").alias("n_toks"),
-    )
-    return islands.groupBy("doc_id").agg(
-        F.max("n_toks").alias("n_toks"),
-        F.sum(F.col("en") - F.col("st") + 1).alias("covered_toks"),
-        F.round(
-            F.sum(F.col("en") - F.col("st") + 1).cast("double")
-            / F.max("n_toks"),
-            6,
-        ).alias("dup_coverage"),
-        F.max(F.col("en") - F.col("st") + 1).alias("longest_span"),
-    )
+    return span_coverage_frame(g, dup, span=_SPAN)
 
 
 @register(
@@ -348,6 +298,8 @@ def q_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: q_span_coverage's island relation (doc-bounded window) +
     one left join back to the corpus on the id key — corpus rows flow
     through untouched; only the covered-token column joins in."""
+    from ..operators.text import span_coverage_frame
+
     g = _grams(spark, sf_dir)
     dup = (
         g.groupBy("gram")
@@ -355,30 +307,8 @@ def q_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("gram")
     )
-    spans = g.join(dup, "gram", "left_semi").select(
-        "doc_id",
-        F.col("pos").alias("s"),
-        (F.col("pos") + (_SPAN - 1)).alias("e"),
-    )
-    prior = (
-        Window.partitionBy("doc_id")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    isl = spans.withColumn(
-        "new_isl",
-        F.when(
-            F.col("s") > F.coalesce(F.max("e").over(prior), F.lit(-1)) + 1, 1
-        ).otherwise(0),
-    ).withColumn(
-        "isl_id",
-        F.sum("new_isl").over(Window.partitionBy("doc_id").orderBy("s")),
-    )
-    cov = (
-        isl.groupBy("doc_id", "isl_id")
-        .agg(F.min("s").alias("st"), F.max("e").alias("en"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("en") - F.col("st") + 1).alias("covered"))
+    cov = span_coverage_frame(g, dup, span=_SPAN).select(
+        "doc_id", F.col("covered_toks").alias("covered")
     )
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")

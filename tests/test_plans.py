@@ -943,3 +943,48 @@ def test_round14_plan_shapes(spark, sf_dir, qd):
     p = plan_of(qd["q_binary_entropy"](spark, sf_dir))
     assert "Generate" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_round15_16_plan_shapes(spark, sf_dir, qd):
+    """Plan pins for the round-15/16 surface (span dedup, SemDeDup,
+    and the F/A3/P3 restock) — the load-bearing shapes."""
+    # X1 repeated grams: pure aggregation pipeline — partial+final
+    # HashAggregate on the gram key, no join anywhere
+    p = plan_of(qd["q_repeated_grams"](spark, sf_dir))
+    assert p.count("HashAggregate") >= 2
+    assert "Join" not in p
+
+    # X1/X5 span coverage: the dup-gram probe is a LeftSemi equi-join
+    # (never materializes the dup relation's columns), islands are ONE
+    # window per document, and nothing goes cartesian
+    p = plan_of(qd["q_span_coverage"](spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+    # X1 span trim: the corpus flows through a LEFT OUTER join against
+    # the doc-keyed coverage relation — corpus rows are never dropped
+    p = plan_of(qd["q_span_trim"](spark, sf_dir))
+    assert "LeftOuter" in p
+    assert "CartesianProduct" not in p
+
+    # X2/X3 SemDeDup: the CC labels materialize during build (the
+    # iterative loop checkpoints), so the returned plan is the fold
+    # back to the corpus — an outer EQUI join, never a cartesian (the
+    # pair kernel's own Arrow-batched shape is pinned by the
+    # cosine/ann plan tests)
+    p = plan_of(qd["q_semdedup_keep"](spark, sf_dir))
+    assert "LeftOuter" in p
+    assert "CartesianProduct" not in p
+
+    # A3 quartiles: one exchange, partial+final aggregation (the
+    # sketch merges map-side like any associative aggregate)
+    p = plan_of(qd["q_approx_quartiles"](spark, sf_dir))
+    assert p.count("HashAggregate") >= 2 or "ObjectHashAggregate" in p
+
+    # F5 parse / F4 runs / F6 windows: Arrow-batched Python operators,
+    # never row-wise BatchEvalPython
+    for name in ("q_map_in_pandas_parse", "q_apply_in_pandas_runs"):
+        p = plan_of(qd[name](spark, sf_dir))
+        assert ("MapInPandas" in p) or ("FlatMapGroupsInPandas" in p)
+        assert "BatchEvalPython" not in p

@@ -873,3 +873,77 @@ def test_prefix_incremental_join_lossless(spark, docs, thr):
                 if jac >= thr:
                     want.add((i, j))
     assert got == want
+
+
+# --- round-15 span-dedup semantics (operators/text.py) --------------
+
+DOCS = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=14),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=DOCS)
+@settings(**SETTINGS)
+def test_span_coverage_frame_matches_model(spark, docs):
+    """span_coverage_frame (the shared kernel of q_span_coverage /
+    q_span_trim and the streaming span index) against a Python model
+    over tiny random corpora with a 5-symbol vocabulary — duplicated
+    grams are common, so the generator exercises overlapping AND
+    adjacent island merges, whole-document coverage, and
+    docs-below-span-length (they emit no row)."""
+    from collections import defaultdict
+
+    from spark_streaming_join_example_spark.operators.text import (
+        gram_positions,
+        span_coverage_frame,
+    )
+
+    span = 3
+    texts = {i: " ".join(toks) for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    ).repartition(3)
+
+    where = defaultdict(set)
+    for did, toks in enumerate(docs):
+        for i in range(len(toks) - span + 1):
+            where[" ".join(toks[i : i + span])].add(did)
+    dup = {g for g, ds in where.items() if len(ds) >= 2}
+    want = {}
+    for did, toks in enumerate(docs):
+        spans = [
+            (i + 1, i + span)
+            for i in range(len(toks) - span + 1)
+            if " ".join(toks[i : i + span]) in dup
+        ]
+        if not spans:
+            continue
+        merged = [list(spans[0])]
+        for s, e in spans[1:]:
+            if s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        covered = sum(e - s + 1 for s, e in merged)
+        longest = max(e - s + 1 for s, e in merged)
+        want[did] = (
+            len(toks),
+            covered,
+            round(covered / len(toks), 6),
+            longest,
+        )
+
+    g = gram_positions(df, span=span)
+    dup_df = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    got = {
+        r.doc_id: (r.n_toks, r.covered_toks, r.dup_coverage, r.longest_span)
+        for r in span_coverage_frame(g, dup_df, span=span).collect()
+    }
+    assert got == want

@@ -1066,12 +1066,14 @@ def semdedup_keep(
     cosine) so dropped-but-should-keep errors come only from LSH
     recall, pinned vs the exact mode in tests/test_extensions.py.
 
-    The production SemDeDup recipe clusters with k-means first and
-    compares within cells only — that is exactly ``mode='lsh'`` with
-    hyperplane buckets standing in for k-means cells (same
-    blocking-arity trade, no trained quantizer to freeze).  Cluster
-    contraction reuses :func:`operators.graph.connected_components`
-    (min-label propagation, one scalar collect per round).
+    ``mode='kmeans'`` is the paper's literal recipe — cluster with
+    k-means first, compare within cells only (:func:`ivf_pairs_above`,
+    the seeded IVF quantizer); ``mode='lsh'`` trades the trained
+    quantizer for hyperplane buckets (nothing to train or freeze
+    beyond the plane seed).  Both share the containment guarantee
+    below.  Cluster contraction reuses
+    :func:`operators.graph.connected_components` (min-label
+    propagation, one scalar collect per round).
 
     At 100 TB: pair generation is the dominant cost and is
     output-sized under LSH blocking; the CC loop runs over the
@@ -1087,6 +1089,11 @@ def semdedup_keep(
         pairs = ann_pairs_above(
             emb, threshold=threshold, bands=bands, n_rows=n_rows
         )
+    elif mode == "kmeans":
+        # the literal SemDeDup recipe: k-means cells as the blocking
+        # stage (ivf_pairs_above) — same containment guarantee as
+        # 'lsh' (missing cross-cell pairs only SPLIT components)
+        pairs = ivf_pairs_above(emb, threshold=threshold)
     else:  # pragma: no cover - guarded by callers
         raise ValueError(f"unknown semdedup mode: {mode}")
 
@@ -1100,4 +1107,66 @@ def semdedup_keep(
         "vec_id",
         "component",
         (F.col("vec_id") == F.col("component")).alias("kept"),
+    )
+
+
+def ivf_pairs_above(
+    emb: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    round_to: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """All vector pairs with cosine ≥ ``threshold`` that share at
+    least one probed IVF cell — the k-means-cell analogue of
+    :func:`ann_pairs_above` (hyperplane buckets), and the literal
+    SemDeDup recipe's blocking stage (cluster with k-means, compare
+    within cells).
+
+    Same seeded sample-trained quantizer + linear assignment pass as
+    :func:`ivf_topk_pairs`, but the per-cell kernel emits EVERY
+    cell-local pair meeting the threshold instead of a local top-k.
+    The verify is the exact cosine inside the cell kernel, so
+    precision is 1.0 by construction; recall is the probability that
+    a ≥-threshold pair shares a probed cell (rising with ``n_probe``,
+    and → 1 as similarity → 1: near-identical vectors land in the
+    same nearest cell), pinned vs the exact kernel in
+    tests/test_extensions.py.
+
+    At 100 TB: assignment is a linear mapInPandas pass; per-cell work
+    is one unit-norm BLAS block over the cell's members (AQE splits
+    fat cells at the groupBy); output is near-dup-pair-sized.  Like
+    every blocked index, the quantizer must stay FROZEN (seed +
+    sample) for reproducible candidate sets."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    sample = _deterministic_sample(emb, "embedding")
+    mat = np.array([r.embedding for r in sample], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = _kmeans_centroids(mat, n_cells, seed=seed)
+    bc = spark.sparkContext.broadcast(cent)
+    assigned = _assign_cells(emb, bc, n_probe)
+
+    def cell_pairs(pdf):
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat_ = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mat_ /= np.linalg.norm(mat_, axis=1, keepdims=True)
+        sims = mat_ @ mat_.T
+        keep = (ids[:, None] < ids[None, :]) & (sims >= threshold)
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {"a_id": ids[ai], "b_id": ids[bi], "cos_sim": sims[ai, bi]}
+        )
+
+    cand = (
+        assigned.groupBy("cell")
+        .applyInPandas(cell_pairs, "a_id long, b_id long, cos_sim double")
+        .dropDuplicates(["a_id", "b_id"])  # pairs sharing >1 probed cell
+    )
+    return cand.select(
+        "a_id", "b_id", F.round("cos_sim", round_to).alias("cos_sim")
     )

@@ -322,3 +322,19 @@ def q_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out
+
+
+@register("q_semdedup_kmeans", tags=("X2", "X3"))
+def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, the paper's literal recipe: k-means cells as the
+    blocking stage (operators/similarity.ivf_pairs_above — seeded
+    sample-trained quantizer, per-cell exact-cosine verify) feeding
+    the same closure + min-id-representative fold as its exact and
+    LSH siblings.  Rows-only (cell membership has no DuckDB twin);
+    precision exact by construction; keep-set containment
+    (exact_kept ⊆ kmeans_kept) and planted pile-up equality pinned in
+    tests/test_extensions.py."""
+    from ..operators.similarity import semdedup_keep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_keep(emb, threshold=0.4, mode="kmeans")

@@ -790,3 +790,68 @@ def test_span_coverage_matches_bruteforce(spark, sf_dir):
         for r in q_span_coverage(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_semdedup_kmeans_mode_containment_and_planted(spark, sf_dir):
+    """The k-means mode (the paper's literal cluster-then-compare
+    recipe) has the SAME structural guarantee as LSH: cells only ever
+    MISS pairs, so exact_kept ⊆ kmeans_kept; on the planted pile-up
+    (cos → 1, one shared nearest cell) the keep-sets are identical."""
+    import numpy as np
+
+    from spark_streaming_join_example_spark.operators.similarity import (
+        ivf_pairs_above,
+        semdedup_keep,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # precision: every kmeans-mode pair is in the exact set with the
+    # same rounded cosine
+    exact_pairs = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in cosine_pairs_above(emb, threshold=0.4).collect()
+    }
+    km_pairs = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in ivf_pairs_above(emb, threshold=0.4).collect()
+    }
+    assert km_pairs, "no kmeans-cell pairs at all — test vacuous"
+    wrong = {k: v for k, v in km_pairs.items() if exact_pairs.get(k) != v}
+    assert not wrong, f"pairs not in the exact set (or wrong cos): {wrong}"
+
+    exact_kept = {
+        r.vec_id
+        for r in semdedup_keep(emb, threshold=0.4, mode="exact").collect()
+        if r.kept
+    }
+    km_kept = {
+        r.vec_id
+        for r in semdedup_keep(emb, threshold=0.4, mode="kmeans").collect()
+        if r.kept
+    }
+    assert exact_kept <= km_kept
+    assert len(km_kept) <= len(exact_kept) * 1.2
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=16)
+    rows = [
+        (int(i), (base + 0.001 * rng.normal(size=16)).tolist())
+        for i in range(40)
+    ] + [(int(100 + i), rng.normal(size=16).tolist()) for i in range(200)]
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    kept_exact = {
+        r.vec_id
+        for r in semdedup_keep(
+            planted, threshold=0.95, mode="exact", n_rows=240
+        ).collect()
+        if r.kept
+    }
+    kept_km = {
+        r.vec_id
+        for r in semdedup_keep(planted, threshold=0.95, mode="kmeans").collect()
+        if r.kept
+    }
+    assert 0 in kept_exact
+    assert kept_km == kept_exact

@@ -181,3 +181,41 @@ def lookup_span_coverage(
     return span_coverage_frame(
         q_grams, corpus_keys, id_col=id_col, span=span
     )
+
+
+def common_spans(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Pairwise longest-common-span report over the INGESTED corpus —
+    the read-side twin of plans/round15.q_common_span (same diagonal
+    islands identity over the stored postings): (a_id, b_id,
+    longest_common_toks, n_shared_grams) for every pair sharing at
+    least one gram.  Streamed ≡ batch pinned in
+    tests/test_span_index.py; join work is Σ df² over the posting
+    store (Zipf-bounded — see the batch twin's docstring)."""
+    from pyspark.sql.window import Window
+
+    m_ = read_scheme(spark, out_dir, "span_postings")
+    span = int(m_["span"])
+    id_col = m_["id_col"]
+    g = grams_store(spark, out_dir)
+    a = g.select(
+        F.col(id_col).alias("a_id"), F.col("pos").alias("pa"), "gram"
+    )
+    b = g.select(
+        F.col(id_col).alias("b_id"), F.col("pos").alias("pb"), "gram"
+    )
+    m = (
+        a.join(b, "gram")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+    )
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    runs = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    rl = runs.groupBy("a_id", "b_id", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("run_grams")
+    )
+    return rl.groupBy("a_id", "b_id").agg(
+        (F.max("run_grams") + (span - 1)).alias("longest_common_toks"),
+        F.sum("run_grams").alias("n_shared_grams"),
+    )

@@ -279,3 +279,25 @@ def test_lookup_screens_incoming_shard(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert want, "shard shares no spans with the corpus; test vacuous"
+
+
+def test_common_spans_read_equals_batch(spark, sf_dir, tmp_path):
+    """The index's pairwise longest-common-span read equals the batch
+    q_common_span computation over the same (drained) corpus."""
+    from spark_streaming_join_example_spark.plans.round15 import (
+        q_common_span,
+    )
+    from spark_streaming_join_example_spark.streaming.span_index import (
+        common_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _replay_stream(spark, docs, tmp_path / "replay", 3)
+    idx = str(tmp_path / "span_idx")
+    maintain_span_index(
+        stream, idx, str(tmp_path / "ckpt")
+    ).awaitTermination()
+    got = sorted(tuple(r) for r in common_spans(spark, idx).collect())
+    want = sorted(tuple(r) for r in q_common_span(spark, sf_dir).collect())
+    assert got == want
+    assert want, "corpus shares no spans; test vacuous"

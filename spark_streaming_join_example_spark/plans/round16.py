@@ -14,6 +14,8 @@ udf_queries.py in its allowlist.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -373,4 +375,229 @@ def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("p", "$.k").cast("int").alias("k"),
         F.try_parse_json("p").isNull().alias("corrupt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fifth flavor per F family (r14-ahead stock): each covers an API
+# surface none of the four prior flavors touches.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_udf_checkdigit",
+    tags=("F1", "FN-math"),
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST((o_orderkey * 7 + o_custkey * 3) % 10 AS INT) AS check_digit
+FROM orders WHERE o_orderkey < 400
+""",
+)
+def q_udf_checkdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row UDF #5: TWO-argument signature — every prior F1 flavor is
+    unary; this one combines two key columns into a mod-10 check
+    digit (int, int) → int."""
+
+    @F.udf("int")
+    def check_digit(ok: int, ck: int) -> int:
+        return (ok * 7 + ck * 3) % 10
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        check_digit("o_orderkey", "o_custkey").alias("check_digit"),
+    )
+
+
+@register(
+    "q_pandas_udf_iter",
+    tags=("F2",),
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice - 100.0 AS adj_price
+FROM orders WHERE o_orderkey < 300
+""",
+)
+def q_pandas_udf_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series UDF #5: the ITERATOR variant
+    (Iterator[pd.Series] → Iterator[pd.Series]) — the API flavor for
+    amortizing expensive per-worker init (model load, dictionary
+    build) across Arrow batches; the 'model' here is a constant
+    offset loaded once before the loop, and the arithmetic is a
+    single subtraction so the IEEE result is identical in both
+    engines."""
+
+    @pandas_udf("double")
+    def adj_price(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        offset = 100.0  # the amortized one-time "load"
+        for s in batches:
+            yield s - offset
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select("o_orderkey", adj_price("o_totalprice").alias("adj_price"))
+
+
+@register(
+    "q_grouped_agg_wavg",
+    tags=("F3", "A1"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / (100.0 * SUM(CAST(l_quantity AS BIGINT))) AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_grouped_agg_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg UDAF #6: TWO-COLUMN signature (quantity-weighted
+    mean price) — every prior F3 flavor reduces one series.  The body
+    sums integer cents × integer quantity and divides ONCE, so the
+    result is bit-identical at any row order / partitioning (the
+    functions/numeric.py discipline applied inside a pandas UDAF)."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def wavg_price(price: pd.Series, qty: pd.Series) -> float:
+        cents = np.round(price.to_numpy() * 100).astype(np.int64)
+        q = qty.to_numpy().astype(np.int64)
+        return float((cents * q).sum()) / (100.0 * float(q.sum()))
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg_price("l_extendedprice", "l_quantity").alias("wavg_price")
+    )
+
+
+@register(
+    "q_cogroup_stats",
+    tags=("F4", "J1", "A1"),
+    oracle="""
+SELECT c.c_custkey AS user_id,
+       CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+       CASE WHEN c.c_acctbal < 0 THEN 'debt'
+            WHEN c.c_acctbal < 5000 THEN 'mid' ELSE 'rich' END AS tier
+FROM customer c JOIN events e ON e.user_id = c.c_custkey
+WHERE c.c_custkey < 120
+GROUP BY c.c_custkey, c.c_acctbal
+""",
+)
+def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas #5: the COGROUP variant — two keyed relations
+    (events, customer) meet inside one pandas callback per key, the
+    join happening IN PYTHON (the flavor for per-key logic that needs
+    both sides materialized: custom matching, reconciliation,
+    asymmetric aggregation).  Keys present on only one side emit
+    nothing, mirroring the oracle's inner join; the threshold
+    comparisons are on the raw double."""
+
+    def stats(key, events_pdf: pd.DataFrame, cust_pdf: pd.DataFrame):
+        if len(events_pdf) == 0 or len(cust_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "tier": pd.Series([], dtype="object"),
+                }
+            )
+        bal = float(cust_pdf["c_acctbal"].iloc[0])
+        tier = "debt" if bal < 0 else ("mid" if bal < 5000 else "rich")
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [len(events_pdf)],
+                "tier": [tier],
+            }
+        )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 120).select(
+        "user_id", "event_id"
+    )
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 120).select(
+        F.col("c_custkey").alias("user_id"), "c_acctbal"
+    )
+    return (
+        e.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(stats, "user_id long, n_events long, tier string")
+    )
+
+
+@register(
+    "q_map_in_pandas_chunks",
+    tags=("F5", "X5"),
+    oracle="""
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       substr(text, CAST(i AS INT) * 16 + 1, 16) AS chunk
+FROM documents, UNNEST(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT)))
+     AS r(i)
+WHERE doc_id < 80
+""",
+)
+def q_map_in_pandas_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas #5: 1→N EXPANSION with a derived position column
+    (fixed 16-char chunking, the context-window slicing shape) — the
+    prior F5 flavors are 1:1, filtering, or duplication; this one
+    fans each row out to ceil(len/16) DISTINCT rows built in numpy.
+    Documents are non-empty in this fixture, so every row emits ≥ 1
+    chunk (the empty-payload guard of q_payload_chunks applies where
+    lengths are data-dependent)."""
+
+    def chunks(batches):
+        for pdf in batches:
+            rows_id, rows_idx, rows_chunk = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = (len(text) + 15) // 16
+                for i in range(n):
+                    rows_id.append(did)
+                    rows_idx.append(i)
+                    rows_chunk.append(text[i * 16 : (i + 1) * 16])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows_id, dtype="int64"),
+                    "chunk_idx": pd.Series(rows_idx, dtype="int32"),
+                    "chunk": rows_chunk,
+                }
+            )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80).select(
+        "doc_id", "text"
+    )
+    return d.mapInPandas(chunks, "doc_id long, chunk_idx int, chunk string")
+
+
+@register(
+    "q_udtf_ngrams_n",
+    tags=("F6", "X5"),
+    oracle="""
+SELECT doc_id,
+       array_to_string(t[i:i + CAST(2 + doc_id % 2 AS INT) - 1], ' ')
+         AS gram
+FROM (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE doc_id < 100
+), UNNEST(range(1, len(t) - CAST(2 + doc_id % 2 AS INT) + 2)) AS r(i)
+""",
+)
+def q_udtf_ngrams_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF #5: PARAMETERIZED yield — the n-gram width comes in
+    as a second LATERAL argument that varies PER ROW (bigrams for even
+    doc_ids, trigrams for odd), the flavor none of the fixed-width F6
+    siblings covers.  The oracle reproduces the row-dependent width
+    arithmetic inline."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram string")
+    class NgramUDTF:
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield (" ".join(toks[i : i + n]),)
+
+    spark.udtf.register("ngram_n_udtf", NgramUDTF)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("__udtf_docs_ngrams_n")
+    return spark.sql(
+        "SELECT doc_id, t.gram FROM __udtf_docs_ngrams_n, "
+        "LATERAL ngram_n_udtf(text, CAST(2 + doc_id % 2 AS INT)) t"
     )

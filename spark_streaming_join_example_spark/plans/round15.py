@@ -408,3 +408,111 @@ def q_common_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("run_grams") + (_SPAN - 1)).alias("longest_common_toks"),
         F.sum("run_grams").alias("n_shared_grams"),
     )
+
+
+@register(
+    "q_curation_funnel",
+    tags=("X1", "X5", "A1", "P5"),
+    oracle=_GRAMS_CTE
+    + """
+, dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), spans AS (
+  SELECT doc_id, pos AS s, pos + 4 AS e
+  FROM g WHERE gram IN (SELECT gram FROM dup)
+), isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), -1) + 1 THEN 1 ELSE 0 END AS ni
+  FROM spans
+), isl2 AS (
+  SELECT doc_id, s, e, SUM(ni) OVER (PARTITION BY doc_id ORDER BY s) AS iid
+  FROM isl
+), islands AS (
+  SELECT doc_id, iid, MIN(s) AS st, MAX(e) AS en
+  FROM isl2 GROUP BY doc_id, iid
+), cov AS (
+  SELECT doc_id, CAST(SUM(en - st + 1) AS BIGINT) AS covered
+  FROM islands GROUP BY doc_id
+), base AS (
+  SELECT d.doc_id, d.text,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+         COALESCE(c.covered, 0) AS covered
+  FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
+),
+s1 AS (SELECT * FROM base WHERE n_toks >= 12),
+s2 AS (SELECT * FROM s1 WHERE covered * 2 < n_toks),
+s3 AS (SELECT MIN(doc_id) AS keep FROM s2 GROUP BY text)
+SELECT stage, n_docs FROM (
+  SELECT 0 AS ord, 'ingested' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_docs FROM base
+  UNION ALL SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT) FROM s1
+  UNION ALL SELECT 2, 'span_dedup', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s3
+) ORDER BY ord
+""",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation FUNNEL report: surviving document counts
+    after each cumulative pipeline stage — (1) ingest, (2) quality
+    gate (n_toks ≥ 12, the fixture-scaled stand-in for a Gopher-style
+    length rule), (3) substring-level dedup (drop docs whose
+    cross-document duplicated-span coverage reaches the integer-exact
+    50 % rule — q_span_trim's decision), (4) exact content dedup
+    (keep the min doc_id per identical text).  One row per stage, the
+    report every curation run ships with its output corpus.
+
+    Stage semantics pinned deliberately: span coverage is computed on
+    the FULL ingested corpus (dedup signals are corpus properties;
+    filtering first would hide duplication between a kept and a
+    dropped doc), then the stages apply cumulatively.
+
+    Scale: the span relation is shared with q_span_trim (one posting
+    build + one doc-bounded window); every stage count is a
+    partial-aggregable COUNT; the exact-dedup stage shuffles one
+    (text-hash) key.  The four scalar counts union at the end — at
+    100 TB this whole report is one pass over the corpus plus the
+    posting join."""
+    from ..operators.text import span_coverage_frame
+
+    g = _grams(spark, sf_dir)
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    cov = span_coverage_frame(g, dup, span=_SPAN).select(
+        "doc_id", F.col("covered_toks").alias("covered")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    base = d.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        "n_toks",
+        F.coalesce("covered", F.lit(0)).alias("covered"),
+    ).localCheckpoint(eager=False)
+    s1 = base.filter(F.col("n_toks") >= 12)
+    s2 = s1.filter(F.col("covered") * 2 < F.col("n_toks"))
+    s3 = s2.groupBy("text").agg(F.min("doc_id").alias("keep"))
+
+    def stage(df, ord_, name):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(ord_).alias("ord"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs"),
+        )
+
+    out = (
+        stage(base, 0, "ingested")
+        .unionByName(stage(s1, 1, "quality"))
+        .unionByName(stage(s2, 2, "span_dedup"))
+        .unionByName(stage(s3, 3, "exact_dedup"))
+    )
+    return out.orderBy("ord").select("stage", "n_docs")

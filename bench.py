@@ -37,6 +37,17 @@ columnar read that never pays an equivalent cost, so Arrow is the
 apples-to-apples fetch (A/B at sf0.1: q_events_tumbling 0.104 →
 0.060 s, q_window_rank 0.226 → 0.086 s; aggregation-only timings are
 unchanged).
+
+Section order (round-12 fix, VERDICT r11 item 2): headline →
+STREAMING → heavy.  r11-and-earlier artifacts ran the streaming
+drains LAST, after ~38 s of heavy-tier GC pressure, which turned the
+rows/s numbers into a box-condition band (identical code spanned
+9.8–18.5k rows/s on the temporal drain across five same-night
+probes).  The probe now runs before the heavy tier and TWICE
+(SPARK_GRAFT_STREAM_PROBES, default 2): the canonical ``streaming``
+section is the second, warm probe; the first probe plus per-job
+probe1/probe2 agreement ratios land in ``streaming_probe1``.
+Streaming rows/s are NOT comparable to r11-and-earlier artifacts.
 """
 
 from __future__ import annotations
@@ -115,6 +126,64 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 4)
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
+
+    # ------------------------------------------------------------------
+    # Streaming throughput: end-to-end rows/s for the five core
+    # streaming jobs (enrich, stream-stream join, tumbling agg, dedup,
+    # temporal join) draining the chunked events fixture under
+    # trigger(availableNow) into a noop sink — batched mode only here
+    # (~25 s/probe; the chunked sustained-latency mode stays in
+    # tools/stress_stream.py).
+    #
+    # SECTION ORDER (r12, VERDICT r11 item 2): this section runs
+    # BEFORE the heavy tier.  r11's artifact ran it last, after ~38 s
+    # of heavy-tier GC pressure, and five same-night probes of
+    # identical code spanned 9.8–18.5k rows/s on the temporal drain —
+    # the number was a box-condition band, not a signal.  Probing
+    # first (and twice — the second, warm probe is the canonical
+    # ``streaming`` section; the first is kept under
+    # ``streaming_probe1`` with per-job agreement ratios) makes the
+    # rows/s comparable round-over-round.  NOT comparable to
+    # r11-and-earlier streaming numbers, which paid the heavy tier's
+    # GC bill first.
+    # ------------------------------------------------------------------
+    streaming = None
+    streaming_probe1 = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        try:
+            from tools.stress_stream import probe as stream_probe
+
+            n_probes = int(os.environ.get("SPARK_GRAFT_STREAM_PROBES", "2"))
+            probes = [
+                stream_probe(spark, sf_dir, modes=("batched",))
+                for _ in range(max(1, n_probes))
+            ]
+            streaming = probes[-1]
+            if len(probes) > 1:
+                # job payload shape: {job: {mode: {"s":…, "rows_per_s":…}}}
+                def _rps(probe):
+                    flat = {}
+                    for job, modes in (probe.get("jobs") or {}).items():
+                        if isinstance(modes, dict):
+                            for payload in modes.values():
+                                if isinstance(payload, dict) and payload.get(
+                                    "rows_per_s"
+                                ):
+                                    flat[job] = payload["rows_per_s"]
+                                    break
+                    return flat
+
+                r1, r2 = _rps(probes[0]), _rps(streaming)
+                streaming_probe1 = {
+                    "jobs": probes[0].get("jobs"),
+                    # probe1/probe2 rows-per-sec ratio per job: a value
+                    # near 1.0 means the number is reproducible in-session
+                    "agreement": {
+                        k: round(r1[k] / r2[k], 3) for k in r1 if r2.get(k)
+                    },
+                }
+        except Exception as e:  # never let the probe sink the artifact
+            streaming = {"error": f"{type(e).__name__}: {e}"}
 
     # ------------------------------------------------------------------
     # Heavy kernels: the expensive distributed paths (graph joins,
@@ -242,24 +311,6 @@ def main() -> None:
             copurchase._MEMO.clear()
     spark.catalog.clearCache()
 
-    # ------------------------------------------------------------------
-    # Streaming throughput: end-to-end rows/s for the five core
-    # streaming jobs (enrich, stream-stream join, tumbling agg, dedup,
-    # temporal join) draining the chunked events fixture under
-    # trigger(availableNow) into a noop sink — batched mode only here
-    # (~25 s; the chunked sustained-latency mode stays in
-    # tools/stress_stream.py).  Recorded so streaming regressions are
-    # as visible round-over-round as batch ones.
-    # ------------------------------------------------------------------
-    streaming = None
-    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
-        try:
-            from tools.stress_stream import probe as stream_probe
-
-            streaming = stream_probe(spark, sf_dir, modes=("batched",))
-        except Exception as e:  # never let the probe sink the artifact
-            streaming = {"error": f"{type(e).__name__}: {e}"}
-
     value = round(sum(times.values()), 4)
     out = {
         "metric": "warm_total_headline_queries",
@@ -274,6 +325,10 @@ def main() -> None:
         "graph_shared_edges": sorted(shared_names),
         "graph_edge_build": graph_edge_build,
         "streaming": streaming,
+        "streaming_probe1": streaming_probe1,
+        # r12+: streaming probes run BEFORE the heavy tier (twice; the
+        # canonical section is the second probe) — see section comment
+        "streaming_method": "pre-heavy, canonical=probe2-of-2",
         "sf": sf,
     }
     if sf == 0.1 and set(BASELINE_WARM_SF01) <= set(times):

@@ -124,14 +124,29 @@ class ConvergenceWarning(UserWarning):
     (an unconverged intermediate state, not the fixpoint)."""
 
 
+class ConvergenceError(RuntimeError):
+    """Raised instead of :class:`ConvergenceWarning` when the caller
+    passed ``strict=True`` — for folds where an unconverged label set
+    is silently wrong downstream (e.g. a dedup keep-set that would
+    drop the wrong documents), failing is the only safe outcome."""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a_id",
     dst: str = "b_id",
     max_iter: int = 20,
+    strict: bool = False,
 ) -> DataFrame:
     """(node, component) for every node in `edges`; component = min
-    node id reachable.  Deterministic: the fixpoint is unique."""
+    node id reachable.  Deterministic: the fixpoint is unique.
+
+    Plain min-label propagation converges in O(diameter) rounds —
+    fine for near-dup pair graphs (tiny diameters), wrong for long
+    chains; use :func:`connected_components_star` (O(log² n) rounds)
+    when the diameter is unbounded.  ``strict=True`` raises
+    :class:`ConvergenceError` instead of warning when ``max_iter`` is
+    exhausted before the fixpoint."""
     sym = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -173,14 +188,15 @@ def connected_components(
             break
         prev_sum = new_sum
     if not converged:
-        warnings.warn(
+        msg = (
             f"connected_components: max_iter={max_iter} exhausted before the "
             "fixpoint — returned labels are an unconverged intermediate state "
             "(raise max_iter, or use connected_components_star for "
-            "high-diameter graphs)",
-            ConvergenceWarning,
-            stacklevel=2,
+            "high-diameter graphs)"
         )
+        if strict:
+            raise ConvergenceError(msg)
+        warnings.warn(msg, ConvergenceWarning, stacklevel=2)
     return labels
 
 
@@ -189,6 +205,7 @@ def connected_components_star(
     src: str = "a_id",
     dst: str = "b_id",
     max_iter: int = 25,
+    strict: bool = False,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -269,13 +286,14 @@ def connected_components_star(
             break
         prev_sig = sig
     if not converged:
-        warnings.warn(
+        msg = (
             f"connected_components_star: max_iter={max_iter} exhausted before "
             "the edge-set fingerprint stabilized — returned labels may be an "
-            "unconverged intermediate state (raise max_iter)",
-            ConvergenceWarning,
-            stacklevel=2,
+            "unconverged intermediate state (raise max_iter)"
         )
+        if strict:
+            raise ConvergenceError(msg)
+        warnings.warn(msg, ConvergenceWarning, stacklevel=2)
 
     # converged: e is a set of (spoke, center) star edges with centers
     # = component minima; nodes absent from the spoke side are their

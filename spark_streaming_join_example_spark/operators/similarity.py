@@ -772,6 +772,20 @@ def _deterministic_sample(df: DataFrame, col: str, n: int = 4096) -> list:
     return df.select(col).orderBy(F.xxhash64(c), c).limit(n).collect()
 
 
+def _unit_rows(v):
+    """Row-normalize a float matrix, mapping zero-norm rows to zero
+    rows instead of NaN (r12 advisor fix): a NaN row makes argsort
+    cell assignment arbitrary and silently drops the vector from
+    every ≥-threshold pair.  With the zero-row convention, a zero
+    vector has cosine 0 against everything — deterministically below
+    any positive threshold and assigned to a stable cell — which is
+    the documented zero-vector contract of ivf_pairs_above."""
+    import numpy as np
+
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    return v / np.where(n > 0, n, 1.0)
+
+
 def _assign_cells(
     df: DataFrame,
     bc,
@@ -794,8 +808,7 @@ def _assign_cells(
         # than exist would misalign repeat vs ravel
         k_out = min(n_probe, len(c))
         for pdf in batches:
-            v = np.array(list(pdf[vec_col]), dtype=np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            v = _unit_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
             sims = v @ c.T
             order = np.argsort(-sims, axis=1)[:, :k_out]
             n = len(pdf)
@@ -1071,9 +1084,15 @@ def semdedup_keep(
     the seeded IVF quantizer); ``mode='lsh'`` trades the trained
     quantizer for hyperplane buckets (nothing to train or freeze
     beyond the plane seed).  Both share the containment guarantee
-    below.  Cluster contraction reuses
-    :func:`operators.graph.connected_components` (min-label
-    propagation, one scalar collect per round).
+    below.  Cluster contraction uses
+    :func:`operators.graph.connected_components_star` with
+    ``strict=True`` (r12 advisor fix): at a low threshold a semantic
+    chain a≈b≈c≈… can have diameter far beyond plain label
+    propagation's default 20 rounds, and an unconverged keep-set is
+    silently wrong in a pipeline that never surfaces warnings — star
+    contraction converges in O(log² n) rounds regardless of diameter,
+    and ``strict`` turns residual non-convergence into
+    :class:`~operators.graph.ConvergenceError` instead of a warning.
 
     At 100 TB: pair generation is the dominant cost and is
     output-sized under LSH blocking; the CC loop runs over the
@@ -1081,7 +1100,7 @@ def semdedup_keep(
     back to the corpus is a broadcast when the dup set is small, a
     key-partitioned shuffle otherwise — never all-pairs.
     """
-    from .graph import connected_components
+    from .graph import connected_components_star
 
     if mode == "exact":
         pairs = cosine_pairs_above(emb, threshold=threshold, n_rows=n_rows)
@@ -1097,7 +1116,9 @@ def semdedup_keep(
     else:  # pragma: no cover - guarded by callers
         raise ValueError(f"unknown semdedup mode: {mode}")
 
-    comp = connected_components(pairs)  # (node, component), min-label
+    # star contraction, strict: O(log² n) rounds at any chain diameter,
+    # and non-convergence raises rather than warns (keep-set safety)
+    comp = connected_components_star(pairs, strict=True)
     ids = emb.select(F.col("vec_id"))
     out = ids.join(comp, ids["vec_id"] == comp["node"], "left").select(
         "vec_id",
@@ -1138,13 +1159,19 @@ def ivf_pairs_above(
     is one unit-norm BLAS block over the cell's members (AQE splits
     fat cells at the groupBy); output is near-dup-pair-sized.  Like
     every blocked index, the quantizer must stay FROZEN (seed +
-    sample) for reproducible candidate sets."""
+    sample) for reproducible candidate sets.
+
+    Zero-vector contract (r12 advisor fix): a zero-norm embedding is
+    normalized to the zero row (see :func:`_unit_rows`), so its
+    cosine against everything is exactly 0 — deterministically below
+    any positive ``threshold`` (it appears in NO pair, matching the
+    exact kernel's behavior) and assigned to a stable cell rather
+    than wherever NaN ordering lands."""
     import numpy as np
 
     spark = emb.sparkSession
     sample = _deterministic_sample(emb, "embedding")
-    mat = np.array([r.embedding for r in sample], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = _unit_rows(np.array([r.embedding for r in sample], dtype=np.float64))
     cent = _kmeans_centroids(mat, n_cells, seed=seed)
     bc = spark.sparkContext.broadcast(cent)
     assigned = _assign_cells(emb, bc, n_probe)
@@ -1153,8 +1180,7 @@ def ivf_pairs_above(
         import pandas as pd
 
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat_ = np.array(list(pdf["embedding"]), dtype=np.float64)
-        mat_ /= np.linalg.norm(mat_, axis=1, keepdims=True)
+        mat_ = _unit_rows(np.array(list(pdf["embedding"]), dtype=np.float64))
         sims = mat_ @ mat_.T
         keep = (ids[:, None] < ids[None, :]) & (sims >= threshold)
         ai, bi = np.nonzero(keep)

@@ -141,7 +141,15 @@ def span_coverage_frame(
     the streaming span index's read + lookup paths, so "coverage"
     means exactly one thing everywhere.  The window partition is one
     document's hit spans — bounded by its own token count at any
-    corpus size."""
+    corpus size.
+
+    ABSENT-ROW CONTRACT: only documents with ≥ 1 flagged-gram hit
+    appear — a doc with zero hits (or absent from ``grams`` because
+    it has fewer than ``span`` tokens) has NO output row, and absence
+    means coverage 0.  q_span_trim and lookup_span_coverage left-join
+    this result back to their doc lists (coalescing to 0) to emit one
+    row per document; do the same in new call sites that iterate or
+    inner-join the output."""
     from pyspark.sql.window import Window
 
     spans = grams.join(

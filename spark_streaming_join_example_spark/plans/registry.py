@@ -95,16 +95,16 @@ def _load_all_plans() -> None:
 #: round, the non-anchor slots rotate to DIFFERENT queries covering
 #: the SAME §2 families (the swapped-out names stay green in the full
 #: local differential).  Swaps are marked "rN: was <name>" below.  The
-#: r11 rotation pushes 42 FIRST-TIME names — the 28-name pre-validated
-#: shortlist from NOTES_r10.md, 6 multi-family gap fillers, and 8
-#: breadth picks — by shrinking the anchor section to the bench set
-#: plus the one family (A3) with no never-checked oracle member: the
-#: two rows-only sketch anchors (q_kll_quantiles, q_theta_setops)
-#: earned driver rows in r7-r10 and rotate off, freeing their slots
-#: for hash-checked names.  Family coverage proven lossless at swap
-#: time (old-panel tag-union ⊆ new-panel tag-union, checked
-#: programmatically) and every incoming name verified green in the
-#: sf0.01 differential immediately before the swap.
+#: r12 rotation pushes 42 FIRST-TIME names — the 28-name pre-validated
+#: shortlist from NOTES_r11.md plus 14 fillers drawn from the deepest
+#:  never-checked families (FN-string/FN-math/FN-datetime/W/X5) and
+#: the r11 span/SemDeDup additions (VERDICT r11 item 5).  The anchor
+#: section is unchanged (bench set + A3 keeper).  Family coverage
+#: proven lossless at swap time (old-panel tag-union ⊆ new-panel
+#: tag-union, `tools/rotation_report.py --check`) and every incoming
+#: name verified green in the sf0.01 differential immediately before
+#: the swap (42/42 on 2026-08-16; q_embedding_neardup_lsh rows-only
+#: by design — the embedding-LSH scale path's driver slot).
 CURATED_FIRST: tuple[str, ...] = (
     # ---- anchors: the bench set (always hash-checked on the round's
     # artifact) + the A3 keeper (no never-checked oracle member left;
@@ -118,54 +118,54 @@ CURATED_FIRST: tuple[str, ...] = (
     "q_distinct_users",       # A2 (bench)
     "q_cosine_topk",          # X3 J11 O2 (bench)
     "q_approx_topk_events",   # A3 keeper (family has no unchecked member)
-    # ---- r11 rotation: 42 first-ever driver checks ----
-    # pre-validated r11 shortlist (NOTES_r10.md; all green in the r10
+    # ---- r12 rotation: 42 first-ever driver checks ----
+    # pre-validated r12 shortlist (NOTES_r11.md; all green in the r11
     # three-tier seal sweeps)
-    "q_setops_years",         # U1 U2 U3 A2 (r11: was q_max_concurrency's U1 + q_null_ordering's U-share)
-    "q_grouping_sets_returns",  # A4 A1 (r11: was q_rollup_orders)
-    "q_tumbling_daily",       # A5 A2 (r11: second A5 leg alongside bench anchor)
-    "q_sliding_global_3h",    # A6 A1 (r11: was q_sliding_type_windows)
-    "q_session_bounds",       # A7 (r11: was q_session_value)
-    "q_pivot_year",           # A9 J3 (r11: was q_pivot_priority)
-    "q_cast_numeric_edges",   # P4 P1 (r11: was q_cast_battery2)
-    "q_acctbal_tier_join",    # J6 A1 (r11: was q_band_join)
-    "q_ship_service_window",  # J7 J4 (r11: was q_hints_battery's J4 share)
-    "q_asof_backward",        # J8 W2 (r11: was q_asof_forward)
-    "q_nation_status_grid",   # J11 J10 J5 (r11: was q_gap_fill/q_interpolate's J10)
-    "q_clustered_layout",     # O3 P2 (r11: was q_zorder_stats)
-    "q_row_index",            # S1 P1 (r11: was q_file_lineage)
-    "q_latest_event",         # T2 A2 (r11: was q_dedup_events)
-    "q_user_streaks",         # T4 W2 (r11: was q_sessionize_batch)
-    "q_repartition_hint",     # T5 A1 (r11: was q_hints_battery)
-    "q_stream_static_nation",  # J1 J3 J5 A1 (r11: second J1 leg)
-    "q_stream_stream_views",  # J2 J7 (r11: was q_stream_stream_join)
-    "q_map_entries_explode",  # FN-map FN-array (r11: was q_map_battery2)
-    "q_from_xml",             # P3 (r11: was q_from_csv)
-    "q_udf_vowels",           # F1 (r11: was q_sql_udf)
-    "q_pandas_udf_bucket",    # F2 (r11: was q_pandas_udf)
-    "q_grouped_agg_span",     # F3 (r11: was q_grouped_agg_udf)
-    "q_apply_in_pandas_gaps",  # F4 (r11: was q_apply_in_pandas)
-    "q_map_in_pandas_sieve",  # F5 (r11: was q_map_in_pandas)
-    "q_udtf_bigrams",         # F6 (r11: was q_udtf_tokens)
-    "q_minhash_incoming",     # X2 rows-only (r11: the index lookup API under the driver's weaker check)
-    "q_frame_sample",         # X4 (r11: was q_quantize_embeddings's X4 share)
-    # multi-family gap fillers (each covers 2-3 families the shortlist
-    # leaves open; all green in the r10 three-tier seal sweeps)
-    "q_content_split",        # A1 P5 X5 FN-string (r11: was q_gopher_rules)
-    "q_checksums",            # X1 FN-string (r11: was q_dedup_incoming's X1)
-    "q_cohort_ltv",           # W3 A1 FN-datetime (r11: was q_cumulative_distinct's W3)
-    "q_funnel_timing",        # A1 FN-datetime FN-math (r11: was q_math_battery2)
-    "q_revenue_concentration",  # W3 A1 O1 (r11: was q_null_ordering)
-    "q_idle_customers",       # J9 A1 P5 (r11: was q_late_supplier_blame)
-    # breadth picks (never-checked, diverse families)
-    "q_collab_filter",        # J4 A1 W4 X3 (r11: was q_market_share)
-    "q_mrl_truncation",       # X3 FN-array W1 (r11: was q_quantize_embeddings)
-    "q_prefix_jaccard_join",  # X2 W1 J4 (r11: was q_dup_clusters_incoming's X2)
-    "q_bm25_search",          # X5 A1 J3 O2 (r11: was q_min_cost_supplier's O2)
-    "q_supplier_shortlist",   # J9 A2 O2 (r11: was q_triangle_count's O2)
-    "q_json_roundtrip",       # P3 FN-string (r11: was q_regexp_battery2/q_mask_pii's FN-string)
-    "q_file_row_profile",     # S1 P1 A1 (r11: second S1 leg)
-    "q_run_lengths",          # T4 W2 A1 (r11: second T4 leg)
+    "q_cube_filtered",        # A4 A1 (r12: was q_grouping_sets_returns)
+    "q_tumbling_week_orders",  # A5 A1 (r12: was q_tumbling_daily)
+    "q_sliding_28d_events",   # A6 A1 (r12: was q_sliding_global_3h)
+    "q_session_spans",        # A7 A2 (r12: was q_session_bounds)
+    "q_pivot_dual_agg",       # A9 A1 (r12: was q_pivot_year)
+    "q_map_zip_stats",        # FN-map A1 (r12: was q_map_entries_explode)
+    "q_events_supplier_mix",  # J1 J3 A1 (r12: was q_stream_static_nation)
+    "q_type_day_grid",        # J11 J10 A1 (r12: was q_nation_status_grid)
+    "q_click_purchase",       # J2 J7 W4 (r12: was q_stream_stream_views)
+    "q_balance_overlap",      # J6 A1 (r12: was q_acctbal_tier_join)
+    "q_asof_tolerance",       # J8 W2 (r12: was q_asof_backward)
+    "q_try_cast_temporal",    # P4 P5 (r12: was q_cast_numeric_edges)
+    "q_best_event",           # T2 A1 (r12: was q_latest_event)
+    "q_shuffle_pipeline",     # T5 A1 (r12: was q_repartition_hint)
+    "q_union_evolved_agg",    # U1 P5 (r12: was q_setops_years' U1 share)
+    "q_setops_modes",         # U2 U3 A1 (r12: was q_setops_years)
+    "q_desc_range_layout",    # O3 P2 (r12: was q_clustered_layout)
+    "q_payload_chunks",       # X4 FN-array (r12: was q_frame_sample)
+    "q_approx_topk_flags",    # A3 O2 P1 (r12: second A3 leg; round-13 stock pulled forward)
+    "q_json_kv_explode",      # P3 FN-map A1 (r12: was q_from_xml)
+    "q_row_chunks",           # S1 P1 A1 (r12: was q_row_index)
+    "q_debounce",             # T4 W2 A1 (r12: was q_user_streaks)
+    "q_udf_digitsum",         # F1 (r12: was q_udf_vowels)
+    "q_pandas_udf_intlen",    # F2 (r12: was q_pandas_udf_bucket)
+    "q_grouped_agg_second_max",  # F3 (r12: was q_grouped_agg_span)
+    "q_apply_in_pandas_norm",  # F4 (r12: was q_apply_in_pandas_gaps)
+    "q_map_in_pandas_repeat",  # F5 (r12: was q_map_in_pandas_sieve)
+    "q_udtf_chargrams",       # F6 (r12: was q_udtf_bigrams)
+    # span/SemDeDup family exposure (VERDICT r11 item 5 — the r11
+    # additions' first driver rows)
+    "q_span_trim",            # X1 X5 J10 P5 (r12: was q_checksums' X1)
+    "q_curation_funnel",      # X1 X5 A1 P5 (r12: was q_content_split)
+    "q_semdedup_keep",        # X2 X3 J11 (r12: was q_prefix_jaccard_join's X2)
+    "q_embedding_neardup_lsh",  # X2 X3 rows-only (r12: was q_minhash_incoming — the embedding-LSH scale path's driver slot)
+    # fillers from the deepest never-checked families
+    "q_listagg",              # A1 FN-string (r12: was q_checksums' FN-string)
+    "q_higher_moments",       # FN-math A1 (r12: was q_funnel_timing's FN-math)
+    "q_period_over_period",   # W2 FN-datetime A1 (r12: was q_cohort_ltv's FN-datetime)
+    "q_window_value_funcs",   # W2 W3 (r12: was q_revenue_concentration's W3)
+    "q_gini_coefficient",     # W1 A1 O1 (r12: was q_revenue_concentration's O1)
+    "q_tfidf_top_term",       # X5 A1 W4 (r12: was q_bm25_search)
+    "q_token_regex",          # X5 FN-string (r12: was q_json_roundtrip's FN-string)
+    "q_anomaly_zscore",       # A1 FN-math W1 (r12: was q_mrl_truncation's W1)
+    "q_time_weighted_avg",    # W2 A1 FN-datetime (r12: second FN-datetime leg)
+    "q_never_late_parts",     # J9 A1 J4 (r12: was q_idle_customers/q_supplier_shortlist's J9)
 )
 
 

@@ -321,6 +321,18 @@ def q_approx_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     its accuracy envelope (the checked approx_top_k twins pin the
     bounded-domain analogue for heavy hitters).
 
+    PRECONDITION (r12 advisor fix — checked, not assumed): exact
+    agreement is an empirical guarantee that holds only while every
+    quartile rank sits ≥ ε·n ranks away from its value-run boundary
+    (GK may legally return any order statistic within ε·n ranks; if
+    that window crosses into the adjacent value, the hash gate turns
+    flaky).  tests/test_batch_queries.py::
+    test_approx_quartiles_exactness_precondition recomputes the
+    run-margin at every fixture tier and fails WITH A DIAGNOSIS if a
+    future fixture change (or a larger SF) erodes the margin — so the
+    gate breaks loudly there, not as a mystery hash mismatch in the
+    driver.
+
     At 100 TB the same call is genuinely approximate (ε = 1/accuracy
     of the rank) but the sketch stays ~KB per group and merges
     associatively — that is why the pipeline uses percentile_approx,

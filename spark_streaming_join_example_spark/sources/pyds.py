@@ -1,6 +1,15 @@
 """Custom Python data source (Spark 4 DataSource API, SURVEY §2.1
 family): a deterministic seeded event generator, registered as format
-``"eventgen"``.
+``"eventgen_simple"``.
+
+Relationship to sources/pydatasource.py (r12 disambiguation, VERDICT
+r11): that module owns format ``"eventgen"`` — the production-shaped
+variant (partitioned Arrow ``DataSourceStreamReader``, ts column,
+range-planned offsets).  THIS module demonstrates the other half of
+the Spark 4 API surface, ``SimpleDataSourceStreamReader`` (driver-side
+cursor, no partition planning) plus a row-tuple batch reader, under
+its own format name so both can register in one session without the
+last registration silently shadowing the other.
 
 Why it exists: the engine's source surface shouldn't end at
 parquet/Kafka — Spark 4's Python DataSource API is the sanctioned way
@@ -57,11 +66,11 @@ class _EventGenReader(DataSourceReader):
 
 
 class EventGenDataSource(DataSource):
-    """spark.read.format("eventgen").option("numRows", n).load()"""
+    """spark.read.format("eventgen_simple").option("numRows", n).load()"""
 
     @classmethod
     def name(cls) -> str:
-        return "eventgen"
+        return "eventgen_simple"
 
     def schema(self) -> str:
         return "event_id long, user_id long, event_type string, value double"

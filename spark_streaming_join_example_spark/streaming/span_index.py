@@ -147,7 +147,15 @@ def span_coverage(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-document duplicated-span coverage of the INGESTED corpus —
     identical output to the batch q_span_coverage over the same
     documents (streamed ≡ batch pinned in tests/test_span_index.py):
-    (id, n_toks, covered_toks, dup_coverage, longest_span)."""
+    (id, n_toks, covered_toks, dup_coverage, longest_span).
+
+    ABSENT-ROW CONTRACT (matches the batch twin, so the streamed ≡
+    batch pin holds): a document with zero duplicated spans, or with
+    fewer than ``span`` tokens (never ingested into the posting
+    store), has NO row here — absence means coverage 0.  Callers that
+    need one row per document should use ``lookup_span_coverage``
+    (which left-joins back to its query docs) or left-join this
+    result against their doc list, coalescing to 0."""
     m = read_scheme(spark, out_dir, "span_postings")
     return span_coverage_frame(
         grams_store(spark, out_dir),
@@ -171,15 +179,35 @@ def lookup_span_coverage(
     CREATE duplication).  The index is untouched; gram length comes
     from the frozen scheme.  Output (q_id, n_toks, covered_toks,
     dup_coverage, longest_span) — same columns as the coverage read,
-    so one threshold rule serves both."""
+    so one threshold rule serves both.
+
+    EVERY query document gets exactly one row (r12 advisor fix): a
+    doc with no span in the index — or with fewer than ``span``
+    tokens, which can never match — comes back with covered_toks 0,
+    dup_coverage 0.0, longest_span 0 (n_toks is its real token
+    count), so an admission-control caller can inner-join or iterate
+    the result without silently skipping clean docs."""
     m = read_scheme(spark, out_dir, "span_postings")
     span = int(m["span"])
     q_grams = gram_positions(docs, id_col, text_col, span)
     corpus_keys = (
         spark.read.parquet(f"{out_dir}/grams").select("gram").distinct()
     )
-    return span_coverage_frame(
-        q_grams, corpus_keys, id_col=id_col, span=span
+    cov = span_coverage_frame(q_grams, corpus_keys, id_col=id_col, span=span)
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("_n_toks"),
+    )
+    return base.join(cov, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_toks"), F.col("_n_toks")).alias("n_toks"),
+        F.coalesce(F.col("covered_toks"), F.lit(0).cast("long")).alias(
+            "covered_toks"
+        ),
+        F.coalesce(F.col("dup_coverage"), F.lit(0.0)).alias("dup_coverage"),
+        F.coalesce(F.col("longest_span"), F.lit(0).cast("long")).alias(
+            "longest_span"
+        ),
     )
 
 

@@ -144,6 +144,73 @@ def test_connected_components_chain_clique_pair(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_strict_raises_on_nonconvergence(spark):
+    """r12 advisor fix: with strict=True, exhausting max_iter raises
+    ConvergenceError instead of emitting a warning a pipeline never
+    surfaces (both CC variants).  A 12-chain needs ~6 label rounds /
+    several star rounds, so max_iter=1 cannot converge."""
+    import pytest
+
+    from spark_streaming_join_example_spark.operators.graph import (
+        ConvergenceError,
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["a_id", "b_id"]
+    )
+    with pytest.raises(ConvergenceError):
+        connected_components(chain, max_iter=1, strict=True)
+    with pytest.raises(ConvergenceError):
+        connected_components_star(chain, max_iter=1, strict=True)
+    # and the same budget without strict still warns, not raises
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iter=1)
+    assert any("max_iter" in str(x.message) for x in w)
+
+
+def test_ivf_pairs_above_zero_vector_contract(spark):
+    """r12 advisor fix: a zero-norm embedding must be excluded from
+    every ≥-threshold pair DETERMINISTICALLY (cosine defined as 0,
+    not NaN), and both the exact and kmeans-blocked kernels must
+    agree on the pair set over a corpus containing it."""
+    from spark_streaming_join_example_spark.operators.similarity import (
+        cosine_pairs_above,
+        ivf_pairs_above,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),  # the zero vector
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.95, 0.05, 0.0]),  # near-dup of 3
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs_above(emb, threshold=0.9, n_rows=5).collect()
+    }
+    blocked = {
+        (r.a_id, r.b_id)
+        for r in ivf_pairs_above(emb, threshold=0.9, n_cells=2).collect()
+    }
+    assert exact == {(1, 2), (3, 4)}
+    assert blocked <= exact  # blocking may only SPLIT, never invent
+    assert not any(0 in p for p in exact | blocked)
+    # sims must be finite everywhere (no NaN leakage from the zero row)
+    import math
+
+    assert all(
+        math.isfinite(r.cos_sim)
+        for r in ivf_pairs_above(emb, threshold=-2.0, n_cells=2).collect()
+    )
+
+
 def test_asof_join_forward(spark, asof_frames):
     left, right = asof_frames
     out = asof_join(

@@ -72,6 +72,7 @@ _CURATED_ROWS_ONLY_ALLOWED = {
     "q_kll_quantiles",
     "q_theta_setops",
     "q_minhash_incoming",
+    "q_embedding_neardup_lsh",  # r12 rows-only slot: embedding-LSH scale path
 }
 
 

@@ -97,7 +97,7 @@ def test_python_datasource_eventgen(spark):
 
     def load(parts):
         return (
-            spark.read.format("eventgen")
+            spark.read.format("eventgen_simple")
             .option("numRows", 1000)
             .option("numPartitions", parts)
             .option("seed", 7)
@@ -147,7 +147,7 @@ def test_python_datasource_streaming(spark, tmp_path):
 
     register_eventgen(spark)
     stream = (
-        spark.readStream.format("eventgen")
+        spark.readStream.format("eventgen_simple")
         .option("rowsPerBatch", 50)
         .option("seed", 7)
         .load()

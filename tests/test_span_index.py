@@ -271,14 +271,24 @@ def test_lookup_screens_incoming_shard(spark, sf_dir, tmp_path):
     assert files_after == files_before  # read-only
 
     corpus_keys = gram_positions(corpus).select("gram").distinct()
-    want = {
+    hits = {
         r.doc_id: (r.n_toks, r.covered_toks, r.dup_coverage, r.longest_span)
         for r in span_coverage_frame(
             gram_positions(shard), corpus_keys
         ).collect()
     }
+    # r12 contract: the lookup emits one row for EVERY query doc —
+    # docs with no corpus-present span come back with explicit zeros
+    want = {
+        r.doc_id: hits.get(r.doc_id, (len(r.text.split(" ")), 0, 0.0, 0))
+        for r in shard.collect()
+    }
     assert got == want
-    assert want, "shard shares no spans with the corpus; test vacuous"
+    assert len(got) == shard.count()
+    assert hits, "shard shares no spans with the corpus; test vacuous"
+    assert set(want) - set(hits), (
+        "every shard doc hit the corpus; the zero-row leg is vacuous"
+    )
 
 
 def test_common_spans_read_equals_batch(spark, sf_dir, tmp_path):

@@ -74,6 +74,7 @@ def _load_all_plans() -> None:
     from . import round14  # noqa: F401
     from . import round15  # noqa: F401
     from . import round16  # noqa: F401
+    from . import round17  # noqa: F401
 
 
 #: The 50 queries exposed FIRST to the verification driver.  The

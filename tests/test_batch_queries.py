@@ -330,15 +330,18 @@ def test_histogram_auc_tracks_exact_auc(spark, sf_dir):
 
 
 def test_approx_quartiles_exactness_precondition():
-    """r12 advisor fix: q_approx_quartiles' hash gate relies on
+    """r12 advisor fix: q_approx_quartiles (quartiles over
+    l_returnflag groups) and q_approx_deciles_array (decile midpoints
+    over l_linestatus groups) hash-gate on
     percentile_approx(accuracy=10000) agreeing EXACTLY with DuckDB's
     quantile_disc.  GK may legally return any order statistic within
     ε·n ranks of the target (ε = 1/accuracy), so exact agreement
-    holds only while every quartile rank sits at least ε·n ranks
-    INSIDE its value run.  Recompute that margin per (fixture tier,
-    group, quartile) straight from the parquet — if a fixture refresh
-    or a larger SF ever erodes it, this fails with a diagnosis
-    instead of a mystery hash mismatch in the driver."""
+    holds only while every gated quantile rank sits at least
+    floor(ε·n) ranks INSIDE its value run.  Recompute that margin per
+    (fixture tier, grouping, group, quantile) straight from the
+    parquet — if a fixture refresh or a larger SF ever erodes it,
+    this fails with a diagnosis instead of a mystery hash mismatch in
+    the driver."""
     import glob
     import math
 
@@ -347,48 +350,58 @@ def test_approx_quartiles_exactness_precondition():
     tiers = sorted(glob.glob("/root/testdata/sf*/lineitem.parquet"))
     assert tiers, "no fixture tiers found"
     accuracy = 10000
+    gates = [
+        ("l_returnflag", (0.25, 0.50, 0.75), "q_approx_quartiles"),
+        (
+            "l_linestatus",
+            tuple((2 * i + 1) / 20 for i in range(10)),
+            "q_approx_deciles_array",
+        ),
+    ]
     for path in tiers:
-        con = duckdb.connect()
-        rows = con.execute(
-            f"""
-            WITH ranked AS (
-              SELECT l_returnflag AS g, l_quantity AS v,
-                     ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                                        ORDER BY l_quantity) AS rk,
-                     COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-              FROM read_parquet('{path}')
-            ), runs AS (
-              SELECT g, v, n, MIN(rk) AS lo, MAX(rk) AS hi
-              FROM ranked GROUP BY g, v, n
-            )
-            SELECT g, v, n, lo, hi FROM runs
-            """
-        ).fetchall()
-        con.close()
-        runs: dict = {}
-        for g, v, n, lo, hi in rows:
-            runs.setdefault(g, (n, []))[1].append((lo, hi, v))
-        for g, (n, spans) in runs.items():
-            eps_n = n / accuracy
-            for q in (0.25, 0.50, 0.75):
-                # target rank under discrete-quantile semantics; the
-                # +/-1 absorbs engine rank-convention differences
-                k = max(1, math.ceil(q * n))
-                (lo, hi, v) = next(
-                    s for s in sorted(spans) if s[0] <= k <= s[1]
+        for group_col, quantiles, qname in gates:
+            con = duckdb.connect()
+            rows = con.execute(
+                f"""
+                WITH ranked AS (
+                  SELECT {group_col} AS g, l_quantity AS v,
+                         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                            ORDER BY l_quantity) AS rk,
+                         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+                  FROM read_parquet('{path}')
+                ), runs AS (
+                  SELECT g, v, n, MIN(rk) AS lo, MAX(rk) AS hi
+                  FROM ranked GROUP BY g, v, n
                 )
-                margin = min(k - lo, hi - k)
-                # integer ranks inside the GK slack window [k-εn, k+εn]
-                # are k±floor(εn); exactness needs the value run to
-                # cover all of them (εn < 1 ⇒ structurally exact even
-                # at margin 0 — the window holds no other integer rank)
-                need = math.floor(eps_n)
-                assert margin >= need, (
-                    f"{path}: group {g!r} quartile {q} rank {k} is only "
-                    f"{margin} ranks from the boundary of value-run "
-                    f"{v!r} [{lo},{hi}] (ε·n = {eps_n:.1f}, need "
-                    f"≥ {need}) — percentile_approx may legally return "
-                    "the adjacent order statistic; q_approx_quartiles' "
-                    "exact-hash oracle is no longer structurally safe "
-                    "at this tier"
-                )
+                SELECT g, v, n, lo, hi FROM runs
+                """
+            ).fetchall()
+            con.close()
+            runs: dict = {}
+            for g, v, n, lo, hi in rows:
+                runs.setdefault(g, (n, []))[1].append((lo, hi, v))
+            for g, (n, spans) in runs.items():
+                eps_n = n / accuracy
+                for q in quantiles:
+                    # target rank under discrete-quantile semantics
+                    k = max(1, math.ceil(q * n))
+                    (lo, hi, v) = next(
+                        s for s in sorted(spans) if s[0] <= k <= s[1]
+                    )
+                    margin = min(k - lo, hi - k)
+                    # integer ranks inside the GK slack window
+                    # [k-εn, k+εn] are k±floor(εn); exactness needs the
+                    # value run to cover all of them (εn < 1 ⇒
+                    # structurally exact even at margin 0 — the window
+                    # holds no other integer rank)
+                    need = math.floor(eps_n)
+                    assert margin >= need, (
+                        f"{path}: {group_col} group {g!r} quantile {q} "
+                        f"rank {k} is only {margin} ranks from the "
+                        f"boundary of value-run {v!r} [{lo},{hi}] "
+                        f"(ε·n = {eps_n:.1f}, need ≥ {need}) — "
+                        "percentile_approx may legally return the "
+                        f"adjacent order statistic; {qname}'s "
+                        "exact-hash oracle is no longer structurally "
+                        "safe at this tier"
+                    )

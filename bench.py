@@ -279,9 +279,43 @@ def main() -> None:
         heavy[name] = round(statistics.median(samples), 4)
         heavy_spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
+    # The three shingle-unit dedup pipelines recompute the SAME corpus
+    # (doc_id, toks) relation — measured at 54 % of q_minhash_neardup's
+    # wall time at sf0.1 (tools/ab_minhash.py, r12).  Since r12 the
+    # bench times them the deployment way, mirroring the graph tier:
+    # one shared localCheckpoint'd shingle build (cost reported as
+    # `shingle_build`), kernels timed over it, entries tagged
+    # "shared_shingles" in heavy_spread.  NOT comparable to r11-and-
+    # earlier numbers for these three names.  Correctness paths run
+    # with sharing OFF; results are pytest-pinned identical.
+    shingle_shared = {
+        "q_minhash_neardup",
+        "q_prefix_shingle_join",
+        "q_simhash_shingle_pairs",
+    }
+
     for name in heavy_names:
-        if name not in graph_shared:
+        if name not in graph_shared and name not in shingle_shared:
             time_heavy(name, clear_between=True)
+
+    shingle_names = [n for n in heavy_names if n in shingle_shared]
+    shingle_build = None
+    if shingle_names:
+        from spark_streaming_join_example_spark.operators import dedup
+
+        dedup._SHARED_TOKS_MEMO.clear()
+        os.environ["SPARK_GRAFT_SHARE_SHINGLES"] = "1"
+        try:
+            t0 = time.perf_counter()
+            toks = dedup.corpus_shingle_toks(spark, sf_dir)
+            toks.count()  # materialize the shared checkpoint once
+            shingle_build = round(time.perf_counter() - t0, 4)
+            for name in shingle_names:
+                time_heavy(name, clear_between=False)
+                heavy_spread[name] = heavy_spread[name] + ["shared_shingles"]
+        finally:
+            os.environ.pop("SPARK_GRAFT_SHARE_SHINGLES", None)
+            dedup._SHARED_TOKS_MEMO.clear()
 
     shared_names = [n for n in heavy_names if n in graph_shared]
     graph_edge_build = None
@@ -324,6 +358,8 @@ def main() -> None:
         "heavy_runs": n_heavy_runs,
         "graph_shared_edges": sorted(shared_names),
         "graph_edge_build": graph_edge_build,
+        "shingle_shared": sorted(shingle_names),
+        "shingle_build": shingle_build,
         "streaming": streaming,
         "streaming_probe1": streaming_probe1,
         # r12+: streaming probes run BEFORE the heavy tier (twice; the
@@ -485,6 +521,7 @@ def _emit(out: dict) -> None:
             "recent_totals",
             "skipped_unparseable",
             "graph_edge_build",
+            "shingle_build",
             "heavy_total_comparable",
             "heavy_new",
             "heavy_dropped",

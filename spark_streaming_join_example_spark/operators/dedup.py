@@ -179,6 +179,52 @@ def lsh_candidate_pairs(
     )
 
 
+#: bench-session memo for the shared corpus shingle relation
+#: (see corpus_shingle_toks); keyed by (sf_dir, shingle)
+_SHARED_TOKS_MEMO: dict = {}
+
+
+def corpus_shingle_toks(
+    spark,
+    sf_dir: str,
+    shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus-wide (doc_id, toks) shingle relation shared by the
+    three shingle-unit dedup pipelines (MinHash LSH, prefix-filter
+    join, SimHash) — measured at 54 % of q_minhash_neardup's wall
+    time at sf0.1 (tools/ab_minhash.py, r12), so recomputing it per
+    query is the heavy tier's single biggest redundancy.
+
+    With ``SPARK_GRAFT_SHARE_SHINGLES=1`` the relation is built ONCE
+    per (sf_dir, shingle), localCheckpoint'd eagerly and memoized —
+    the same deployment-shaped sharing discipline as the co-purchase
+    graph tier's ``SPARK_GRAFT_SHARE_EDGES`` (bench.py reports the
+    build separately as ``shingle_build`` and tags shared heavy
+    entries).  With the flag off (correctness paths: the driver,
+    verify_local, pytest) it returns the plain per-query plan —
+    results are pinned identical either way in
+    tests/test_extensions.py."""
+    import os
+
+    from ..sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    unit = (
+        shingles(text_col, n=shingle)
+        if shingle > 1
+        else distinct_tokens(text_col)
+    )
+    plain = docs.select(F.col(id_col), unit.alias("toks"))
+    if os.environ.get("SPARK_GRAFT_SHARE_SHINGLES") != "1":
+        return plain
+    key = (sf_dir, shingle)
+    if key not in _SHARED_TOKS_MEMO:
+        _SHARED_TOKS_MEMO[key] = plain.localCheckpoint(eager=True)
+    return _SHARED_TOKS_MEMO[key]
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -188,6 +234,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle: int = 3,
     reliable: bool = False,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle → MinHash → banded LSH →
     exact-Jaccard verify ≥ threshold. Output (a_id, b_id, jac), where
@@ -213,12 +260,13 @@ def minhash_near_duplicates(
     storage) — the same trade-off and knob as the ranking kernels
     (operators/ranking.py, SCALE.md §ranking).
     """
-    unit = (
-        shingles(text_col, n=shingle)
-        if shingle > 1
-        else distinct_tokens(text_col)
-    )
-    toks = docs.select(F.col(id_col), unit.alias("toks"))
+    if toks is None:
+        unit = (
+            shingles(text_col, n=shingle)
+            if shingle > 1
+            else distinct_tokens(text_col)
+        )
+        toks = docs.select(F.col(id_col), unit.alias("toks"))
     sig = minhash_signatures(toks, id_col, F.col("toks"), num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     return exact_jaccard_verify(
@@ -298,6 +346,7 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.9,
     shingle: int = 1,
     order: str = "df",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT sub-quadratic set-similarity self-join via prefix
     filtering (the AllPairs/PPJoin family, Bayardo et al. WWW'07 /
@@ -339,14 +388,15 @@ def prefix_filter_jaccard_pairs(
     shingle=3.  Note the SEMANTICS move
     with the unit: the join is then exact over shingle-set Jaccard
     (order-sensitive, the near-dup definition that matches MinHash's)."""
-    unit = (
-        shingles(text_col, n=shingle)
-        if shingle > 1
-        else distinct_tokens(text_col)
-    )
-    toks = docs.select(
-        F.col(id_col), unit.alias("toks")
-    ).localCheckpoint(eager=False)
+    if toks is None:
+        unit = (
+            shingles(text_col, n=shingle)
+            if shingle > 1
+            else distinct_tokens(text_col)
+        )
+        toks = docs.select(
+            F.col(id_col), unit.alias("toks")
+        ).localCheckpoint(eager=False)
     cand = prefix_filter_candidates(toks, id_col, threshold, order=order)
     return exact_jaccard_verify(cand, toks, id_col, threshold)
 
@@ -558,6 +608,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     n_bits: int = 63,
     shingle: int = 1,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Bucketed SimHash near-dup pairs: hamming(a, b) <= max_hamming.
 
@@ -577,14 +628,18 @@ def simhash_near_duplicates(
     §Round-10).  Default stays 1 for the registered token-unit
     queries' semantics; use 3 at scale.
     """
-    unit = (
-        shingles(text_col, n=shingle)
-        if shingle > 1
-        else distinct_tokens(text_col)
-    )
-    fp = docs.select(
+    if toks is None:
+        unit = (
+            shingles(text_col, n=shingle)
+            if shingle > 1
+            else distinct_tokens(text_col)
+        )
+        src = docs.select(F.col(id_col), unit.alias("toks"))
+    else:
+        src = toks
+    fp = src.select(
         F.col(id_col),
-        simhash63(unit, n_bits=n_bits).alias("fp"),
+        simhash63(F.col("toks"), n_bits=n_bits).alias("fp"),
     ).localCheckpoint(eager=True)
     chunks = fp.select(
         F.col(id_col),

@@ -415,10 +415,28 @@ def q_prefix_shingle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the DuckDB oracle recomputes the full quadratic shingle join,
     so this checks value-for-value.  Semantics match q_minhash_neardup
     (shingle-set Jaccard ≥ 0.9) but EXACT, with no per-pair miss rate:
-    at 100 TB this is the path when dedup must be provably complete."""
-    from ..operators.dedup import prefix_filter_jaccard_pairs
+    at 100 TB this is the path when dedup must be provably complete.
+
+    r12: under SPARK_GRAFT_SHARE_SHINGLES=1 (bench heavy tier) the
+    shingle relation is the shared session memo FILTERED to this
+    query's doc_id < 2000 slice — per-row shingling commutes with the
+    filter, and the df-order prefix is computed over the filtered
+    relation either way (pytest-pinned identical)."""
+    import os
+
+    from ..operators.dedup import (
+        corpus_shingle_toks,
+        prefix_filter_jaccard_pairs,
+    )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    if os.environ.get("SPARK_GRAFT_SHARE_SHINGLES") == "1":
+        toks = corpus_shingle_toks(spark, sf_dir).filter(
+            F.col("doc_id") < 2000
+        )
+        return prefix_filter_jaccard_pairs(
+            d, threshold=0.9, shingle=3, toks=toks
+        )
     return prefix_filter_jaccard_pairs(d, threshold=0.9, shingle=3)
 
 
@@ -611,9 +629,23 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_near_duplicates docstring for the S-curve).  The r7 form
     (raw word sets, 16/4) admitted 51 % of all pairs as candidates on
     this small-vocabulary corpus and ran 52 s at sf0.1; the shingled
-    form admits ≈ the planted duplicates only."""
+    form admits ≈ the planted duplicates only.
+
+    r12: under SPARK_GRAFT_SHARE_SHINGLES=1 (bench heavy tier only)
+    the shingle relation comes from the shared session memo — it is
+    54 % of this query's wall time when recomputed (ab_minhash.py)
+    and byte-identical either way (pytest pin).  The 64-hash/16-band
+    retune was probed too (identical pairs, recall 1.0, 24 % faster
+    on THIS fixture) and deliberately NOT adopted: 4-row bands flatten
+    the S-curve to s⁴ — ~0.64 candidate probability at s=0.5 — which
+    re-opens the r7 candidate blow-up on any corpus with
+    mid-similarity mass; the steep s⁸ curve is the 100 TB posture."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, threshold=0.9)
+    from ..operators.dedup import corpus_shingle_toks
+
+    return minhash_near_duplicates(
+        d, threshold=0.9, toks=corpus_shingle_toks(spark, sf_dir)
+    )
 
 
 @register("q_minhash_incoming", tags=("X2",))

@@ -1141,8 +1141,14 @@ def q_simhash_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.0100 % shingled, SCALE.md §Round-10).  Rows-only (xxhash64-based
     fingerprints have no DuckDB twin); the pigeonhole-lossless
     equivalence to brute force is pytest-pinned for both unit modes
-    (tests/test_extensions.py, tests/test_simhash_index.py)."""
-    from ..operators.dedup import simhash_near_duplicates
+    (tests/test_extensions.py, tests/test_simhash_index.py).
+
+    r12: under SPARK_GRAFT_SHARE_SHINGLES=1 (bench heavy tier) the
+    shingle arrays come from the shared session memo instead of a
+    third recompute (pytest-pinned identical)."""
+    from ..operators.dedup import corpus_shingle_toks, simhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=3, shingle=3)
+    return simhash_near_duplicates(
+        d, max_hamming=3, shingle=3, toks=corpus_shingle_toks(spark, sf_dir)
+    )

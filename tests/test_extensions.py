@@ -855,3 +855,43 @@ def test_semdedup_kmeans_mode_containment_and_planted(spark, sf_dir):
     }
     assert 0 in kept_exact
     assert kept_km == kept_exact
+
+
+def test_shared_shingles_results_identical(spark, sf_dir):
+    """r12: the bench's SPARK_GRAFT_SHARE_SHINGLES=1 mode (one
+    localCheckpoint'd corpus shingle relation shared by the MinHash /
+    prefix / SimHash pipelines) must be a pure timing optimization —
+    every shared query's result set is byte-identical to the plain
+    per-query build the driver and verify paths run."""
+    import os
+
+    from spark_streaming_join_example_spark.operators import dedup
+    from spark_streaming_join_example_spark.plans.registry import (
+        queries_dict,
+    )
+
+    qd = queries_dict()
+    names = [
+        "q_minhash_neardup",
+        "q_prefix_shingle_join",
+        "q_simhash_shingle_pairs",
+    ]
+    plain = {
+        n: sorted(map(tuple, qd[n](spark, sf_dir).collect())) for n in names
+    }
+    assert os.environ.get("SPARK_GRAFT_SHARE_SHINGLES") != "1"
+    dedup._SHARED_TOKS_MEMO.clear()
+    os.environ["SPARK_GRAFT_SHARE_SHINGLES"] = "1"
+    try:
+        shared = {
+            n: sorted(map(tuple, qd[n](spark, sf_dir).collect()))
+            for n in names
+        }
+        # the memo was actually exercised (one entry, reused)
+        assert len(dedup._SHARED_TOKS_MEMO) == 1
+    finally:
+        os.environ.pop("SPARK_GRAFT_SHARE_SHINGLES", None)
+        dedup._SHARED_TOKS_MEMO.clear()
+    for n in names:
+        assert plain[n] == shared[n], n
+        assert plain[n], f"{n} empty — pin vacuous"

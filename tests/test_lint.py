@@ -51,7 +51,11 @@ def test_no_row_udf_outside_f1_surface():
     uses are the deliberate F1 surface demos in plans/udf_queries.py
     (which document their built-in twins).  Everything else must be
     JVM built-ins or Arrow-batched pandas UDFs."""
-    allowed = {"plans/udf_queries.py", "plans/round16.py"}
+    allowed = {
+        "plans/udf_queries.py",
+        "plans/round16.py",
+        "plans/round18.py",
+    }
     offenders = []
     for path in sorted(PKG.rglob("*.py")):
         rel = str(path.relative_to(PKG))

@@ -10,6 +10,11 @@ until the whole registry has hard signal.  This tool does the
 bookkeeping that was hand-rolled in rounds 7-9:
 
   python tools/rotation_report.py            # coverage + candidates
+  python tools/rotation_report.py --project  # post-panel larder depth
+                                             #   per family (fails if
+                                             #   any family would be
+                                             #   < 2 deep — the "two
+                                             #   panels ahead" rule)
   python tools/rotation_report.py --check    # validate CURATED_FIRST
                                              #   against the PREVIOUS
                                              #   panel in git HEAD~?
@@ -97,6 +102,29 @@ def main() -> None:
         print(json.dumps({"ok": not problems, "problems": problems,
                           "rows_only": rows_only}))
         raise SystemExit(1 if problems else 0)
+
+    if "--project" in sys.argv:
+        # Stock projection (r12 addition): assume the CURRENT panel
+        # earns its rows this round, then report per-family depth of
+        # the remaining never-checked oracle pool — the "two panels
+        # ahead" larder check (a family at depth 1 will run dry the
+        # round after next; author a fresh shape for it NOW).
+        pool = [
+            n
+            for n in never
+            if REGISTRY[n].oracle is not None
+        ]
+        depth: dict[str, int] = defaultdict(int)
+        for n in pool:
+            for t in REGISTRY[n].tags or ():
+                depth[t] += 1
+        thin = {t: c for t, c in sorted(depth.items()) if c < 2}
+        print(json.dumps({
+            "pool_after_current_panel": len(pool),
+            "families_below_2": thin,
+            "ok": not thin,
+        }, indent=0))
+        raise SystemExit(1 if thin else 0)
 
     by_family: dict[str, list[str]] = defaultdict(list)
     for n in never:

@@ -249,3 +249,74 @@ def ewma_with_state(
             timeoutConf=_GST.NoTimeout,
         )
     )
+
+
+CROSSINGS_OUTPUT_SCHEMA = (
+    "user_id long, n_crossings long, first_crossing_id long"
+)
+CROSSINGS_STATE_SCHEMA = "last_value double, n long, first_id long"
+
+
+def threshold_crossings_with_state(
+    events: DataFrame, threshold: float = 3.0
+) -> DataFrame:
+    """Streaming twin of plans/round18.q_threshold_crossings: per-user
+    upward threshold-crossing counter via explicit keyed state.
+
+    State per user is THREE scalars — the last seen value, the
+    crossing count, and the first crossing's event_id (−1 until set)
+    — the smallest possible arbitrary-stateful shape, and the one the
+    batch twin's docstring promises ("one float + one flag per key").
+    The last value genuinely crosses micro-batch boundaries: a batch
+    ending at value ≤ threshold followed by a batch opening above it
+    must count exactly one crossing, which no per-batch window can
+    express.
+
+    Each micro-batch processes its rows in (ts, event_id) order
+    (chunks concatenated first — the >10k-row-group Arrow-chunk
+    lesson from ewma_with_state applies verbatim) and emits the
+    user's UPDATED (n_crossings, first_crossing_id) row only when a
+    new crossing occurred in the batch, so a full drain's final row
+    per user equals the batch query exactly (pinned in
+    tests/test_streaming.py; n_crossings is monotone, so "final" is
+    the max).  Strict float comparisons match the batch twin:
+    prev ≤ threshold < current on identical stored doubles."""
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        import pandas as pd  # local import keeps the worker pickle lean
+
+        if state.exists:
+            last, n, first_id = state.get
+        else:
+            last, n, first_id = None, 0, -1
+        changed = False
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                v = float(val)
+                if last is not None and last <= threshold < v:
+                    n += 1
+                    if first_id < 0:
+                        first_id = int(eid)
+                    changed = True
+                last = v
+        state.update((float(last), int(n), int(first_id)))
+        if changed:
+            yield pd.DataFrame(
+                [(int(user_id), int(n), int(first_id))],
+                columns=["user_id", "n_crossings", "first_crossing_id"],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CROSSINGS_OUTPUT_SCHEMA,
+        stateStructType=CROSSINGS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=_GST.NoTimeout,
+    )

@@ -2063,3 +2063,42 @@ def test_vector_index_quantizer_freeze(spark, sf_dir, tmp_path):
 
     # the frozen one (round-tripped through load_quantizer) restarts fine
     start("ck3", frozen).awaitTermination()
+
+
+def test_threshold_crossings_with_state_matches_batch(
+    spark, sf_dir, replay_dir, tmp_path
+):
+    """T4: the stateful streaming crossing counter (three scalars of
+    keyed state in applyInPandasWithState) over a chronological
+    replay converges to the batch q_threshold_crossings rows — the
+    last-seen value crosses micro-batch boundaries, so a boundary
+    straddling the threshold counts exactly once.  n_crossings is
+    monotone per user, so the final state is each user's max emitted
+    row."""
+    from spark_streaming_join_example_spark.plans.registry import (
+        queries_dict,
+    )
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        threshold_crossings_with_state,
+    )
+
+    stream = read_event_stream(spark, replay_dir)
+    got_rows = run_to_memory(
+        threshold_crossings_with_state(stream),
+        str(tmp_path / "ckpt"),
+        output_mode="update",
+        name="crossings_state_probe",
+    ).collect()
+    final: dict = {}
+    for r in got_rows:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_crossings > cur[0]:
+            final[r.user_id] = (r.n_crossings, r.first_crossing_id)
+    expected = {
+        r.user_id: (r.n_crossings, r.first_crossing_id)
+        for r in queries_dict()["q_threshold_crossings"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert final == expected
+    assert expected, "no crossings at this tier; pin vacuous"

@@ -264,9 +264,12 @@ def threshold_crossings_with_state(
     upward threshold-crossing counter via explicit keyed state.
 
     State per user is THREE scalars — the last seen value, the
-    crossing count, and the first crossing's event_id (−1 until set)
-    — the smallest possible arbitrary-stateful shape, and the one the
-    batch twin's docstring promises ("one float + one flag per key").
+    crossing count, and the MINIMUM crossing event_id (−1 until set;
+    the batch twin reports MIN(event_id) over crossings, and event
+    ids are NOT time-ordered in the fixture, so "first" means
+    lowest-id, maintained as a running min) — the smallest possible
+    arbitrary-stateful shape, and the one the batch twin's docstring
+    promises ("one float + one flag per key").
     The last value genuinely crosses micro-batch boundaries: a batch
     ending at value ≤ threshold followed by a batch opening above it
     must count exactly one crossing, which no per-batch window can
@@ -300,7 +303,7 @@ def threshold_crossings_with_state(
                 v = float(val)
                 if last is not None and last <= threshold < v:
                     n += 1
-                    if first_id < 0:
+                    if first_id < 0 or int(eid) < first_id:
                         first_id = int(eid)
                     changed = True
                 last = v

@@ -2102,3 +2102,74 @@ def test_threshold_crossings_with_state_matches_batch(
     }
     assert final == expected
     assert expected, "no crossings at this tier; pin vacuous"
+
+
+def test_threshold_crossings_state_survives_restart(spark, sf_dir, tmp_path):
+    """T4/S7: the crossing counter's three-scalar keyed state must
+    survive a checkpoint restart — a user whose last pre-stop value
+    sits below the threshold and whose first post-restart value sits
+    above it counts exactly one crossing, which only real recovered
+    state can get right.  update-mode applyInPandasWithState cannot
+    drive an append parquet sink, and the memory sink cannot recover
+    a checkpoint, so both phases drain through a foreachBatch
+    parquet-append sink (the restart-capable escape hatch for
+    update-mode operators).  The union of both phases' emissions,
+    folded to each user's final (monotone) row, must equal the batch
+    q_threshold_crossings output."""
+    import glob as _glob
+    import os as _os
+    import shutil
+
+    from spark_streaming_join_example_spark.plans.registry import (
+        queries_dict,
+    )
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        threshold_crossings_with_state,
+    )
+
+    full_replay = tmp_path / "full"
+    chunk_events(spark, sf_dir, str(full_replay), n_chunks=6)
+    chunks = sorted(
+        _glob.glob(_os.path.join(str(full_replay), "*.parquet"))
+    )
+    part_replay = tmp_path / "partial"
+    part_replay.mkdir()
+    for c in chunks[:3]:
+        shutil.copy(c, part_replay)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        stream = read_event_stream(spark, str(part_replay))
+        q = (
+            threshold_crossings_with_state(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # phase 1: first 3 chunks
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0, "phase 1 emitted nothing; restart leg vacuous"
+    for c in chunks[3:]:
+        shutil.copy(c, part_replay)
+    drain()  # phase 2: restart on the same checkpoint
+
+    final: dict = {}
+    for r in spark.read.parquet(out_dir).collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_crossings > cur[0]:
+            final[r.user_id] = (r.n_crossings, r.first_crossing_id)
+    expected = {
+        r.user_id: (r.n_crossings, r.first_crossing_id)
+        for r in queries_dict()["q_threshold_crossings"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert final == expected
+    assert spark.read.parquet(out_dir).count() > n1  # both phases emitted

@@ -2134,8 +2134,23 @@ def test_threshold_crossings_state_survives_restart(spark, sf_dir, tmp_path):
     )
     part_replay = tmp_path / "partial"
     part_replay.mkdir()
-    for c in chunks[:3]:
-        shutil.copy(c, part_replay)
+
+    # The file source orders ready files by MILLISECOND mtime and
+    # breaks ties arbitrarily; shutil.copy collapses the chunks into
+    # one millisecond, which scrambles replay order — harmless for
+    # the order-insensitive ops the shared helper drives, fatal for a
+    # sequential state machine.  Stagger mtimes explicitly so the
+    # chronological chunk order IS the delivery order.
+    def copy_staggered(cs, base):
+        for i, c in enumerate(cs):
+            dst = part_replay / _os.path.basename(c)
+            shutil.copy(c, dst)
+            _os.utime(dst, (base + i, base + i))
+
+    import time as _time
+
+    t0 = int(_time.time())
+    copy_staggered(chunks[:3], t0 - 600)
     ckpt = str(tmp_path / "ckpt")
     out_dir = str(tmp_path / "out")
 
@@ -2156,8 +2171,7 @@ def test_threshold_crossings_state_survives_restart(spark, sf_dir, tmp_path):
     drain()  # phase 1: first 3 chunks
     n1 = spark.read.parquet(out_dir).count()
     assert n1 > 0, "phase 1 emitted nothing; restart leg vacuous"
-    for c in chunks[3:]:
-        shutil.copy(c, part_replay)
+    copy_staggered(chunks[3:], t0 - 300)
     drain()  # phase 2: restart on the same checkpoint
 
     final: dict = {}
@@ -2173,3 +2187,47 @@ def test_threshold_crossings_state_survives_restart(spark, sf_dir, tmp_path):
     }
     assert final == expected
     assert spark.read.parquet(out_dir).count() > n1  # both phases emitted
+
+
+def test_threshold_crossings_rocksdb_provider_equivalence(
+    spark, sf_dir, replay_dir, tmp_path
+):
+    """The crossing counter's three-scalar keyed state under
+    RocksDBStateStoreProvider (the 100 TB-state backend) must produce
+    exactly the default-provider emissions over the same replay."""
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        threshold_crossings_with_state,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, replay_dir)
+        rocks = collect_sorted(
+            run_to_memory(
+                threshold_crossings_with_state(stream),
+                str(tmp_path / "ckpt_rocks"),
+                output_mode="update",
+                name="crossings_rocks",
+            )
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    stream2 = read_event_stream(spark, replay_dir)
+    base = collect_sorted(
+        run_to_memory(
+            threshold_crossings_with_state(stream2),
+            str(tmp_path / "ckpt_hdfs"),
+            output_mode="update",
+            name="crossings_hdfs",
+        )
+    )
+    assert rocks and rocks == base

@@ -430,8 +430,17 @@ def test_agg_state_survives_restart(spark, sf_dir, tmp_path):
 def _restart_equals_uninterrupted(spark, sf_dir, tmp_path, job):
     """2-run checkpoint-restart harness: drain 3 of 6 chunks, restart
     on the same checkpoint with the rest, and require the union of
-    emitted rows to equal a single uninterrupted run's output."""
+    emitted rows to equal a single uninterrupted run's output.
+
+    Copies carry STRICTLY INCREASING mtimes (r12 hardening): the file
+    source orders ready files by millisecond mtime with an arbitrary
+    tie-break, and plain shutil.copy collapses the staggered chunk
+    mtimes into one tie — scrambled delivery is survivable for the
+    window/join ops this helper drives but makes watermark timing
+    nondeterministic; staggering keeps the replay chronological like
+    chunk_events' native writes."""
     import shutil
+    import time as _time
 
     full_replay = tmp_path / "full"
     chunk_events(spark, sf_dir, str(full_replay), n_chunks=6)
@@ -439,8 +448,15 @@ def _restart_equals_uninterrupted(spark, sf_dir, tmp_path, job):
 
     part_replay = tmp_path / "partial"
     part_replay.mkdir()
-    for c in chunks[:3]:
-        shutil.copy(c, part_replay)
+    _t0 = int(_time.time())
+
+    def _copy_staggered(cs, base):
+        for _i, _c in enumerate(cs):
+            _dst = os.path.join(str(part_replay), os.path.basename(_c))
+            shutil.copy(_c, _dst)
+            os.utime(_dst, (base + _i, base + _i))
+
+    _copy_staggered(chunks[:3], _t0 - 600)
     ckpt = str(tmp_path / "ckpt")
     out_dir = str(tmp_path / "out")
 
@@ -451,8 +467,7 @@ def _restart_equals_uninterrupted(spark, sf_dir, tmp_path, job):
 
     drain(part_replay, out_dir, ckpt)  # phase 1: first 3 chunks
     n1 = spark.read.parquet(out_dir).count()
-    for c in chunks[3:]:
-        shutil.copy(c, part_replay)
+    _copy_staggered(chunks[3:], _t0 - 300)
     drain(part_replay, out_dir, ckpt)  # phase 2: restart, rest arrives
 
     ref_out = str(tmp_path / "ref_out")

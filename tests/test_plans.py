@@ -676,12 +676,24 @@ def test_tpch_gap_shapes_scale_plans(spark, sf_dir, qd):
 
 
 def test_no_unintended_cartesian_product_registry_wide(spark, sf_dir, qd):
-    """Registry-wide plan audit: a CartesianProduct in a physical plan
-    multiplies partition counts and is almost always a missing join
-    condition.  Every appearance must be on the explicit allowlist of
-    queries whose cross join is bounded BY CONSTRUCTION (documented in
-    each docstring); anything else is a silent de-optimization this
-    test turns into a hard failure."""
+    """Registry-wide plan audit over BOTH non-equi join fallbacks in
+    one explain pass:
+
+    - ``CartesianProduct`` multiplies partition counts and is almost
+      always a missing join condition;
+    - ``BroadcastNestedLoopJoin`` (r12 extension) is the planner's
+      other no-equi-key fallback — legitimate ONLY in two patterns
+      this registry uses deliberately: scalar-broadcast enrichment (a
+      1-row aggregate joined conditionlessly onto every row: totals,
+      thresholds, global medians) and tiny-dim band lookup (a
+      VALUES-sized bands/grid relation probed with an inequality).
+      A BNLJ between two DATA-sized sides is an O(n·m) disaster that
+      no small-SF test would notice — exactly what a silent
+      allowlist-free audit exists to catch.
+
+    Every appearance of either node must be on the explicit per-name
+    allowlist (each query's docstring documents why its usage is
+    bounded by construction); anything else is a hard failure."""
     allowed_cartesian = {
         # bounded-by-construction cross joins (see docstrings):
         "q_cross_join",       # J11 surface demo, dims only
@@ -690,6 +702,50 @@ def test_no_unintended_cartesian_product_registry_wide(spark, sf_dir, qd):
         "q_skyline",          # dominance pairs over a filtered head
         "q_levenshtein_fuzzy",  # short-list × short-list
         "q_geo_nearest",      # cell-bucketed candidate pairs
+    }
+    allowed_bnlj = {
+        # scalar-broadcast enrichment: one side is a 1-row aggregate
+        # (total/threshold/median) broadcast onto every row
+        "q_association_rules",
+        "q_benford",
+        "q_bm25_search",
+        "q_calibration_bins",
+        "q_curriculum_order",
+        "q_equi_depth_histogram",
+        "q_exact_global_median",
+        "q_growth_accounting",
+        "q_idle_customers",
+        "q_important_stock",
+        "q_ks_statistic",
+        "q_label_balance",
+        "q_pagerank",        # dangling-mass scalar per iteration
+        "q_pmi_collocations",
+        "q_pr_curve",
+        "q_revenue_concentration",
+        "q_rfm_segments",
+        "q_scalar_subquery",
+        "q_seasonal_profile",
+        "q_tfidf_top_term",
+        "q_theta_setops",
+        "q_vocab_coverage",
+        # tiny-dim band/grid lookup: the broadcast side is a
+        # VALUES-sized bands table or a dims-only grid
+        "q_acctbal_tier_join",
+        "q_balance_overlap",
+        "q_band_join",
+        "q_calendar_range_join",
+        "q_cross_join",
+        "q_gap_fill",
+        "q_geo_nearest",
+        "q_interpolate",
+        "q_nation_status_grid",
+        "q_region_priority_grid",
+        "q_theta_join",
+        "q_type_day_grid",
+        # bounded-head pair generators (guarded or filtered heads)
+        "q_jaccard_pairs",    # AllPairsBoundExceeded-guarded oracle
+        "q_mrl_truncation",   # guarded exact baseline
+        "q_ngram_jaccard",    # guarded exact baseline
     }
     offenders = {}
     for name in sorted(qd):
@@ -700,6 +756,11 @@ def test_no_unintended_cartesian_product_registry_wide(spark, sf_dir, qd):
             continue
         if "CartesianProduct" in p and name not in allowed_cartesian:
             offenders[name] = "CartesianProduct"
+        if (
+            "BroadcastNestedLoopJoin" in p
+            and name not in allowed_bnlj
+        ):
+            offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
 
 

@@ -146,7 +146,19 @@ def connected_components(
     chains; use :func:`connected_components_star` (O(log² n) rounds)
     when the diameter is unbounded.  ``strict=True`` raises
     :class:`ConvergenceError` instead of warning when ``max_iter`` is
-    exhausted before the fixpoint."""
+    exhausted before the fixpoint.
+
+    After the fused init round the graph is contracted onto its label
+    classes (the quotient graph on ``labels0``) and the loop runs
+    there — connectivity-preserving (an original edge crosses classes
+    iff a quotient edge exists), and each class provably contains its
+    component minimum as a quotient node, so quotient components carry
+    the same minima.  Near-dup graphs are clique-heavy, and a clique
+    collapses to ONE quotient node in the init round: the loop then
+    iterates over the few inter-clique edges instead of re-shuffling
+    all of |E| per round (q_dup_clusters at sf0.1: 1.43 M edges →
+    722 quotient edges, so rounds 2+ cost ~nothing).
+    Final labels read back through one small join on the class id."""
     sym = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -157,8 +169,34 @@ def connected_components(
     # bare `.distinct()` init would cost, but one full join+groupBy
     # round cheaper overall (sym carries both orientations, so min("d")
     # per s IS the neighbor minimum).
-    labels = (
+    labels0 = (
         sym.groupBy(F.col("s").alias("node"))
+        .agg(F.min("d").alias("mind"))
+        .select("node", F.least("node", "mind").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+
+    # Contract onto label classes: quotient edge (ls, ld) for every
+    # original edge whose endpoints landed in different classes.  The
+    # label relation is one row per node — far below the edge count —
+    # so AQE picks a broadcast build side when it fits.
+    quotient = (
+        sym.join(labels0.select(F.col("node").alias("s"),
+                                F.col("component").alias("ls")), "s")
+        .join(labels0.select(F.col("node").alias("d"),
+                             F.col("component").alias("ld")), "d")
+        .filter(F.col("ls") != F.col("ld"))
+        .select(F.col("ls").alias("s"), F.col("ld").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if quotient.isEmpty():
+        # every component collapsed to a single class in the init round
+        # (the common case for clique-shaped duplicate groups)
+        return labels0
+
+    labels = (
+        quotient.groupBy(F.col("s").alias("node"))
         .agg(F.min("d").alias("mind"))
         .select("node", F.least("node", "mind").alias("component"))
         .localCheckpoint(eager=True)
@@ -172,7 +210,7 @@ def connected_components(
     converged = False
     for _ in range(max_iter):
         neighbor_labels = (
-            sym.join(labels, sym["d"] == labels["node"])
+            quotient.join(labels, quotient["d"] == labels["node"])
             .select(F.col("s").alias("node"), "component")
         )
         labels = (
@@ -197,7 +235,20 @@ def connected_components(
         if strict:
             raise ConvergenceError(msg)
         warnings.warn(msg, ConvergenceWarning, stacklevel=2)
-    return labels
+
+    # Map back: a node's component is its class's resolved quotient
+    # label; classes absent from the quotient (no inter-class edges)
+    # already ARE whole components labelled by their minimum.
+    roots = labels.select(
+        F.col("node").alias("_cls"), F.col("component").alias("_root")
+    )
+    return (
+        labels0.join(roots, labels0["component"] == roots["_cls"], "left")
+        .select(
+            "node",
+            F.coalesce("_root", "component").alias("component"),
+        )
+    )
 
 
 def connected_components_star(

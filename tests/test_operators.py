@@ -144,6 +144,37 @@ def test_connected_components_chain_clique_pair(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_quotient_paths(spark):
+    """r12 quotient contraction: both the early-return path (every
+    component collapses to one label class in the init round — the
+    quotient has no edges) and the map-back path (classes absent from
+    the quotient keep their own minimum while quotient-resolved
+    classes adopt the quotient root) produce the fixpoint labels."""
+    from spark_streaming_join_example_spark.operators.graph import (
+        connected_components,
+    )
+
+    # Pure cliques: init resolves everything, quotient is empty.
+    cliques = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (7, 8)], ["a_id", "b_id"]
+    )
+    got = {
+        r.node: r.component for r in connected_components(cliques).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    # Mixed: a 5-chain (needs quotient rounds) next to a clique whose
+    # class never appears in the quotient (map-back must keep its min).
+    mixed = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 8), (8, 9), (20, 21), (21, 22), (20, 22)],
+        ["a_id", "b_id"],
+    )
+    got = {
+        r.node: r.component for r in connected_components(mixed).collect()
+    }
+    assert got == {5: 5, 6: 5, 7: 5, 8: 5, 9: 5, 20: 20, 21: 20, 22: 20}
+
+
 def test_connected_components_strict_raises_on_nonconvergence(spark):
     """r12 advisor fix: with strict=True, exhausting max_iter raises
     ConvergenceError instead of emitting a warning a pipeline never

@@ -66,6 +66,11 @@ def test_rank_filter_gets_group_limit(spark, sf_dir, qd):
     # keeps k rows BEFORE the window shuffle/sort
     p = plan_of(qd["q_window_rank"](spark, sf_dir))
     assert "WindowGroupLimit" in p
+    # same pin for the joined-key top-k (r19 W4 stock): the row_number
+    # filter over the supplier-nation revenue agg must group-limit,
+    # never rank the full relation
+    p2 = plan_of(qd["q_top_parts_per_nation"](spark, sf_dir))
+    assert "WindowGroupLimit" in p2
 
 
 def test_semi_join_stays_semi(spark, sf_dir, qd):

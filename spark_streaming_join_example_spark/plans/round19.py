@@ -2,10 +2,12 @@
 fresh shape for each family that the projected r13 panel (NOTES_r12.md
 shortlist) would leave a SINGLE never-checked candidate — J1, J8, J10,
 J11, O3, P3 and W4 — so the larder stays two panels deep through r14
-without authoring mid-round.  Same program as plans/round10-18.py:
-every query is a different SHAPE from its checked siblings (noted per
-docstring), integer-exact or convention-pinned so the DuckDB twin
-hashes equal at any partitioning.
+without authoring mid-round, plus q_temperature_mix, a new
+curation-family op (temperature-scaled multi-source sampling).  Same
+program as plans/round10-18.py: every query is a different SHAPE from
+its checked siblings (noted per docstring), integer-exact or
+convention-pinned so the DuckDB twin hashes equal at any
+partitioning.
 """
 
 from __future__ import annotations
@@ -453,4 +455,103 @@ def q_top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("partkey"),
             F.col("rev_micros").cast("long").alias("rev_micros"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — temperature-scaled source mixing (the pretraining data recipe)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_temperature_mix",
+    tags=("X5", "A1", "FN-math"),
+    oracle="""
+WITH st AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(COUNT(*)) * 1000000.0) AS BIGINT) AS s_int
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(s_int) AS BIGINT) AS sum_s,
+         CAST(SUM(n_docs) AS BIGINT) AS n_total
+  FROM st
+), d AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5('mix7:' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS u32
+  FROM documents
+)
+SELECT d.lang, st.n_docs,
+       CAST(SUM(CASE WHEN CAST(u32 AS HUGEINT)
+                          * CAST(sum_s AS HUGEINT)
+                          * CAST(st.n_docs AS HUGEINT)
+                        < CAST(s_int AS HUGEINT)
+                          * CAST(n_total // 2 AS HUGEINT)
+                          * CAST(4294967296 AS HUGEINT)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM d JOIN st USING (lang) CROSS JOIN tot
+GROUP BY d.lang, st.n_docs
+""",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — the multi-source sampling
+    recipe pretraining mixes use (upweight minority sources relative
+    to their natural share): target share q_s ∝ n_s^T with T = 0.5,
+    sample half the corpus, so source s keeps each doc with rate
+    r_s = (√n_s / Σ√n) · (N/2) / n_s.  On this corpus the en majority
+    (~40 %) keeps ~36 % of its docs while each minority language keeps
+    ~59 % — the flattening T exists to produce.
+
+    Engine-portable determinism, same discipline as q_shard_assign:
+    the per-doc uniform is the first 8 hex chars of md5('mix7:'‖id)
+    (a 32-bit integer both engines parse identically), and the
+    acceptance test u/2³² < r_s is cleared of ALL float arithmetic by
+    cross-multiplying into one exact integer comparison
+    u·Σs·n_s < s·⌊N/2⌋·2³² evaluated in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — no float sum across sources (5-double Σ is
+    order-dependent!), no pow() convention risk: the only float step
+    is ⌊√n·10⁶⌋ per source, one correctly-rounded op in both engines.
+    Rates above 1 degrade gracefully to keep-everything (no cap
+    needed: the inequality is vacuously true).
+
+    Scale: two passes — a partial-agg'd per-source count (tiny), then
+    one scan with the broadcast stats joined on; the 1-row totals
+    relation is a scalar-broadcast BNLJ (allowlisted).  At 100 TB the
+    per-source stats are a handful of rows regardless of corpus
+    size."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    st = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    st = st.withColumn(
+        "s_int", F.floor(F.sqrt("n_docs") * 1000000.0).cast("long")
+    )
+    tot = st.agg(
+        F.sum("s_int").alias("sum_s"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix7:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    j = (
+        d.join(F.broadcast(st), "lang")
+        .join(F.broadcast(tot))
+        .withColumn("u32", u32)
+    )
+    dec = "decimal(38,0)"
+    accept = (
+        F.col("u32").cast(dec)
+        * F.col("sum_s").cast(dec)
+        * F.col("n_docs").cast(dec)
+    ) < (
+        F.col("s_int").cast(dec)
+        * F.expr("n_total div 2").cast(dec)
+        * F.lit(4294967296).cast(dec)
+    )
+    return j.groupBy("lang", "n_docs").agg(
+        F.sum(F.when(accept, 1).otherwise(0)).cast("long").alias("n_kept")
     )

@@ -731,6 +731,7 @@ def test_no_unintended_cartesian_product_registry_wide(spark, sf_dir, qd):
         "q_scalar_subquery",
         "q_seasonal_profile",
         "q_tfidf_top_term",
+        "q_temperature_mix",
         "q_theta_setops",
         "q_vocab_coverage",
         # tiny-dim band/grid lookup: the broadcast side is a

@@ -405,3 +405,30 @@ def test_approx_quartiles_exactness_precondition():
                         "exact-hash oracle is no longer structurally "
                         "safe at this tier"
                     )
+
+
+def test_temperature_mix_flattens_distribution(spark, sf_dir):
+    """q_temperature_mix's semantic contract, beyond the DuckDB hash
+    gate: T = 0.5 must FLATTEN the source distribution — the majority
+    language's keep-rate strictly below every minority's — and the
+    total kept must track the N/2 target (each doc is an independent
+    Bernoulli with per-source rate; at n = 500 a ±15 % band is a
+    > 6 σ envelope, so this is a determinism pin, not a flaky
+    statistical test — the md5-seeded draws never change)."""
+    from spark_streaming_join_example_spark.plans.round19 import (
+        q_temperature_mix,
+    )
+
+    rows = {r.lang: (r.n_docs, r.n_kept) for r in
+            q_temperature_mix(spark, sf_dir).collect()}
+    assert set(rows) == {"en", "de", "es", "fr", "zh"}
+    majority = max(rows, key=lambda k: rows[k][0])
+    assert majority == "en"
+    en_rate = rows["en"][1] / rows["en"][0]
+    for lang, (n, kept) in rows.items():
+        assert 0 < kept < n, (lang, n, kept)  # non-vacuous both ways
+        if lang != "en":
+            assert en_rate < kept / n, (lang, en_rate, kept / n)
+    n_total = sum(n for n, _ in rows.values())
+    n_kept = sum(k for _, k in rows.values())
+    assert abs(n_kept - n_total / 2) < 0.15 * n_total

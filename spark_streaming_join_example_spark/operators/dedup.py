@@ -179,8 +179,12 @@ def lsh_candidate_pairs(
     )
 
 
-#: bench-session memo for the shared corpus shingle relation
-#: (see corpus_shingle_toks); keyed by (sf_dir, shingle)
+#: bench-session memo for the shared corpus shingle relation (see
+#: corpus_shingle_toks); keyed by (applicationId, sf_dir, shingle,
+#: id_col, text_col) — the session id keeps a restart from serving
+#: localCheckpoint'd frames bound to a dead context, and the column
+#: names keep a non-default caller from reusing a mismatched relation
+#: (r12 ADVICE).
 _SHARED_TOKS_MEMO: dict = {}
 
 
@@ -219,7 +223,13 @@ def corpus_shingle_toks(
     plain = docs.select(F.col(id_col), unit.alias("toks"))
     if os.environ.get("SPARK_GRAFT_SHARE_SHINGLES") != "1":
         return plain
-    key = (sf_dir, shingle)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        shingle,
+        id_col,
+        text_col,
+    )
     if key not in _SHARED_TOKS_MEMO:
         _SHARED_TOKS_MEMO[key] = plain.localCheckpoint(eager=True)
     return _SHARED_TOKS_MEMO[key]

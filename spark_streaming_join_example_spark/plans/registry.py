@@ -98,21 +98,24 @@ def _load_all_plans() -> None:
 #: round, the non-anchor slots rotate to DIFFERENT queries covering
 #: the SAME §2 families (the swapped-out names stay green in the full
 #: local differential).  Swaps are marked "rN: was <name>" below.  The
-#: r12 rotation pushes 42 FIRST-TIME names — the 28-name pre-validated
-#: shortlist from NOTES_r11.md plus 14 fillers drawn from the deepest
-#:  never-checked families (FN-string/FN-math/FN-datetime/W/X5) and
-#: the r11 span/SemDeDup additions (VERDICT r11 item 5).  The anchor
-#: section is unchanged (bench set + A3 keeper).  Family coverage
-#: proven lossless at swap time (old-panel tag-union ⊆ new-panel
-#: tag-union, `tools/rotation_report.py --check`) and every incoming
-#: name verified green in the sf0.01 differential immediately before
-#: the swap (42/42 on 2026-08-16; q_embedding_neardup_lsh rows-only
-#: by design — the embedding-LSH scale path's driver slot).
+#: r13 rotation pushes 43 FIRST-TIME names — the 35-name pre-validated
+#: shortlist from NOTES_r12.md plus 8 fillers drawn from the deepest
+#: never-checked families (FN-datetime/FN-math/W2/P5/FN-string/X5/A1).
+#: The A3 keeper anchor rotated OFF this round: the round-17/18 stock
+#: restocked A3, so the shortlist's q_approx_quartiles carries the
+#: family and the keeper slot becomes a 43rd first-time check.  The
+#: rows-only slot goes to q_semdedup_lsh (the r12 VERDICT's named
+#: choice — the SemDeDup LSH scale path's first driver row), replacing
+#: q_embedding_neardup_lsh which earned its row in r12.  Family
+#: coverage proven lossless at swap time (`rotation_report.py
+#: --check`) and every incoming name verified green in the sf0.01
+#: differential immediately before the swap (43/43 on 2026-08-16;
+#: q_semdedup_lsh rows-only by design).
 CURATED_FIRST: tuple[str, ...] = (
     # ---- anchors: the bench set (always hash-checked on the round's
-    # artifact) + the A3 keeper (no never-checked oracle member left;
-    # the two rows-only sketch anchors rotated OFF this round after
-    # earning rows in r7-r10, freeing two hash-check slots) ----
+    # artifact; the A3 keeper rotated off in r13 — the round-17/18
+    # stock restocked the family, so the slot earns a first-time
+    # check instead) ----
     "q_pricing_summary",      # A1 P1 P2 (bench)
     "q_revenue_join3",        # J4 J5 A1 (bench)
     "q_window_rank",          # W1 W4 (bench)
@@ -120,55 +123,56 @@ CURATED_FIRST: tuple[str, ...] = (
     "q_stream_static_join",   # J1 J3 (bench)
     "q_distinct_users",       # A2 (bench)
     "q_cosine_topk",          # X3 J11 O2 (bench)
-    "q_approx_topk_events",   # A3 keeper (family has no unchecked member)
-    # ---- r12 rotation: 42 first-ever driver checks ----
-    # pre-validated r12 shortlist (NOTES_r11.md; all green in the r11
+    # ---- r13 rotation: 43 first-ever driver checks ----
+    # pre-validated r13 shortlist (NOTES_r12.md; all green in the r12
     # three-tier seal sweeps)
-    "q_cube_filtered",        # A4 A1 (r12: was q_grouping_sets_returns)
-    "q_tumbling_week_orders",  # A5 A1 (r12: was q_tumbling_daily)
-    "q_sliding_28d_events",   # A6 A1 (r12: was q_sliding_global_3h)
-    "q_session_spans",        # A7 A2 (r12: was q_session_bounds)
-    "q_pivot_dual_agg",       # A9 A1 (r12: was q_pivot_year)
-    "q_map_zip_stats",        # FN-map A1 (r12: was q_map_entries_explode)
-    "q_events_supplier_mix",  # J1 J3 A1 (r12: was q_stream_static_nation)
-    "q_type_day_grid",        # J11 J10 A1 (r12: was q_nation_status_grid)
-    "q_click_purchase",       # J2 J7 W4 (r12: was q_stream_stream_views)
-    "q_balance_overlap",      # J6 A1 (r12: was q_acctbal_tier_join)
-    "q_asof_tolerance",       # J8 W2 (r12: was q_asof_backward)
-    "q_try_cast_temporal",    # P4 P5 (r12: was q_cast_numeric_edges)
-    "q_best_event",           # T2 A1 (r12: was q_latest_event)
-    "q_shuffle_pipeline",     # T5 A1 (r12: was q_repartition_hint)
-    "q_union_evolved_agg",    # U1 P5 (r12: was q_setops_years' U1 share)
-    "q_setops_modes",         # U2 U3 A1 (r12: was q_setops_years)
-    "q_desc_range_layout",    # O3 P2 (r12: was q_clustered_layout)
-    "q_payload_chunks",       # X4 FN-array (r12: was q_frame_sample)
-    "q_approx_topk_flags",    # A3 O2 P1 (r12: second A3 leg; round-13 stock pulled forward)
-    "q_json_kv_explode",      # P3 FN-map A1 (r12: was q_from_xml)
-    "q_row_chunks",           # S1 P1 A1 (r12: was q_row_index)
-    "q_debounce",             # T4 W2 A1 (r12: was q_user_streaks)
-    "q_udf_digitsum",         # F1 (r12: was q_udf_vowels)
-    "q_pandas_udf_intlen",    # F2 (r12: was q_pandas_udf_bucket)
-    "q_grouped_agg_second_max",  # F3 (r12: was q_grouped_agg_span)
-    "q_apply_in_pandas_norm",  # F4 (r12: was q_apply_in_pandas_gaps)
-    "q_map_in_pandas_repeat",  # F5 (r12: was q_map_in_pandas_sieve)
-    "q_udtf_chargrams",       # F6 (r12: was q_udtf_bigrams)
-    # span/SemDeDup family exposure (VERDICT r11 item 5 — the r11
-    # additions' first driver rows)
-    "q_span_trim",            # X1 X5 J10 P5 (r12: was q_checksums' X1)
-    "q_curation_funnel",      # X1 X5 A1 P5 (r12: was q_content_split)
-    "q_semdedup_keep",        # X2 X3 J11 (r12: was q_prefix_jaccard_join's X2)
-    "q_embedding_neardup_lsh",  # X2 X3 rows-only (r12: was q_minhash_incoming — the embedding-LSH scale path's driver slot)
-    # fillers from the deepest never-checked families
-    "q_listagg",              # A1 FN-string (r12: was q_checksums' FN-string)
-    "q_higher_moments",       # FN-math A1 (r12: was q_funnel_timing's FN-math)
-    "q_period_over_period",   # W2 FN-datetime A1 (r12: was q_cohort_ltv's FN-datetime)
-    "q_window_value_funcs",   # W2 W3 (r12: was q_revenue_concentration's W3)
-    "q_gini_coefficient",     # W1 A1 O1 (r12: was q_revenue_concentration's O1)
-    "q_tfidf_top_term",       # X5 A1 W4 (r12: was q_bm25_search)
-    "q_token_regex",          # X5 FN-string (r12: was q_json_roundtrip's FN-string)
-    "q_anomaly_zscore",       # A1 FN-math W1 (r12: was q_mrl_truncation's W1)
-    "q_time_weighted_avg",    # W2 A1 FN-datetime (r12: second FN-datetime leg)
-    "q_never_late_parts",     # J9 A1 J4 (r12: was q_idle_customers/q_supplier_shortlist's J9)
+    "q_approx_quartiles",     # A3 A1 (r13: was q_approx_topk_events, the A3 keeper)
+    "q_rollup_subtotals",     # A4 P5 A1 (r13: was q_cube_filtered)
+    "q_tumbling_90min",       # A5 A1 (r13: was q_tumbling_week_orders)
+    "q_sliding_distinct_2h",  # A6 A2 (r13: was q_sliding_28d_events)
+    "q_session_dynamic_gap",  # A7 A1 P5 (r13: was q_session_spans)
+    "q_unpivot_flags",        # A9 P1 A1 (r13: was q_pivot_dual_agg)
+    "q_map_from_entries",     # FN-map FN-array A1 (r13: was q_map_zip_stats)
+    "q_stream_static_defaults",  # J1 J3 P5 (r13: was q_events_supplier_mix)
+    "q_view_purchase_outer",  # J2 J7 (r13: was q_click_purchase)
+    "q_region_priority_grid",  # J11 J10 J5 (r13: was q_type_day_grid)
+    "q_acctbal_dominance",    # J6 A1 J5 (r13: was q_balance_overlap)
+    "q_asof_forward_tol",     # J8 W2 A1 (r13: was q_asof_tolerance)
+    "q_potential_promotion",  # J9 J3 O2 (r13: was q_never_late_parts)
+    "q_order_count_dist",     # O1 J10 A1 (r13: was q_gini_coefficient's O1)
+    "q_composite_range_layout",  # O3 P2 (r13: was q_desc_range_layout)
+    "q_json_malformed",       # P3 P5 (r13: was q_json_kv_explode)
+    "q_int_width_casts",      # P4 P5 A1 (r13: was q_try_cast_temporal)
+    "q_provenance_union",     # S1 U1 A1 (r13: was q_row_chunks + q_union_evolved_agg's U1)
+    "q_dedup_within_hour",    # T2 A2 FN-datetime (r13: was q_best_event)
+    "q_rate_limit",           # T4 W4 A1 (r13: was q_debounce)
+    "q_rebalance_hint",       # T5 A1 (r13: was q_shuffle_pipeline)
+    "q_setops_chain",         # U2 U3 J4 A2 (r13: was q_setops_modes)
+    "q_udf_checkdigit",       # F1 FN-math (r13: was q_udf_digitsum)
+    "q_pandas_udf_iter",      # F2 (r13: was q_pandas_udf_intlen)
+    "q_grouped_agg_wavg",     # F3 A1 (r13: was q_grouped_agg_second_max)
+    "q_cogroup_stats",        # F4 J1 A1 (r13: was q_apply_in_pandas_norm)
+    "q_map_in_pandas_parse",  # F5 P3 (r13: was q_map_in_pandas_repeat)
+    "q_udtf_ngrams_n",        # F6 X5 (r13: was q_udtf_chargrams)
+    "q_chargram_jaccard",     # X2 J4 A1 (r13: was q_semdedup_keep's X2)
+    "q_binary_entropy",       # X4 FN-math X5 (r13: was q_payload_chunks)
+    "q_repeated_grams",       # X1 A1 X5 (r13: was q_span_trim's X1)
+    "q_label_balance",        # X3 A1 (r13: second X3 leg)
+    "q_window_distribution",  # W1 (r13: was q_anomaly_zscore's W1)
+    "q_max_drawdown",         # W3 W2 FN-math (r13: was q_window_value_funcs)
+    "q_doc_top_token",        # W4 X5 (r13: was q_tfidf_top_term)
+    # fillers from the deepest never-checked families (FN-datetime
+    # 10/27 driver-verified, FN-math 14/34, W2 18/34, P5 22/43,
+    # A1 103/210, plus FN-string and X5 — the r12 VERDICT priority
+    # list)
+    "q_semdedup_lsh",         # X2 X3 rows-only (r13: was q_embedding_neardup_lsh — the SemDeDup-LSH scale path's driver slot)
+    "q_scd2_intervals",       # W2 P5 FN-datetime (r13: was q_period_over_period)
+    "q_autocorr",             # FN-math W2 A1 (r13: was q_higher_moments)
+    "q_try_arithmetic",       # P5 FN-math (r13: was q_union_evolved_agg's P5)
+    "q_event_pattern",        # A1 FN-string W2 (r13: was q_token_regex's FN-string)
+    "q_readability",          # X5 FN-string (r13: was q_listagg's FN-string)
+    "q_kanonymity",           # A1 P5 X5 (r13: was q_curation_funnel)
+    "q_timestamp_diffs",      # FN-datetime (r13: was q_time_weighted_avg's FN-datetime)
 )
 
 

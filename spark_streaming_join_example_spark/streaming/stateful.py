@@ -307,7 +307,13 @@ def threshold_crossings_with_state(
                         first_id = int(eid)
                     changed = True
                 last = v
-        state.update((float(last), int(n), int(first_id)))
+        if last is not None:
+            # `last` stays None only when the key arrives with zero
+            # non-empty chunks and no prior state (possible if a
+            # timeout conf is ever added); storing float(None) would
+            # TypeError in the executor, and there is nothing to
+            # record — skip the update and keep state untouched.
+            state.update((float(last), int(n), int(first_id)))
         if changed:
             yield pd.DataFrame(
                 [(int(user_id), int(n), int(first_id))],

@@ -114,7 +114,23 @@ def main() -> None:
             for n in never
             if REGISTRY[n].oracle is not None
         ]
+        # Seed every driver-visible family at depth 0 (r12 ADVICE): a
+        # family whose never-checked pool is fully DRY must fail the
+        # projection — building depth only from pool members would
+        # silently pass the exact condition this check exists for.
         depth: dict[str, int] = defaultdict(int)
+        try:
+            from tests.test_registry import _DRIVER_VISIBLE_FAMILIES
+
+            for fam in _DRIVER_VISIBLE_FAMILIES:
+                depth[fam] = 0
+        except ImportError:
+            print(json.dumps({
+                "ok": False,
+                "error": "tests.test_registry not importable - "
+                         "cannot seed family depths",
+            }))
+            raise SystemExit(1)
         for n in pool:
             for t in REGISTRY[n].tags or ():
                 depth[t] += 1

@@ -153,7 +153,17 @@ def main() -> None:
         try:
             from tools.stress_stream import probe as stream_probe
 
-            n_probes = int(os.environ.get("SPARK_GRAFT_STREAM_PROBES", "2"))
+            # Three probes since r13 (VERDICT r12 item 6): on the r12
+            # driver box the probe1/probe2 ratio hit 0.633 on enrich —
+            # probe1 still carries first-drain warmup (checkpoint dir
+            # creation, state-store class loading, sink codegen), so a
+            # 2-probe scheme conflates warmup with reproducibility.
+            # Probe1 is now a DECLARED warmup; the canonical number is
+            # the LAST probe and `agreement` compares the two WARMEST
+            # probes (probe2/probe3), which is the actual in-session
+            # reproducibility claim.  The cold-warm gap stays visible
+            # as `agreement_cold` (probe1/probeN).
+            n_probes = int(os.environ.get("SPARK_GRAFT_STREAM_PROBES", "3"))
             probes = [
                 stream_probe(spark, sf_dir, modes=("batched",))
                 for _ in range(max(1, n_probes))
@@ -173,13 +183,23 @@ def main() -> None:
                                     break
                     return flat
 
-                r1, r2 = _rps(probes[0]), _rps(streaming)
+                rn = _rps(streaming)
+                r_prev = _rps(probes[-2])
+                r_cold = _rps(probes[0])
                 streaming_probe1 = {
                     "jobs": probes[0].get("jobs"),
-                    # probe1/probe2 rows-per-sec ratio per job: a value
+                    # warmest-pair rows-per-sec ratio per job: a value
                     # near 1.0 means the number is reproducible in-session
                     "agreement": {
-                        k: round(r1[k] / r2[k], 3) for k in r1 if r2.get(k)
+                        k: round(r_prev[k] / rn[k], 3)
+                        for k in r_prev
+                        if rn.get(k)
+                    },
+                    # first-drain warmup gap (probe1 / canonical)
+                    "agreement_cold": {
+                        k: round(r_cold[k] / rn[k], 3)
+                        for k in r_cold
+                        if rn.get(k)
                     },
                 }
         except Exception as e:  # never let the probe sink the artifact
@@ -362,9 +382,11 @@ def main() -> None:
         "shingle_build": shingle_build,
         "streaming": streaming,
         "streaming_probe1": streaming_probe1,
-        # r12+: streaming probes run BEFORE the heavy tier (twice; the
-        # canonical section is the second probe) — see section comment
-        "streaming_method": "pre-heavy, canonical=probe2-of-2",
+        # r12+: streaming probes run BEFORE the heavy tier; r13+: three
+        # probes, probe1 is declared warmup, canonical is the last and
+        # `agreement` compares the two warmest — see section comment
+        "streaming_method": "pre-heavy, canonical=probe3-of-3, "
+                            "agreement=probe2/probe3, probe1=warmup",
         "sf": sf,
     }
     if sf == 0.1 and set(BASELINE_WARM_SF01) <= set(times):

@@ -357,6 +357,8 @@ def test_approx_quartiles_exactness_precondition():
             tuple((2 * i + 1) / 20 for i in range(10)),
             "q_approx_deciles_array",
         ),
+        # r13: IQR readout — same quartile ranks, l_linenumber groups
+        ("l_linenumber", (0.25, 0.50, 0.75), "q_approx_iqr"),
     ]
     for path in tiers:
         for group_col, quantiles, qname in gates:

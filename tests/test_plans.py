@@ -728,6 +728,7 @@ def test_no_unintended_cartesian_product_registry_wide(spark, sf_dir, qd):
         "q_pr_curve",
         "q_revenue_concentration",
         "q_rfm_segments",
+        "q_median_band_orders",  # r13: 1-row count broadcast for the band filter
         "q_scalar_subquery",
         "q_seasonal_profile",
         "q_tfidf_top_term",
@@ -744,6 +745,7 @@ def test_no_unintended_cartesian_product_registry_wide(spark, sf_dir, qd):
         "q_gap_fill",
         "q_geo_nearest",
         "q_interpolate",
+        "q_brand_type_grid",  # r13: 25-row × 6-row derived-dim grid
         "q_nation_status_grid",
         "q_region_priority_grid",
         "q_region_quarter_grid",  # 5-row region × generated 4-quarter axis

@@ -359,6 +359,12 @@ def test_approx_quartiles_exactness_precondition():
         ),
         # r13: IQR readout — same quartile ranks, l_linenumber groups
         ("l_linenumber", (0.25, 0.50, 0.75), "q_approx_iqr"),
+        # r13 (round21 stock): composite (flag, status) cell grid
+        (
+            "l_returnflag || l_linestatus",
+            (0.25, 0.50, 0.75),
+            "q_approx_quartile_grid",
+        ),
     ]
     for path in tiers:
         for group_col, quantiles, qname in gates:

@@ -716,6 +716,7 @@ def test_no_unintended_cartesian_product_registry_wide(spark, sf_dir, qd):
         "q_bm25_search",
         "q_calibration_bins",
         "q_curriculum_order",
+        "q_decile_cutpoints",  # r13: two-phase ntile broadcast offsets
         "q_equi_depth_histogram",
         "q_exact_global_median",
         "q_growth_accounting",
@@ -746,6 +747,7 @@ def test_no_unintended_cartesian_product_registry_wide(spark, sf_dir, qd):
         "q_geo_nearest",
         "q_interpolate",
         "q_brand_type_grid",  # r13: 25-row × 6-row derived-dim grid
+        "q_day_type_grid",  # r13: generated 31-day axis × 5-type domain
         "q_nation_status_grid",
         "q_region_priority_grid",
         "q_region_quarter_grid",  # 5-row region × generated 4-quarter axis

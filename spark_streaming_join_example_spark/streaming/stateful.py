@@ -329,3 +329,88 @@ def threshold_crossings_with_state(
         outputMode="update",
         timeoutConf=_GST.NoTimeout,
     )
+
+
+BURSTS_OUTPUT_SCHEMA = (
+    "user_id long, n_errors long, n_chained long, first_chained_id long"
+)
+BURSTS_STATE_SCHEMA = (
+    "last_error_us long, n_errors long, n_chained long, first_id long"
+)
+
+
+def error_bursts_with_state(
+    events: DataFrame, gap_us: int = 43_200_000_000
+) -> DataFrame:
+    """Streaming twin of plans/round21.q_error_bursts: per-user
+    chained-error detector (an error arriving within ``gap_us`` of the
+    SAME user's previous error) via explicit keyed state.
+
+    State per user is FOUR scalars — the last error's epoch-µs, the
+    total error count, the chained count, and the MINIMUM chained
+    event_id (−1 until set; the batch twin reports MIN(event_id) over
+    chained rows and fixture ids are not time-ordered, so "first"
+    means lowest-id, kept as a running min).  The last-error register
+    genuinely crosses micro-batch boundaries: a batch ending with an
+    error followed by a batch opening with one inside the gap must
+    count exactly one chained pair — the same boundary argument as
+    threshold_crossings_with_state, with a TIME register instead of a
+    value register.
+
+    Each micro-batch processes its rows in (ts, event_id) order
+    (chunks concatenated first) and emits the user's updated row only
+    when the batch contained at least one error for the key, so
+    n_errors strictly increases across a user's emissions and the
+    final (max-n_errors) row per user equals the batch query exactly
+    (pinned in tests/test_streaming.py)."""
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        import pandas as pd  # local import keeps the worker pickle lean
+
+        if state.exists:
+            last_us, n_err, n_chained, first_id = state.get
+        else:
+            last_us, n_err, n_chained, first_id = -1, 0, 0, -1
+        changed = False
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, ts in zip(pdf["event_id"], pdf["ts"]):
+                t_us = int(ts.value) // 1000  # pandas ns → µs
+                if last_us >= 0 and t_us - last_us <= gap_us:
+                    n_chained += 1
+                    if first_id < 0 or int(eid) < first_id:
+                        first_id = int(eid)
+                last_us = t_us
+                n_err += 1
+                changed = True
+        if changed:
+            state.update(
+                (int(last_us), int(n_err), int(n_chained), int(first_id))
+            )
+            yield pd.DataFrame(
+                [(int(user_id), int(n_err), int(n_chained), int(first_id))],
+                columns=[
+                    "user_id",
+                    "n_errors",
+                    "n_chained",
+                    "first_chained_id",
+                ],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    return (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=BURSTS_OUTPUT_SCHEMA,
+            stateStructType=BURSTS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=_GST.NoTimeout,
+        )
+    )

@@ -2246,3 +2246,114 @@ def test_threshold_crossings_rocksdb_provider_equivalence(
         )
     )
     assert rocks and rocks == base
+
+
+def test_error_bursts_with_state_matches_batch(
+    spark, sf_dir, replay_dir, tmp_path
+):
+    """T4: the stateful chained-error detector (four scalars of keyed
+    state — a TIME register instead of threshold_crossings' value
+    register) over a chronological replay converges to the batch
+    q_error_bursts rows: a burst straddling a micro-batch boundary
+    counts exactly once.  n_errors strictly increases across a user's
+    emissions, so the final state is each user's max-n_errors row."""
+    from spark_streaming_join_example_spark.plans.registry import (
+        queries_dict,
+    )
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        error_bursts_with_state,
+    )
+
+    stream = read_event_stream(spark, replay_dir)
+    got_rows = run_to_memory(
+        error_bursts_with_state(stream),
+        str(tmp_path / "ckpt"),
+        output_mode="update",
+        name="bursts_state_probe",
+    ).collect()
+    final: dict = {}
+    for r in got_rows:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_errors > cur[0]:
+            final[r.user_id] = (r.n_errors, r.n_chained, r.first_chained_id)
+    expected = {
+        r.user_id: (r.n_errors, r.n_chained, r.first_chained_id)
+        for r in queries_dict()["q_error_bursts"](spark, sf_dir).collect()
+    }
+    assert final == expected
+    assert any(v[1] > 0 for v in expected.values()), (
+        "no chained errors at this tier; pin vacuous"
+    )
+
+
+def test_error_bursts_state_survives_restart(spark, sf_dir, tmp_path):
+    """T4/S7: the burst detector's TIME register must survive a
+    checkpoint restart — a user whose last pre-stop error and first
+    post-restart error sit inside the 12 h gap counts exactly one
+    chained pair, which only real recovered state can get right.
+    Same foreachBatch-parquet drain discipline (and staggered-mtime
+    copy) as the crossings restart test; the union of both phases'
+    emissions folded to each user's final (max n_errors) row must
+    equal the batch q_error_bursts output."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import time as _time
+
+    from spark_streaming_join_example_spark.plans.registry import (
+        queries_dict,
+    )
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        error_bursts_with_state,
+    )
+
+    full_replay = tmp_path / "full"
+    chunk_events(spark, sf_dir, str(full_replay), n_chunks=6)
+    chunks = sorted(
+        _glob.glob(_os.path.join(str(full_replay), "*.parquet"))
+    )
+    part_replay = tmp_path / "partial"
+    part_replay.mkdir()
+
+    def copy_staggered(cs, base):
+        for i, c in enumerate(cs):
+            dst = part_replay / _os.path.basename(c)
+            shutil.copy(c, dst)
+            _os.utime(dst, (base + i, base + i))
+
+    t0 = int(_time.time())
+    copy_staggered(chunks[:3], t0 - 600)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        stream = read_event_stream(spark, str(part_replay))
+        q = (
+            error_bursts_with_state(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # phase 1: first 3 chunks
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0, "phase 1 emitted nothing; restart leg vacuous"
+    copy_staggered(chunks[3:], t0 - 300)
+    drain()  # phase 2: restart on the same checkpoint
+
+    final: dict = {}
+    for r in spark.read.parquet(out_dir).collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_errors > cur[0]:
+            final[r.user_id] = (r.n_errors, r.n_chained, r.first_chained_id)
+    expected = {
+        r.user_id: (r.n_errors, r.n_chained, r.first_chained_id)
+        for r in queries_dict()["q_error_bursts"](spark, sf_dir).collect()
+    }
+    assert final == expected
+    assert spark.read.parquet(out_dir).count() > n1  # both phases emitted

@@ -414,3 +414,64 @@ def error_bursts_with_state(
             timeoutConf=_GST.NoTimeout,
         )
     )
+
+
+LOCF_OUTPUT_SCHEMA = "user_id long, event_id long, locf_value double"
+LOCF_STATE_SCHEMA = "has_value boolean, val double"
+
+
+def locf_with_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of plans/round21.q_locf_value's carry: every
+    event emitted with the SAME user's most recent STRICTLY-PRIOR
+    purchase value (LOCF imputation) via one (flag, double) of keyed
+    state.
+
+    Unlike the counter-shaped twins (crossings, bursts), this operator
+    is a per-row ENRICHMENT — output rows == input rows, each row
+    annotated from state BEFORE the row itself updates it (a purchase
+    sees the PREVIOUS purchase, the batch window's exclusive frame
+    end).  The carry genuinely crosses micro-batch boundaries: a
+    purchase closing one batch must impute the clicks opening the
+    next.
+
+    Each micro-batch processes its rows in (ts, event_id) order
+    (chunks concatenated first); rows with no prior purchase emit
+    NULL, exactly like the batch window before the first match."""
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        import pandas as pd  # local import keeps the worker pickle lean
+
+        if state.exists:
+            has, val = state.get
+        else:
+            has, val = False, 0.0
+        rows = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, etype, v in zip(
+                pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                rows.append(
+                    (int(user_id), int(eid), float(val) if has else None)
+                )
+                if etype == "purchase":
+                    has, val = True, float(v)
+            state.update((bool(has), float(val)))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "event_id", "locf_value"]
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=LOCF_OUTPUT_SCHEMA,
+        stateStructType=LOCF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=_GST.NoTimeout,
+    )

@@ -2357,3 +2357,52 @@ def test_error_bursts_state_survives_restart(spark, sf_dir, tmp_path):
     }
     assert final == expected
     assert spark.read.parquet(out_dir).count() > n1  # both phases emitted
+
+
+def test_locf_with_state_matches_batch_window(
+    spark, sf_dir, replay_dir, tmp_path
+):
+    """J8/T4: the streaming LOCF carry (one flag + one double of keyed
+    state, per-row ENRICHMENT output) over a chronological replay
+    reproduces the batch ignore-nulls window per event — including
+    NULLs before a user's first purchase, and a purchase row seeing
+    the PREVIOUS purchase (exclusive frame end).  Values pass through
+    untouched in both paths, so doubles compare exactly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from spark_streaming_join_example_spark.sources.batch import load_table
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        locf_with_state,
+    )
+
+    stream = read_event_stream(spark, replay_dir)
+    got = {
+        r.event_id: r.locf_value
+        for r in run_to_memory(
+            locf_with_state(stream),
+            str(tmp_path / "ckpt"),
+            output_mode="update",
+            name="locf_state_probe",
+        ).collect()
+    }
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expected = {
+        r.event_id: r.locf_value
+        for r in e.withColumn(
+            "locf_value",
+            F.last(
+                F.when(F.col("event_type") == "purchase", F.col("value")),
+                ignorenulls=True,
+            ).over(w),
+        ).select("event_id", "locf_value").collect()
+    }
+    assert got == expected
+    n_null = sum(1 for v in expected.values() if v is None)
+    assert 0 < n_null < len(expected), "imputation legs vacuous"

@@ -149,6 +149,9 @@ def main() -> None:
     # ------------------------------------------------------------------
     streaming = None
     streaming_probe1 = None
+    n_stream_probes = max(
+        1, int(os.environ.get("SPARK_GRAFT_STREAM_PROBES", "3"))
+    )
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
         try:
             from tools.stress_stream import probe as stream_probe
@@ -163,10 +166,9 @@ def main() -> None:
             # probes (probe2/probe3), which is the actual in-session
             # reproducibility claim.  The cold-warm gap stays visible
             # as `agreement_cold` (probe1/probeN).
-            n_probes = int(os.environ.get("SPARK_GRAFT_STREAM_PROBES", "3"))
             probes = [
                 stream_probe(spark, sf_dir, modes=("batched",))
-                for _ in range(max(1, n_probes))
+                for _ in range(n_stream_probes)
             ]
             streaming = probes[-1]
             if len(probes) > 1:
@@ -382,11 +384,28 @@ def main() -> None:
         "shingle_build": shingle_build,
         "streaming": streaming,
         "streaming_probe1": streaming_probe1,
-        # r12+: streaming probes run BEFORE the heavy tier; r13+: three
-        # probes, probe1 is declared warmup, canonical is the last and
-        # `agreement` compares the two warmest — see section comment
-        "streaming_method": "pre-heavy, canonical=probe3-of-3, "
-                            "agreement=probe2/probe3, probe1=warmup",
+        # r12+: streaming probes run BEFORE the heavy tier; r13+: probe1
+        # is declared warmup, canonical is the LAST probe and
+        # `agreement` compares the two warmest — see section comment.
+        # Built from the actual probe count so an override via
+        # SPARK_GRAFT_STREAM_PROBES is recorded faithfully (at n<3 the
+        # warmup/agreement split collapses: agreement == agreement_cold
+        # at n=2; neither exists at n=1).
+        "streaming_method": (
+            f"pre-heavy, canonical=probe{n_stream_probes}-of-"
+            f"{n_stream_probes}, "
+            + (
+                f"agreement=probe{n_stream_probes - 1}/probe"
+                f"{n_stream_probes}, probe1=warmup"
+                + (
+                    " (n<3: warmup/agreement split collapses)"
+                    if n_stream_probes < 3
+                    else ""
+                )
+                if n_stream_probes > 1
+                else "single probe (no agreement)"
+            )
+        ),
         "sf": sf,
     }
     if sf == 0.1 and set(BASELINE_WARM_SF01) <= set(times):

@@ -952,9 +952,12 @@ def q_median_band_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = o.agg(F.count(F.lit(1)).alias("_n"))
     return (
         ranked.join(F.broadcast(n1))
+        # Integer floor division to match the oracle's `n // 2`: with an
+        # ODD row count, float `_n / 2` shifts the band half a position
+        # (4 rows, lowest dropped) vs the oracle's 5-row [n//2-2, n//2+2].
         .filter(
-            (F.col("pos") >= F.col("_n") / 2 - 2)
-            & (F.col("pos") <= F.col("_n") / 2 + 2)
+            (F.col("pos") >= F.floor(F.col("_n") / 2) - 2)
+            & (F.col("pos") <= F.floor(F.col("_n") / 2) + 2)
         )
         .select(F.col("pos").cast("long"), "o_orderkey", "o_totalprice")
     )

@@ -10,6 +10,7 @@ any partitioning.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -487,7 +488,13 @@ def q_apply_in_pandas_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def cumsum_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        cents = (pdf["value"] * 100).round().astype("int64")
+        # Half-UP rounding to match DuckDB/Spark ROUND (half away from
+        # zero); pandas .round() is half-to-even and differs by 1 cent
+        # on exact n+0.5 doubles.  values are non-negative.
+        cents = np.floor(
+            pdf["value"].to_numpy() * 100 + 0.5
+        ).astype("int64")
+        cents = pd.Series(cents, index=pdf.index)
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],

@@ -440,3 +440,59 @@ def test_temperature_mix_flattens_distribution(spark, sf_dir):
     n_total = sum(n for n, _ in rows.values())
     n_kept = sum(k for _, k in rows.values())
     assert abs(n_kept - n_total / 2) < 0.15 * n_total
+
+
+def test_median_band_odd_count_five_rows(spark):
+    """ADVICE r13: q_median_band_orders' band filter must use integer
+    floor division (`floor(_n/2)`) — float `_n/2` drops the lowest of
+    the five band positions whenever the total row count is ODD, which
+    every fixture tier masks (even orders counts).  Pin the odd case
+    directly on the band logic with a 7-row relation: positions
+    floor(7/2)±2 = [1..5], exactly 5 rows."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_join_example_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    o = spark.createDataFrame(
+        [(i, float(100 + i)) for i in range(7)],
+        "o_orderkey long, o_totalprice double",
+    )
+    ranked = global_row_number(o, ["o_totalprice", "o_orderkey"], out="pos")
+    n1 = o.agg(F.count(F.lit(1)).alias("_n"))
+    band = (
+        ranked.join(F.broadcast(n1))  # bounded: 1-row count relation
+        .filter(
+            (F.col("pos") >= F.floor(F.col("_n") / 2) - 2)
+            & (F.col("pos") <= F.floor(F.col("_n") / 2) + 2)
+        )
+    )
+    got = sorted(r.pos for r in band.collect())
+    assert got == [1, 2, 3, 4, 5], got
+
+
+def test_cumsum_cents_rounds_half_up():
+    """ADVICE r13: the q_apply_in_pandas_cumsum cents kernel must round
+    half AWAY from zero like DuckDB/Spark ROUND — pandas .round() is
+    half-to-even and differs by 1 cent on exact n+0.5 doubles (0.005,
+    0.015, 2.5 after *100...).  No fixture value currently hits an
+    exact half, so pin the convention at the kernel level."""
+    import numpy as np
+
+    vals = np.array([0.005, 0.015, 0.025, 1.005, 0.0, 0.004999])
+    cents = np.floor(vals * 100 + 0.5).astype("int64")
+    # 0.005*100 and 0.015*100 are not exact halves in binary
+    # (0.5000000000000001 / 1.4999999999999998) — the assertable claim
+    # is agreement with decimal half-up on the REALIZED double:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    expect = [
+        int(
+            Decimal(repr(v * 100)).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+        for v in vals
+    ]
+    assert cents.tolist() == expect, (cents.tolist(), expect)
+    # and the known half-to-even divergence: exact 2.5 must go UP
+    assert int(np.floor(2.5 + 0.5)) == 3  # half-up: 3; .round() gives 2

@@ -10,13 +10,14 @@ depth D: the join materializes ~(D·clicks)·(D·purchases) candidate
 pairs per user before its aggregate (quadratic in D), while the carry
 pays one sort (D log D) and a linear scan.
 
-This probe replicates each user's click/purchase events D ∈ {1, 2, 4}
-times WITHIN the user (ts jittered by +i seconds, event ids offset so
-both stay unique), asserts the two formulations produce IDENTICAL
-per-user aggregates at every D, and reports medians of 5 timed runs
-(plans rebuilt from the DSL per run; variants interleaved).
+This probe replicates each user's click/purchase events D ∈
+{1, 2, 4, 8, 16} times WITHIN the user (ts jittered by +i seconds,
+event ids offset so both stay unique), asserts the two formulations
+produce IDENTICAL per-user aggregates at every D, and reports medians
+of 5 timed runs (plans rebuilt from the DSL per run; variants
+interleaved).
 
-Usage: python tools/ab_asof.py [sf_dir] [n_runs]
+Usage: python tools/ab_asof.py [sf_dir] [n_runs] [depths-csv]
 """
 
 from __future__ import annotations
@@ -131,7 +132,12 @@ def main():
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     spark = get_spark()
 
-    for d in (1, 2, 4):
+    depths = (
+        tuple(int(x) for x in sys.argv[3].split(","))
+        if len(sys.argv) > 3
+        else (1, 2, 4, 8, 16)
+    )
+    for d in depths:
         base = replicated(spark, sf_dir, d).localCheckpoint(eager=True)
         a, b = canon(carry_form(base)), canon(join_form(base))
         assert a == b, f"D={d}: formulations diverge ({len(a)} vs {len(b)})"

@@ -100,24 +100,22 @@ def _load_all_plans() -> None:
 #: round, the non-anchor slots rotate to DIFFERENT queries covering
 #: the SAME §2 families (the swapped-out names stay green in the full
 #: local differential).  Swaps are marked "rN: was <name>" below.  The
-#: r13 rotation pushes 43 FIRST-TIME names — the 35-name pre-validated
-#: shortlist from NOTES_r12.md plus 8 fillers drawn from the deepest
-#: never-checked families (FN-datetime/FN-math/W2/P5/FN-string/X5/A1).
-#: The A3 keeper anchor rotated OFF this round: the round-17/18 stock
-#: restocked A3, so the shortlist's q_approx_quartiles carries the
-#: family and the keeper slot becomes a 43rd first-time check.  The
-#: rows-only slot goes to q_semdedup_lsh (the r12 VERDICT's named
-#: choice — the SemDeDup LSH scale path's first driver row), replacing
-#: q_embedding_neardup_lsh which earned its row in r12.  Family
+#: r14 rotation pushes 43 FIRST-TIME names — the 35-name pre-validated
+#: shortlist from NOTES_r13.md (older reserve preferred; greedy family
+#: cover) plus 7 fillers drawn from the deepest never-checked families
+#: (FN-string 23, X5 29, W2 18, FN-math 23, FN-datetime 26 candidates
+#: post-r13) and the rows-only slot.  The rows-only slot goes to
+#: q_ivf_topk (the r13 VERDICT's named choice — the IVF partial-probe
+#: production path's first driver row; its routed-kernel ≡ brute-force
+#: proof lives in q_knn_ivf_exact which stays oracle-checked),
+#: replacing q_semdedup_lsh which earned its row in r13.  Family
 #: coverage proven lossless at swap time (`rotation_report.py
-#: --check`) and every incoming name verified green in the sf0.01
-#: differential immediately before the swap (43/43 on 2026-08-16;
-#: q_semdedup_lsh rows-only by design).
+#: --check`) and every incoming name verified green in the full
+#: sf0.01 differential immediately before the swap (491/491 oracle
+#: queries pass on 2026-08-16; q_ivf_topk rows-only by design).
 CURATED_FIRST: tuple[str, ...] = (
     # ---- anchors: the bench set (always hash-checked on the round's
-    # artifact; the A3 keeper rotated off in r13 — the round-17/18
-    # stock restocked the family, so the slot earns a first-time
-    # check instead) ----
+    # artifact) ----
     "q_pricing_summary",      # A1 P1 P2 (bench)
     "q_revenue_join3",        # J4 J5 A1 (bench)
     "q_window_rank",          # W1 W4 (bench)
@@ -125,56 +123,56 @@ CURATED_FIRST: tuple[str, ...] = (
     "q_stream_static_join",   # J1 J3 (bench)
     "q_distinct_users",       # A2 (bench)
     "q_cosine_topk",          # X3 J11 O2 (bench)
-    # ---- r13 rotation: 43 first-ever driver checks ----
-    # pre-validated r13 shortlist (NOTES_r12.md; all green in the r12
-    # three-tier seal sweeps)
-    "q_approx_quartiles",     # A3 A1 (r13: was q_approx_topk_events, the A3 keeper)
-    "q_rollup_subtotals",     # A4 P5 A1 (r13: was q_cube_filtered)
-    "q_tumbling_90min",       # A5 A1 (r13: was q_tumbling_week_orders)
-    "q_sliding_distinct_2h",  # A6 A2 (r13: was q_sliding_28d_events)
-    "q_session_dynamic_gap",  # A7 A1 P5 (r13: was q_session_spans)
-    "q_unpivot_flags",        # A9 P1 A1 (r13: was q_pivot_dual_agg)
-    "q_map_from_entries",     # FN-map FN-array A1 (r13: was q_map_zip_stats)
-    "q_stream_static_defaults",  # J1 J3 P5 (r13: was q_events_supplier_mix)
-    "q_view_purchase_outer",  # J2 J7 (r13: was q_click_purchase)
-    "q_region_priority_grid",  # J11 J10 J5 (r13: was q_type_day_grid)
-    "q_acctbal_dominance",    # J6 A1 J5 (r13: was q_balance_overlap)
-    "q_asof_forward_tol",     # J8 W2 A1 (r13: was q_asof_tolerance)
-    "q_potential_promotion",  # J9 J3 O2 (r13: was q_never_late_parts)
-    "q_order_count_dist",     # O1 J10 A1 (r13: was q_gini_coefficient's O1)
-    "q_composite_range_layout",  # O3 P2 (r13: was q_desc_range_layout)
-    "q_json_malformed",       # P3 P5 (r13: was q_json_kv_explode)
-    "q_int_width_casts",      # P4 P5 A1 (r13: was q_try_cast_temporal)
-    "q_provenance_union",     # S1 U1 A1 (r13: was q_row_chunks + q_union_evolved_agg's U1)
-    "q_dedup_within_hour",    # T2 A2 FN-datetime (r13: was q_best_event)
-    "q_rate_limit",           # T4 W4 A1 (r13: was q_debounce)
-    "q_rebalance_hint",       # T5 A1 (r13: was q_shuffle_pipeline)
-    "q_setops_chain",         # U2 U3 J4 A2 (r13: was q_setops_modes)
-    "q_udf_checkdigit",       # F1 FN-math (r13: was q_udf_digitsum)
-    "q_pandas_udf_iter",      # F2 (r13: was q_pandas_udf_intlen)
-    "q_grouped_agg_wavg",     # F3 A1 (r13: was q_grouped_agg_second_max)
-    "q_cogroup_stats",        # F4 J1 A1 (r13: was q_apply_in_pandas_norm)
-    "q_map_in_pandas_parse",  # F5 P3 (r13: was q_map_in_pandas_repeat)
-    "q_udtf_ngrams_n",        # F6 X5 (r13: was q_udtf_chargrams)
-    "q_chargram_jaccard",     # X2 J4 A1 (r13: was q_semdedup_keep's X2)
-    "q_binary_entropy",       # X4 FN-math X5 (r13: was q_payload_chunks)
-    "q_repeated_grams",       # X1 A1 X5 (r13: was q_span_trim's X1)
-    "q_label_balance",        # X3 A1 (r13: second X3 leg)
-    "q_window_distribution",  # W1 (r13: was q_anomaly_zscore's W1)
-    "q_max_drawdown",         # W3 W2 FN-math (r13: was q_window_value_funcs)
-    "q_doc_top_token",        # W4 X5 (r13: was q_tfidf_top_term)
-    # fillers from the deepest never-checked families (FN-datetime
-    # 10/27 driver-verified, FN-math 14/34, W2 18/34, P5 22/43,
-    # A1 103/210, plus FN-string and X5 — the r12 VERDICT priority
-    # list)
-    "q_semdedup_lsh",         # X2 X3 rows-only (r13: was q_embedding_neardup_lsh — the SemDeDup-LSH scale path's driver slot)
-    "q_scd2_intervals",       # W2 P5 FN-datetime (r13: was q_period_over_period)
-    "q_autocorr",             # FN-math W2 A1 (r13: was q_higher_moments)
-    "q_try_arithmetic",       # P5 FN-math (r13: was q_union_evolved_agg's P5)
-    "q_event_pattern",        # A1 FN-string W2 (r13: was q_token_regex's FN-string)
-    "q_readability",          # X5 FN-string (r13: was q_listagg's FN-string)
-    "q_kanonymity",           # A1 P5 X5 (r13: was q_curation_funnel)
-    "q_timestamp_diffs",      # FN-datetime (r13: was q_time_weighted_avg's FN-datetime)
+    # ---- r14 rotation: 43 first-ever driver checks ----
+    # pre-validated r14 shortlist (NOTES_r13.md; all green in the r13
+    # three-tier seal sweeps AND in this round's pre-swap full sf0.01
+    # differential)
+    "q_approx_deciles_array",  # A3 FN-array A1 (r14: was q_approx_quartiles)
+    "q_grouping_parts",       # A4 A1 (r14: was q_rollup_subtotals)
+    "q_tumbling_15m_bounds",  # A5 A2 (r14: was q_tumbling_90min)
+    "q_sliding_12h_purchases",  # A6 A2 (r14: was q_sliding_distinct_2h)
+    "q_session_rates",        # A7 (r14: was q_session_dynamic_gap)
+    "q_pivot_segment_explicit",  # A9 A1 (r14: was q_unpivot_flags)
+    "q_map_concat_profile",   # FN-map A1 (r14: was q_map_from_entries)
+    "q_active_no_purchase",   # J9 J1 A1 (r14: was q_stream_static_defaults)
+    "q_click_error_window",   # J2 J7 (r14: was q_view_purchase_outer)
+    "q_region_quarter_grid",  # J11 J5 A1 FN-datetime (r14: was q_region_priority_grid)
+    "q_reorder_within_30d",   # J6 J4 (r14: was q_acctbal_dominance)
+    "q_asof_nearest",         # J8 W2 (r14: was q_asof_forward_tol)
+    "q_recursive_cte",        # A1 J10 (r14: was q_potential_promotion's J9 — q_active_no_purchase carries J9)
+    "q_curriculum_order",     # X5 W1 O1 (r14: was q_order_count_dist)
+    "q_hash_bucket_layout",   # O3 T5 P2 (r14: was q_composite_range_layout)
+    "q_csv_quoted",           # P3 FN-string A1 (r14: was q_json_malformed)
+    "q_bool_casts",           # P4 P5 A1 (r14: was q_int_width_casts)
+    "q_row_parity_split",     # S1 U1 A1 (r14: was q_provenance_union)
+    "q_first_event_daily",    # T2 A1 FN-datetime (r14: was q_dedup_within_hour)
+    "q_rising_runs",          # T4 W2 A1 (r14: was q_rate_limit)
+    "q_setops_daily_actives",  # U2 U3 A2 (r14: was q_setops_chain)
+    "q_udf_hamming_str",      # F1 FN-string (r14: was q_udf_checkdigit)
+    "q_pandas_udf_grade",     # F2 P5 (r14: was q_pandas_udf_iter)
+    "q_grouped_agg_bitmask",  # F3 FN-math (r14: was q_grouped_agg_wavg)
+    "q_apply_in_pandas_rollmax",  # F4 W3 A1 (r14: was q_cogroup_stats)
+    "q_map_in_pandas_project",  # F5 P1 A1 (r14: was q_map_in_pandas_parse)
+    "q_udtf_windows",         # F6 X5 (r14: was q_udtf_ngrams_n)
+    "q_common_span",          # X1 X2 W2 J4 (r14: was q_chargram_jaccard)
+    "q_record_pack",          # X4 FN-string (r14: was q_binary_entropy)
+    "q_corpus_pipeline",      # X1 X3 X5 (r14: was q_repeated_grams + q_label_balance's X3)
+    "q_pmi_collocations",     # X5 O2 J3 (r14: was q_doc_top_token)
+    "q_top_parts_per_nation",  # W4 J4 A1 (r14: was q_window_rank's non-anchor W4 depth)
+    "q_mad_outliers",         # FN-math X5 A1 (r14: was q_max_drawdown's FN-math)
+    "q_date_arith",           # FN-datetime (r14: was q_timestamp_diffs)
+    "q_string_battery2",      # FN-string (r14: was q_event_pattern's FN-string)
+    # fillers from the deepest never-checked families (post-r13
+    # candidate depth: X5 29, FN-datetime 26, FN-string 23, FN-math
+    # 23, W2 18 — the r13 VERDICT priority list)
+    "q_ivf_topk",             # X3 rows-only (r14: was q_semdedup_lsh — the IVF partial-probe path's driver slot)
+    "q_like_battery",         # FN-string P2 (r14: was q_readability)
+    "q_token_entropy",        # X5 A1 (r14: was q_kanonymity)
+    "q_islands",              # W2 A1 (r14: was q_scd2_intervals)
+    "q_weighted_median",      # FN-math W3 A1 (r14: was q_autocorr)
+    "q_seasonal_profile",     # FN-datetime A1 (r14: was q_try_arithmetic)
+    "q_transition_matrix",    # W2 A1 (r14: was q_event_pattern)
+    "q_zipf_fit",             # X5 FN-math A1 (r14: was q_window_distribution's W1 slot — q_curriculum_order carries W1)
 )
 
 

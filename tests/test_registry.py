@@ -74,6 +74,7 @@ _CURATED_ROWS_ONLY_ALLOWED = {
     "q_minhash_incoming",
     "q_embedding_neardup_lsh",  # r12 rows-only slot: embedding-LSH scale path
     "q_semdedup_lsh",  # r13 rows-only slot: SemDeDup-LSH scale path
+    "q_ivf_topk",  # r14 rows-only slot: IVF partial-probe production path
 }
 
 

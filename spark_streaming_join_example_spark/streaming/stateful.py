@@ -475,3 +475,100 @@ def locf_with_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=_GST.NoTimeout,
     )
+
+
+PSESS_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, closed_by string"
+)
+PSESS_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def purchase_sessions_with_state(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "45 minutes"
+) -> DataFrame:
+    """Streaming twin of plans/round20.q_purchase_session_stats'
+    per-session relation: 30-minute-gap sessions over the PURCHASE
+    slice, one row per CLOSED session (append semantics), with a
+    `closed_by` provenance column that records WHICH path emitted it —
+    'event' (a later same-user purchase arrived with gap >= 30 min)
+    or 'timer' (the event-time timeout fired when the watermark passed
+    last_event + gap with nothing newer buffered).
+
+    The column exists for the test pins: the other stateful twins
+    (crossings, bursts, LOCF) never register a timer, so the
+    setTimeoutTimestamp -> hasTimedOut emission path had no twin
+    coverage; asserting BOTH markers appear in a replay proves the
+    timeout API actually fired rather than every session happening to
+    close by a successor event.  Batch comparisons drop the column
+    (micro-batch composition decides which path closes a given
+    session; the session VALUES are path-independent).
+
+    Scale: state is one (start, last, n) triple per user with an open
+    purchase session — not per event; the pre-filter prunes ~80 % of
+    the stream before the keyed shuffle; timers bound both state
+    memory and emission latency by the watermark delay."""
+    gap_us = gap_minutes * 60 * _US
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int, str]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                closed.append((start_us, last_us, n, "timer"))
+            state.remove()
+        else:
+            ts_us: list[int] = []
+            for pdf in pdfs:
+                ts_us.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+                )
+            ts_us.sort()
+            cur = list(state.get) if state.exists else None
+            for t in ts_us:
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t - cur[1] >= gap_us:
+                    closed.append((cur[0], cur[1], cur[2], "event"))
+                    cur = [t, t, 1]
+                else:
+                    cur[1] = t
+                    cur[2] += 1
+            if cur is not None:
+                state.update(tuple(cur))
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(l + gap_us, unit="us")
+                        for _, l, _, _ in closed
+                    ],
+                    "n_events": [n for _, _, n, _ in closed],
+                    "closed_by": [c for _, _, _, c in closed],
+                }
+            )
+
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=PSESS_OUTPUT_SCHEMA,
+            stateStructType=PSESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -2406,3 +2406,82 @@ def test_locf_with_state_matches_batch_window(
     assert got == expected
     n_null = sum(1 for v in expected.values() if v is None)
     assert 0 < n_null < len(expected), "imputation legs vacuous"
+
+
+def _batch_purchase_sessions(spark, sf_dir):
+    be = _batch_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        be.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def test_purchase_sessions_with_state_matches_batch(
+    spark, sf_dir, replay_dir, tmp_path
+):
+    """T4/A7: the purchase-session twin (q_purchase_session_stats'
+    per-session relation) must agree with the batch session_window
+    computation — and BOTH emission paths must fire: 'event' (closed
+    by a later same-user purchase) and 'timer' (event-time timeout),
+    proving the setTimeoutTimestamp -> hasTimedOut API is exercised,
+    which no other stateful twin touches."""
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        purchase_sessions_with_state,
+    )
+
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        purchase_sessions_with_state(stream),
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    out_rows = out.collect()
+    assert len(out_rows) > 0
+    markers = {r.closed_by for r in out_rows}
+    assert markers == {"event", "timer"}, markers
+
+    full = _batch_purchase_sessions(spark, sf_dir)
+    full_rows = set(map(repr, collect_sorted(full)))
+    stripped = collect_sorted(out.drop("closed_by"))
+    # every emitted session must exist verbatim in the batch result...
+    for r in stripped:
+        assert repr(r) in full_rows
+    # ...and all batch sessions closed well before the final watermark
+    # (45 min delay + margin) must have been emitted.
+    be = _batch_events(spark, sf_dir)
+    max_ts = be.agg(F.max("ts")).collect()[0][0]
+    closed = full.filter(
+        F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 90 MINUTES")
+    )
+    emitted = set(map(repr, stripped))
+    for r in collect_sorted(closed):
+        assert repr(r) in emitted
+
+
+def test_purchase_sessions_state_survives_restart(spark, sf_dir, tmp_path):
+    """S7/T4: a purchase session whose first half was buffered before a
+    mid-stream stop must merge with its second half after the restart —
+    the interrupted run's closed-session set must equal an
+    uninterrupted run's.  closed_by is dropped for the comparison:
+    WHICH path closes a session depends on micro-batch composition;
+    the session values do not."""
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        purchase_sessions_with_state,
+    )
+
+    _restart_equals_uninterrupted(
+        spark,
+        sf_dir,
+        tmp_path,
+        lambda s: purchase_sessions_with_state(s).drop("closed_by"),
+    )

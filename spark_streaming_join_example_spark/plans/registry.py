@@ -79,6 +79,7 @@ def _load_all_plans() -> None:
     from . import round19  # noqa: F401
     from . import round20  # noqa: F401
     from . import round21  # noqa: F401
+    from . import round22  # noqa: F401
 
 
 #: The 50 queries exposed FIRST to the verification driver.  The

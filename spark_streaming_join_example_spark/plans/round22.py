@@ -798,3 +798,822 @@ def q_stream_static_seg_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J2 + J7 — error→purchase RECOVERY inside a 2-hour horizon
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_error_then_purchase",
+    tags=("J2", "J7", "J9", "A1"),
+    oracle=f"""
+{EV_CTE}
+, err AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'error'),
+rec AS (
+  SELECT DISTINCT e.user_id, e.event_id
+  FROM err e JOIN ev p
+    ON p.user_id = e.user_id AND p.event_type = 'purchase'
+   AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 2 HOUR
+)
+SELECT e.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_errors,
+       CAST(COUNT(r.event_id) AS BIGINT) AS n_recovered
+FROM err e LEFT JOIN rec r
+  ON r.user_id = e.user_id AND r.event_id = e.event_id
+GROUP BY e.user_id
+""",
+)
+def q_error_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECOVERY analysis: per user, how many error events were followed
+    by a purchase within 2 hours (the error didn't lose the sale).  The
+    checked J2/J7 siblings pair clicks↔purchases, signups, views, and
+    NEGATIVE windows; an EXISTS-style interval join (left-semi inside
+    the horizon, then folded into a per-user recovery census) is the
+    remaining conversion flavor.  Semi-join semantics make multiplicity
+    irrelevant — each error counts at most once however many purchases
+    land in its window (6 / 79 / 726 recovered errors per fixture tier;
+    vacuity-probed).
+
+    Scale: both sides shuffle once on user_id; the interval predicate
+    prunes inside each key group, and the semi join never materializes
+    the per-error purchase fan-out."""
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts"), F.col("event_id").alias("e_id")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    recovered = (
+        err.join(
+            pur,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("e_ts"))
+            & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 2 HOURS")),
+            "left_semi",
+        )
+        # re-alias so the outer self-reference to `err` stays unambiguous
+        .select(
+            F.col("user_id").alias("r_user"), F.col("e_id").alias("r_id")
+        )
+    )
+    return (
+        err.join(
+            recovered,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("e_id") == F.col("r_id")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.count("r_id").alias("n_recovered"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 + J4 — within-customer price OUTRANK pairs (temporal theta)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_price_outrank_pairs",
+    tags=("J6", "J4", "A1"),
+    oracle="""
+SELECT o1.o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT o2.o_orderkey) AS BIGINT) AS n_upgraders
+FROM orders o1 JOIN orders o2
+  ON o1.o_custkey = o2.o_custkey
+ AND o2.o_orderdate > o1.o_orderdate
+ AND o2.o_totalprice >= 2 * o1.o_totalprice
+GROUP BY o1.o_custkey
+""",
+)
+def q_price_outrank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-customer OUTRANK pairs: (earlier order, later order) where
+    the later order is at least 2× the earlier's value — the
+    basket-growth signal.  The checked J6 siblings compare balances,
+    line pairs, banded self-joins, containment, and 30-day reorders; a
+    theta join whose predicate couples TIME ORDER with a VALUE RATIO is
+    the remaining two-sided inequality shape.
+
+    Scale: the only equi-key is o_custkey, so the pair fan-out is
+    bounded by Σ|orders-per-customer|² (~10² per key at any SF — order
+    counts per customer are SF-invariant); the ratio and date
+    predicates prune inside each key group before the aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    o1 = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("d1"),
+        F.col("o_totalprice").alias("p1"),
+    )
+    o2 = o.select(
+        F.col("o_custkey").alias("c2"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderdate").alias("d2"),
+        F.col("o_totalprice").alias("p2"),
+    )
+    return (
+        o1.join(
+            o2,
+            (F.col("custkey") == F.col("c2"))
+            & (F.col("d2") > F.col("d1"))
+            & (F.col("p2") >= 2 * F.col("p1")),
+        )
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("k2").alias("n_upgraders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 + W2 — SELF as-of: each order annotated from the customer's
+# previous order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_self_asof_orders",
+    tags=("J8", "W2", "FN-datetime"),
+    oracle="""
+WITH w AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_date,
+         lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_price
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days,
+       CAST(ROUND(o_totalprice * 100) - ROUND(prev_price * 100) AS BIGINT)
+         AS delta_cents
+FROM w WHERE prev_date IS NOT NULL
+""",
+)
+def q_self_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF as-of: each order annotated with the SAME customer's most
+    recent PRIOR order (gap in days, price delta in exact cents) — the
+    repeat-purchase cadence row.  The checked J8 siblings as-of join
+    TWO relations (clicks→purchases, tolerances, LOCF); the
+    one-relation backward as-of — compiled to a lag carry over one
+    keyed sort, no join at all — is the remaining formulation, and the
+    same plan shape the carry-vs-join scale probe (tools/ab_asof.py,
+    SCALE.md §Round-13/14) proves flat in per-key depth.
+
+    Ties: (o_orderdate, o_orderkey) ordering makes the predecessor
+    deterministic in both engines; date_diff on day-truncated
+    timestamps is exact integer arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ann = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    ).filter(F.col("prev_date").isNotNull())
+    return ann.select(
+        "o_orderkey",
+        F.datediff("o_orderdate", "prev_date").cast("long").alias("gap_days"),
+        (
+            F.round(F.col("o_totalprice") * 100)
+            - F.round(F.col("prev_price") * 100)
+        )
+        .cast("long")
+        .alias("delta_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — anti-join census: parts with NO recent shipment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_parts_never_recent",
+    tags=("J9", "A1"),
+    oracle="""
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_stale_parts,
+       CAST(MIN(p_partkey) AS BIGINT) AS min_partkey
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey
+    AND l.l_shipdate > TIMESTAMP '2001-01-01'
+)
+GROUP BY p_brand
+""",
+)
+def q_parts_never_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STALE-CATALOG census: parts with NO shipment after 2001-01-01
+    (anti join against the date-filtered fact), counted per brand — the
+    discontinuation candidate list.  The checked J9 siblings anti-join
+    on full-history facts or semi∧anti combinations; an anti join whose
+    right side is DATE-SCOPED (absence-of-RECENT-activity, not
+    absence-of-any) is the remaining flavor, and the one that needs the
+    filter pushed BELOW the anti join to stay cheap (9 / 50 / 544
+    stale parts per fixture tier; vacuity-probed).
+
+    Scale: the shipdate filter prunes the fact scan before the
+    anti-join shuffle; the part side shuffles once on partkey."""
+    p = _t(spark, sf_dir, "part")
+    recent = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("2001-01-01").cast("timestamp"))
+        .select("l_partkey")
+    )
+    stale = p.join(
+        recent, p.p_partkey == recent.l_partkey, "left_anti"
+    )
+    return stale.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_stale_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J11 + J10 — full STATUS × PRIORITY grid, zero-filled
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_status_priority_grid",
+    tags=("J11", "J10", "A1"),
+    oracle=f"""
+WITH s AS (SELECT DISTINCT o_orderstatus FROM orders),
+p AS (SELECT DISTINCT o_orderpriority FROM orders),
+g AS (SELECT o_orderstatus, o_orderpriority FROM s CROSS JOIN p),
+a AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {oracle_exact_sum("o_totalprice")} AS sum_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT g.o_orderstatus AS status, g.o_orderpriority AS priority,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+       CAST(COALESCE(a.sum_price, 0) AS DOUBLE) AS sum_price
+FROM g LEFT JOIN a
+  ON g.o_orderstatus = a.o_orderstatus
+ AND g.o_orderpriority = a.o_orderpriority
+""",
+)
+def q_status_priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense STATUS × PRIORITY report grid (3 × 5), zero-filled where
+    no orders land — both axes distinct'd from the SAME fact table
+    (the checked J11 siblings grid stored dims, generated axes, or
+    cross-table pairs; a self-derived two-axis lattice is the
+    remaining provenance).  The bounded cross join builds the 15-cell
+    frame; the aggregate LEFT-joins onto it so empty cells survive
+    with explicit zeros — the report-template contract a BI export
+    needs (cells must exist even when empty).
+
+    # bounded: both sides are ≤ 5-row distinct'd dimension relations"""
+    o = _t(spark, sf_dir, "orders")
+    s = o.select(F.col("o_orderstatus").alias("status")).distinct()
+    p = o.select(F.col("o_orderpriority").alias("priority")).distinct()
+    grid = s.crossJoin(p)  # bounded: 3 × 5 dimension grid
+    a = o.groupBy(
+        F.col("o_orderstatus").alias("a_status"),
+        F.col("o_orderpriority").alias("a_priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        exact_sum("o_totalprice", MONEY).alias("sum_raw"),
+    )
+    return (
+        grid.join(
+            a,
+            (F.col("status") == F.col("a_status"))
+            & (F.col("priority") == F.col("a_priority")),
+            "left",
+        )
+        .select(
+            "status",
+            "priority",
+            F.coalesce("n_raw", F.lit(0)).alias("n"),
+            F.coalesce("sum_raw", F.lit(0.0)).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 + O2 + U1 — global EXTREMES band: top-5 and bottom-5 in one result
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_global_extremes",
+    tags=("O1", "O2", "U1"),
+    oracle="""
+(SELECT 'top' AS side, o_orderkey, o_totalprice
+ FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 5)
+UNION ALL
+(SELECT 'bottom' AS side, o_orderkey, o_totalprice
+ FROM orders ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 5)
+""",
+)
+def q_global_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both GLOBAL EXTREMES in one result: the 5 priciest and 5
+    cheapest orders, side-labelled and unioned — the outlier bookends a
+    data-quality report prints.  The checked O1/O2 siblings sort or
+    limit in ONE direction; a plan with TWO independent
+    TakeOrderedAndProject branches over the same scan (each a
+    per-partition top-k + driver merge of k·partitions rows — never a
+    full global sort) unioned into one relation is the remaining
+    ordered-readout shape.  (o_totalprice, o_orderkey) composite keys
+    make both limits deterministic."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    top = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").desc())
+        .limit(5)
+        .select(F.lit("top").alias("side"), "o_orderkey", "o_totalprice")
+    )
+    bottom = (
+        o.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+        .limit(5)
+        .select(F.lit("bottom").alias("side"), "o_orderkey", "o_totalprice")
+    )
+    return top.unionAll(bottom)
+
+
+# ---------------------------------------------------------------------------
+# O3 — range partitioning on a COMPOSITE key + an independent
+# within-partition cluster key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_range2_layout",
+    tags=("O3", "P2"),
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem
+WHERE l_quantity >= 30
+""",
+)
+def q_range2_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartitionByRange on the COMPOSITE (returnflag, shipdate) key —
+    range co-location for flag-then-time scans, the sort-order-friendly
+    sibling of hash bucketing — then sortWithinPartitions on an
+    INDEPENDENT derived cluster key (price cents descending) so each
+    range file also serves price-ordered reads.  The checked O3
+    siblings hash composite keys or range-sort a single stored column;
+    composite RANGE partitioning with a third-column cluster sort is
+    the remaining layout-matrix cell.  Content pinned by the
+    order-insensitive oracle hash: layout ops must never change the
+    row set."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    m = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return m.repartitionByRange(
+        6, "l_returnflag", "l_shipdate"
+    ).sortWithinPartitions(F.col("price_cents").desc())
+
+
+# ---------------------------------------------------------------------------
+# P3 — NESTED-path JSON extraction (construct → extract within each
+# engine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_nested_path",
+    tags=("P3", "FN-string", "A1"),
+    oracle=f"""
+{EV_CTE}
+, j AS (
+  SELECT '{{"u": {{"id": ' || user_id || ', "t": "' || event_type || '"}}}}'
+           AS doc
+  FROM ev
+), x AS (
+  SELECT CAST(json_extract_string(doc, '$.u.id') AS BIGINT) AS uid,
+         json_extract_string(doc, '$.u.t') AS typ
+  FROM j
+)
+SELECT typ, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(uid) AS BIGINT) AS uid_sum
+FROM x GROUP BY typ
+""",
+)
+def q_json_nested_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-path JSON extraction: each engine renders a two-level
+    document from columns, then reads it back through the dotted path
+    '$.u.id' / '$.u.t' — pinning that nested traversal (not just flat
+    key lookup) parses identically.  The checked P3 siblings handle
+    flat kv, maps, tuples, malformed rows, and CSV; a NESTED object
+    path is the remaining extraction axis.  The aggregate over the
+    extracted values proves the round-trip is lossless (uid_sum
+    reproduces the raw user_id sum)."""
+    e = _t(spark, sf_dir, "events")
+    doc = F.format_string(
+        '{"u": {"id": %d, "t": "%s"}}', F.col("user_id"), F.col("event_type")
+    )
+    x = e.select(
+        F.get_json_object(doc, "$.u.id").cast("long").alias("uid"),
+        F.get_json_object(doc, "$.u.t").alias("typ"),
+    )
+    return x.groupBy("typ").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("uid").alias("uid_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 + P5 — round-trip identity-law census across three cast cycles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_roundtrip_casts",
+    tags=("P4", "P5", "A1"),
+    oracle=f"""
+{EV_CTE}
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (
+         WHERE CAST(CAST(event_id AS VARCHAR) AS BIGINT) = event_id)
+         AS BIGINT) AS n_str_ok,
+       CAST(COUNT(*) FILTER (
+         WHERE CAST(CAST(value AS REAL) AS DOUBLE) = value)
+         AS BIGINT) AS n_f32_ok,
+       CAST(COUNT(*) FILTER (
+         WHERE make_timestamp(epoch_us(ts)) = ts)
+         AS BIGINT) AS n_ts_ok
+FROM ev GROUP BY event_type
+""",
+)
+def q_roundtrip_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-TRIP identity-law census: per event type, how many rows
+    survive (a) long→string→long, (b) double→FLOAT32→double, and
+    (c) timestamp→epoch-µs→timestamp unchanged.  The checked P4
+    siblings cast one direction (widths, bools, decimals, temporals,
+    binary); auditing the INVERSE composition is the remaining cast
+    contract, and leg (b) genuinely varies per row — a 6-decimal value
+    survives binary32 only when its 24-bit mantissa suffices, and both
+    engines narrow by the same IEEE rounding, so the flag census
+    matches exactly."""
+    e = _t(spark, sf_dir, "events")
+    str_ok = (
+        F.col("event_id").cast("string").cast("long") == F.col("event_id")
+    )
+    f32_ok = F.col("value").cast("float").cast("double") == F.col("value")
+    ts_ok = F.timestamp_micros(F.unix_micros("ts")) == F.col("ts")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(str_ok).alias("n_str_ok"),
+        F.count_if(f32_ok).alias("n_f32_ok"),
+        F.count_if(ts_ok).alias("n_ts_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 + P5 — dedup by BUSINESS PRIORITY, then recency
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_priority_dedup",
+    tags=("T2", "P5", "A1", "FN-datetime"),
+    oracle=f"""
+{EV_CTE}
+, k AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         event_id, event_type,
+         (CASE event_type WHEN 'purchase' THEN 0 WHEN 'click' THEN 1
+                          WHEN 'view' THEN 2 WHEN 'error' THEN 3
+                          ELSE 4 END) * 100000000000000000
+         + epoch(ts) * 10000000 + event_id AS pick
+  FROM ev
+)
+SELECT user_id, day,
+       arg_min(event_id, pick) AS kept_event_id,
+       arg_min(event_type, pick) AS kept_type,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates
+FROM k GROUP BY user_id, day
+""",
+)
+def q_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup whose representative is chosen by BUSINESS PRIORITY
+    first (purchase > click > view > error > signup), recency second —
+    the attribution rule marketing pipelines actually use, vs the
+    checked T2 siblings' purely temporal or value-based picks.  The
+    pick key packs (priority tier, epoch seconds, event id) into one
+    bigint: tier × 10¹⁷ dominates, the documented (seconds × 10⁷ + id)
+    envelope from q_session_bookends fills the low digits, and both
+    engines resolve ties identically."""
+    e = _t(spark, sf_dir, "events")
+    prio = (
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "error", 3)
+        .otherwise(4)
+    )
+    pick = (
+        prio.cast("long") * F.lit(100_000_000_000_000_000)
+        + F.unix_timestamp("ts") * F.lit(10_000_000)
+        + F.col("event_id")
+    )
+    return (
+        e.withColumn("pick", pick)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.min_by("event_id", F.col("pick")).alias("kept_event_id"),
+            F.min_by("event_type", F.col("pick")).alias("kept_type"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5 + A1 — EXPLICIT two-level aggregation tree over a salt axis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_salted_global",
+    tags=("T5", "A1", "S1"),
+    oracle=f"""
+{EV_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_micros,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM ev
+""",
+)
+def q_salted_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT two-level aggregation tree: global exact totals computed
+    as salt-bucket partials (salt = pmod(hash(event_id), 16)) folded by
+    a second 16-row aggregate — the decomposition that keeps a KEYLESS
+    reduction scalable when the final combine state is too heavy for
+    one reducer (here count-distinct carries a set; the salt level
+    bounds each partial's set to its bucket).  The checked T5 siblings
+    salt KEYED aggregates, distincts, and joins; the keyless
+    global-reduce tree is the remaining salting surface.  COUNT
+    DISTINCT re-aggregates exactly because the salt axis partitions
+    user_id disjointly only per bucket — the final level therefore
+    re-distincts the UNION of bucket sets (collect_set → flatten →
+    array_distinct stays declarative; sums/counts/max fold trivially).
+
+    Exactness: all four measures are integer; the oracle is the direct
+    one-level global aggregate — identical results prove the tree
+    decomposition lossless."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.hash("user_id"), F.lit(16))
+    )
+    partial = e.groupBy("salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+            "psum"
+        ),
+        F.countDistinct("user_id").alias("pusers"),
+        F.max("event_id").alias("pmax"),
+    )
+    # salting on user_id makes bucket user-sets DISJOINT, so the final
+    # distinct count is the plain sum of per-bucket distincts
+    return partial.agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").alias("sum_micros"),
+        F.sum("pusers").alias("n_users"),
+        F.max("pmax").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# U1 + P5 — unionByName with MISSING columns (schema evolution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_missing_cols",
+    tags=("U1", "P5", "A1"),
+    oracle=f"""
+{EV_CTE}
+, a AS (
+  SELECT 'v1' AS src, user_id, value, NULL AS k
+  FROM ev WHERE event_type = 'click'
+), b AS (
+  SELECT 'v2' AS src, user_id, value,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM ev WHERE event_type = 'purchase'
+), u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT src,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS k_sum
+FROM u GROUP BY src
+""",
+)
+def q_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLUTION union: a v1 extract (no `k` column) unioned
+    with a v2 extract (adds the parsed props key) via
+    ``unionByName(allowMissingColumns=True)`` — the missing column
+    null-fills, exactly like the oracle's explicit NULL projection.
+    The checked U1 siblings union aligned or reordered schemas;
+    ASYMMETRIC schemas (the pipeline-upgrade case: old partitions
+    lack the new column) are the remaining union contract.  The NULL
+    census per source tag pins which side the nulls came from."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select(
+        F.lit("v1").alias("src"), "user_id", "value"
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.lit("v2").alias("src"),
+        "user_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("k_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 + U3 + W2 — set ops between WINDOW-DERIVED relations (day openers
+# vs day closers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_setops_first_last",
+    tags=("U2", "U3", "W2", "A2"),
+    oracle=f"""
+{EV_CTE}
+, k AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         arg_min(event_type, epoch(ts) * 10000000 + event_id) AS first_type,
+         arg_max(event_type, epoch(ts) * 10000000 + event_id) AS last_type
+  FROM ev GROUP BY user_id, 2
+),
+f AS (SELECT user_id, day, first_type AS t FROM k),
+l AS (SELECT user_id, day, last_type AS t FROM k)
+SELECT 'bookend_match' AS kind, user_id, day, t
+FROM (SELECT * FROM f INTERSECT SELECT * FROM l)
+UNION ALL
+SELECT 'opener_only' AS kind, user_id, day, t
+FROM (SELECT * FROM f EXCEPT SELECT * FROM l)
+""",
+)
+def q_setops_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT between two WINDOW-DERIVED relations: each
+    user-day's OPENING event type vs its CLOSING event type —
+    bookend_match rows are days that started and ended the same way,
+    opener_only rows are days whose opener differs from the closer.
+    The checked U2/U3 siblings set-op stored projections, identities,
+    or composite keys; deriving BOTH operands through ordered
+    aggregates first (the funnel-shape comparison) is the remaining
+    provenance.  The ordering key reuses the proven (epoch seconds ×
+    10⁷ + event id) pack, so both engines pick identical openers and
+    closers."""
+    e = _t(spark, sf_dir, "events")
+    key = F.unix_timestamp("ts") * F.lit(10_000_000) + F.col("event_id")
+    k = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+    )
+    f = k.select("user_id", "day", F.col("first_type").alias("t"))
+    last = k.select("user_id", "day", F.col("last_type").alias("t"))
+    match = f.intersect(last).select(
+        F.lit("bookend_match").alias("kind"), "user_id", "day", "t"
+    )
+    opener = f.exceptAll(last).distinct().select(
+        F.lit("opener_only").alias("kind"), "user_id", "day", "t"
+    )
+    return match.unionAll(opener)
+
+
+# ---------------------------------------------------------------------------
+# X2 + J6 — EDIT-DISTANCE near-dup pairs on document prefixes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_prefix_edit_pairs",
+    tags=("X2", "J6", "A1"),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, lang, substring(text, 1, 20) AS pre
+  FROM documents WHERE doc_id < 4000
+)
+SELECT a.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(a.doc_id) AS BIGINT) AS min_a
+FROM p a JOIN p b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(length(a.pre) - length(b.pre)) <= 2
+ AND levenshtein(a.pre, b.pre) <= 2
+GROUP BY a.lang
+""",
+)
+def q_prefix_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE near-dup pairs: documents of the same language
+    whose 20-char prefixes are within Levenshtein 2, censused per
+    language — the typo-duplicate detector.  The checked X2 siblings
+    use set-overlap measures (Jaccard, containment, SimHash bits,
+    sorted-word canonicalization); STRING EDIT distance is the
+    remaining similarity axis, and the length prefilter (|Δlen| ≤ 2 is
+    NECESSARY for edit ≤ 2) is the lossless cheap gate both engines
+    apply before the O(k²) DP kernel.  Pairs are non-vacuous at every
+    tier (10 / 6 / 90; probed).
+
+    Scale: language blocking + the doc_id bound keep the fixture
+    all-pairs small; at corpus scale the same kernel runs behind an
+    LSH/length-band blocker (operators/dedup.py) — the predicate here
+    IS the verify step of that cascade, so this query doubles as its
+    exactness oracle."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 4000)
+        .select("doc_id", "lang", F.substring("text", 1, 20).alias("pre"))
+    )
+    a = d.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("lang"),
+        F.col("pre").alias("a_pre"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("pre").alias("b_pre"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("b_lang"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (
+            F.abs(F.length("a_pre") - F.length("b_pre")) <= 2
+        )
+        & (F.levenshtein("a_pre", "b_pre") <= 2),
+    )
+    return pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("a_id").alias("min_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — STRIDED byte sampling of a binary payload (frame-sample analogue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_payload_stride_sample",
+    tags=("X4", "FN-string"),
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+  FROM documents WHERE doc_id < 1500
+)
+SELECT doc_id,
+       CAST(nb AS BIGINT) AS n_bytes,
+       substring(h, 1, 2) || substring(h, 9, 2) || substring(h, 17, 2)
+         || substring(h, 25, 2) AS stride_sig
+FROM b
+""",
+)
+def q_payload_stride_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRIDED byte sampling of a binary payload: bytes 1, 5, 9, 13
+    hex-concatenated into a fixed-width signature — the frame-sampling
+    access pattern (every k-th unit of an opaque blob) that video/audio
+    pipelines run before decode, exercised on the text-derived payload
+    the X4 siblings share.  Spark slices the BINARY then hexes;
+    DuckDB (no BLOB substring) slices the hex STRING at doubled
+    offsets — identical signatures, the same dual encoding
+    q_payload_byte_stats pins.  Short payloads contribute empty slices
+    on both sides (substring past the end yields '')."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    payload = F.encode("text", "UTF-8")
+    sig = F.concat(
+        *[
+            F.hex(F.expr(f"substring(encode(text, 'UTF-8'), {p}, 1)"))
+            for p in (1, 5, 9, 13)
+        ]
+    )
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        sig.alias("stride_sig"),
+    )

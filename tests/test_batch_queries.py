@@ -365,6 +365,9 @@ def test_approx_quartiles_exactness_precondition():
             (0.25, 0.50, 0.75),
             "q_approx_quartile_grid",
         ),
+        # r14 (round22 stock): the sketch-band second pass reuses the
+        # proven returnflag quartile ranks (subset: no median)
+        ("l_returnflag", (0.25, 0.75), "q_approx_midband"),
     ]
     for path in tiers:
         for group_col, quantiles, qname in gates:

@@ -751,6 +751,7 @@ def test_no_unintended_cartesian_product_registry_wide(spark, sf_dir, qd):
         "q_nation_status_grid",
         "q_region_priority_grid",
         "q_region_quarter_grid",  # 5-row region × generated 4-quarter axis
+        "q_status_priority_grid",  # r14: 3-row × 5-row distinct'd dims
         "q_theta_join",
         "q_type_day_grid",
         # bounded-head pair generators (guarded or filtered heads)

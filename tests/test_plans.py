@@ -1061,3 +1061,38 @@ def test_round15_16_plan_shapes(spark, sf_dir, qd):
         p = plan_of(qd[name](spark, sf_dir))
         assert ("MapInPandas" in p) or ("FlatMapGroupsInPandas" in p)
         assert "BatchEvalPython" not in p
+
+
+def test_parts_never_recent_pushes_date_below_anti_join(spark, sf_dir, qd):
+    """r14 tranche: the anti join's right side must be the DATE-SCOPED
+    fact — the shipdate predicate has to reach the lineitem parquet
+    scan (row-group skipping), not run after the join, and the join
+    itself stays a broadcast/shuffle HASH anti join (never a loop)."""
+    p = plan_of(qd["q_parts_never_recent"](spark, sf_dir))
+    pushed = p.split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # column pruning: only the join key survives the fact scan
+    read_schema = [
+        seg.splitlines()[0]
+        for seg in p.split("ReadSchema:")[1:]
+        if "lineitem" in seg.splitlines()[0] or "l_partkey" in seg.splitlines()[0]
+    ]
+    assert any(
+        "l_partkey" in rs and "l_extendedprice" not in rs
+        for rs in read_schema
+    ), read_schema
+
+
+def test_global_extremes_uses_take_ordered_both_sides(spark, sf_dir, qd):
+    """r14 tranche: both extremes branches must compile to
+    TakeOrderedAndProject (per-partition top-k + driver merge); a
+    global Sort on either side would shuffle the whole relation."""
+    p = plan_of(qd["q_global_extremes"](spark, sf_dir))
+    # formatted mode prints each node in the tree summary AND the
+    # details section — two distinct operators appear as >= 2 mentions
+    # with both orderings present
+    assert p.count("TakeOrderedAndProject") >= 2
+    assert "DESC NULLS LAST" in p and "ASC NULLS FIRST" in p
+    assert "Exchange rangepartitioning" not in p

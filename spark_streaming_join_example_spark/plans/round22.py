@@ -454,7 +454,7 @@ def q_pivot_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     j = c.join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
-    ).join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    ).join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)  # bounded: 5-row region dim
     p = (
         j.groupBy(F.col("c_mktsegment").alias("seg"))
         .pivot(

@@ -483,7 +483,14 @@ def q_pandas_udf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def cent_bucket(price: pd.Series) -> pd.Series:
-        return (price * 100.0).round().astype("int64") % 97
+        import numpy as np
+
+        # half-UP like DuckDB/Spark ROUND, not pandas' half-to-even —
+        # 2-decimal money never lands on an exact half after ×100, but
+        # the convention is pinned anyway (r13 ADVICE class; prices
+        # are non-negative)
+        cents = np.floor(price.to_numpy() * 100.0 + 0.5).astype("int64")
+        return pd.Series(cents % 97)
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
     return li.select(

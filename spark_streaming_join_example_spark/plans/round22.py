@@ -382,8 +382,8 @@ def q_sliding_8h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id,
        CAST(MIN(ts) AS TIMESTAMP) AS session_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       arg_min(event_type, epoch(ts) * 10000000 + event_id) AS first_type,
-       arg_max(event_type, epoch(ts) * 10000000 + event_id) AS last_type
+       arg_min(event_type, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS first_type,
+       arg_max(event_type, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS last_type
 FROM s GROUP BY user_id, sid
 """,
 )
@@ -395,10 +395,14 @@ def q_session_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min_by/max_by inside a session_window aggregate) is the fresh
     shape.
 
-    Determinism: the ordering key packs (epoch seconds × 10⁷ +
-    event_id) into one bigint — second-resolution ties resolve by
-    event id IDENTICALLY in both engines (ids < 10⁷ per the documented
-    fixture envelope; 2024 epoch-seconds × 10⁷ ≈ 1.7 × 10¹⁶ ≪ 2⁶³).
+    Determinism: the ordering key packs (TRUNCATED epoch seconds ×
+    10⁷ + event_id) into one bigint — second-resolution ties resolve
+    by event id IDENTICALLY in both engines (ids < 10⁷ per the
+    documented fixture envelope; 2024 epoch-seconds × 10⁷ ≈ 1.7 × 10¹⁶
+    ≪ 2⁶³).  The oracle floors via integer division `epoch_us // 10⁶`,
+    NOT DuckDB's epoch() — epoch() returns a fractional DOUBLE whose
+    µs term would out-rank event_id inside a shared second (one such
+    same-user same-second collision exists at sf0.1; probed).
     Session identity matches session_window's gap semantics (a new
     session starts when the gap is ≥ 20 min)."""
     e = _t(spark, sf_dir, "events")
@@ -1297,7 +1301,7 @@ def q_roundtrip_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
          (CASE event_type WHEN 'purchase' THEN 0 WHEN 'click' THEN 1
                           WHEN 'view' THEN 2 WHEN 'error' THEN 3
                           ELSE 4 END) * 100000000000000000
-         + epoch(ts) * 10000000 + event_id AS pick
+         + (epoch_us(ts) // 1000000) * 10000000 + event_id AS pick
   FROM ev
 )
 SELECT user_id, day,
@@ -1462,8 +1466,8 @@ def q_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 {EV_CTE}
 , k AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-         arg_min(event_type, epoch(ts) * 10000000 + event_id) AS first_type,
-         arg_max(event_type, epoch(ts) * 10000000 + event_id) AS last_type
+         arg_min(event_type, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS first_type,
+         arg_max(event_type, (epoch_us(ts) // 1000000) * 10000000 + event_id) AS last_type
   FROM ev GROUP BY user_id, 2
 ),
 f AS (SELECT user_id, day, first_type AS t FROM k),

@@ -572,3 +572,83 @@ def purchase_sessions_with_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+RUNS_OUTPUT_SCHEMA = (
+    "user_id long, longest_run long, n_runs long, n_events long"
+)
+RUNS_STATE_SCHEMA = (
+    "cur_type string, cur_len long, best long, n_runs long, n_events long"
+)
+
+
+def type_runs_with_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of plans/round20.q_longest_type_run: per-user
+    longest consecutive SAME-EVENT-TYPE run (categorical equality
+    chain) via explicit keyed state — the fifth stateful-twin shape.
+    The counter twins carry numeric registers (value, time); this one
+    carries a CATEGORICAL register (the open run's type) plus its
+    length, so the state machine's transition test is string equality
+    rather than an arithmetic comparison.
+
+    The open run genuinely crosses micro-batch boundaries: a run whose
+    first half closes one batch and second half opens the next must
+    count as ONE run (cur_type + cur_len survive in state), which a
+    per-batch recomputation cannot get right.
+
+    Each micro-batch processes its rows in (ts, event_id) order and
+    emits the user's updated (longest_run, n_runs, n_events) row when
+    the batch contained events for the key; n_events strictly
+    increases across a user's emissions, so the final (max-n_events)
+    row per user equals the batch query exactly (pinned in
+    tests/test_streaming.py)."""
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        import pandas as pd  # local import keeps the worker pickle lean
+
+        if state.exists:
+            cur_type, cur_len, best, n_runs, n_events = state.get
+        else:
+            cur_type, cur_len, best, n_runs, n_events = None, 0, 0, 0, 0
+        changed = False
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for etype in pdf["event_type"]:
+                if etype == cur_type:
+                    cur_len += 1
+                else:
+                    cur_type = etype
+                    cur_len = 1
+                    n_runs += 1
+                if cur_len > best:
+                    best = cur_len
+                n_events += 1
+                changed = True
+        if changed:
+            state.update(
+                (
+                    cur_type,
+                    int(cur_len),
+                    int(best),
+                    int(n_runs),
+                    int(n_events),
+                )
+            )
+            yield pd.DataFrame(
+                [(int(user_id), int(best), int(n_runs), int(n_events))],
+                columns=["user_id", "longest_run", "n_runs", "n_events"],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNS_OUTPUT_SCHEMA,
+        stateStructType=RUNS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=_GST.NoTimeout,
+    )

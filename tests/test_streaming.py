@@ -2485,3 +2485,117 @@ def test_purchase_sessions_state_survives_restart(spark, sf_dir, tmp_path):
         tmp_path,
         lambda s: purchase_sessions_with_state(s).drop("closed_by"),
     )
+
+
+def test_type_runs_with_state_matches_batch(
+    spark, sf_dir, replay_dir, tmp_path
+):
+    """T4: the stateful equality-chain run tracker (a CATEGORICAL
+    register — the open run's type — plus its length) over a
+    chronological replay converges to the batch q_longest_type_run
+    rows: a run straddling a micro-batch boundary counts as ONE run.
+    n_events strictly increases across a user's emissions, so the
+    final state is each user's max-n_events row."""
+    from spark_streaming_join_example_spark.plans.registry import (
+        queries_dict,
+    )
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        type_runs_with_state,
+    )
+
+    stream = read_event_stream(spark, replay_dir)
+    got_rows = run_to_memory(
+        type_runs_with_state(stream),
+        str(tmp_path / "ckpt"),
+        output_mode="update",
+        name="type_runs_probe",
+    ).collect()
+    final: dict = {}
+    for r in got_rows:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.longest_run, r.n_runs)
+    got = {u: v[1:] for u, v in final.items()}
+    expected = {
+        r.user_id: (r.longest_run, r.n_runs)
+        for r in queries_dict()["q_longest_type_run"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    assert any(v[0] > 1 for v in expected.values()), (
+        "no run longer than 1 at this tier; pin vacuous"
+    )
+
+
+def test_type_runs_state_survives_restart(spark, sf_dir, tmp_path):
+    """T4/S7: the open-run register must survive a checkpoint restart —
+    a run whose first half was drained before the stop and second half
+    arrives after it must count as ONE run, which only real recovered
+    state can get right.  Same foreachBatch-parquet drain discipline
+    (and staggered-mtime copy) as the other update-mode twins."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import time as _time
+
+    from spark_streaming_join_example_spark.plans.registry import (
+        queries_dict,
+    )
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        type_runs_with_state,
+    )
+
+    full_replay = tmp_path / "full"
+    chunk_events(spark, sf_dir, str(full_replay), n_chunks=6)
+    chunks = sorted(
+        _glob.glob(_os.path.join(str(full_replay), "*.parquet"))
+    )
+    part_replay = tmp_path / "partial"
+    part_replay.mkdir()
+
+    def copy_staggered(cs, base):
+        for i, c in enumerate(cs):
+            dst = part_replay / _os.path.basename(c)
+            shutil.copy(c, dst)
+            _os.utime(dst, (base + i, base + i))
+
+    t0 = int(_time.time())
+    copy_staggered(chunks[:3], t0 - 600)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        stream = read_event_stream(spark, str(part_replay))
+        q = (
+            type_runs_with_state(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # phase 1: first 3 chunks
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0, "phase 1 emitted nothing; restart leg vacuous"
+    copy_staggered(chunks[3:], t0 - 300)
+    drain()  # phase 2: restart on the same checkpoint
+
+    final: dict = {}
+    for r in spark.read.parquet(out_dir).collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.longest_run, r.n_runs)
+    got = {u: v[1:] for u, v in final.items()}
+    expected = {
+        r.user_id: (r.longest_run, r.n_runs)
+        for r in queries_dict()["q_longest_type_run"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    assert spark.read.parquet(out_dir).count() > n1  # both phases emitted

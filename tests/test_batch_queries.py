@@ -499,3 +499,27 @@ def test_cumsum_cents_rounds_half_up():
     assert cents.tolist() == expect, (cents.tolist(), expect)
     # and the known half-to-even divergence: exact 2.5 must go UP
     assert int(np.floor(2.5 + 0.5)) == 3  # half-up: 3; .round() gives 2
+
+
+def test_adversarial_fixture_discriminates_conventions(tmp_path):
+    """r14: the adversarial-fixture harness (tools/fuzz_conventions.py)
+    re-runs convention-sensitive queries on data CONTAINING the hazard
+    cases the shipped fixtures mask — same-second event pairs with µs
+    order opposite to id order, values landing exactly on n+0.5 after
+    fixed-point scaling, an odd orders count.  This fast pin builds the
+    doctored fixture and asserts it DISCRIMINATES: the old fractional-
+    epoch ordering key and the old half-to-even cents rounding must
+    visibly diverge from the shipped conventions on it (DuckDB-side,
+    no Spark session).  The full Spark-vs-DuckDB differential over the
+    doctored dir runs via the tool itself (8/8 PASS recorded in
+    NOTES_r14.md)."""
+    import sys
+
+    sys.path.insert(
+        0, str((__import__("pathlib").Path(__file__).parents[1] / "tools"))
+    )
+    import fuzz_conventions as fz
+
+    d = tmp_path / "fuzz"
+    d.mkdir()
+    fz.build(str(d))  # raises if the hazard rows fail to discriminate

@@ -304,10 +304,11 @@ def q_tumbling_10m_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    idx = (
-        F.unix_micros(F.col("bstart")) % F.lit(86_400_000_000)
-    ) / F.lit(600_000_000)
-    key = F.col("n") * 1000 + (F.lit(143) - idx.cast("long"))
+    # integer `div` end-to-end (no double quotient to reason about)
+    idx = F.expr(
+        "(unix_micros(bstart) % 86400000000) div 600000000"
+    )
+    key = F.col("n") * 1000 + (F.lit(143) - idx)
     return b.groupBy("day").agg(
         F.max_by("bstart", key).alias("peak_bucket"),
         F.max("n").alias("peak_n"),

@@ -652,3 +652,68 @@ def type_runs_with_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=_GST.NoTimeout,
     )
+
+
+RL_OUTPUT_SCHEMA = "user_id long, event_id long, kept boolean"
+RL_STATE_SCHEMA = "bkt long, n_in_bkt long"
+_RL_WINDOW_US = 10 * 60 * _US
+_RL_QUOTA = 3
+
+
+def rate_limit_with_state(
+    events: DataFrame,
+    window_us: int = _RL_WINDOW_US,
+    quota: int = _RL_QUOTA,
+) -> DataFrame:
+    """Streaming twin of plans/round14.q_rate_limit: the fixed-window
+    THROTTLE — at most `quota` events per user per `window_us` bucket
+    are admitted; later arrivals in the bucket are suppressed.  Keyed
+    state is two longs: the open bucket id and its admitted count —
+    the counter RESETS on a bucket boundary, the transition no other
+    twin exercises (the run/burst/crossing twins carry monotone or
+    rolling registers; this one is cyclic).
+
+    Emits the per-event VERDICT (user_id, event_id, kept) — output
+    rows == input rows, the enrichment contract — so the batch
+    comparison is row-for-row, not a fold.  The quota genuinely
+    crosses micro-batch boundaries: a user admitted 3 times late in
+    one batch must have the same bucket's 4th event SUPPRESSED when it
+    arrives in the next batch, which per-batch recomputation would
+    admit."""
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        import pandas as pd  # local import keeps the worker pickle lean
+
+        if state.exists:
+            bkt, n = state.get
+        else:
+            bkt, n = -1, 0
+        rows = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, ts in zip(pdf["event_id"], pdf["ts"]):
+                b = (int(ts.value) // 1000) // window_us
+                if b != bkt:
+                    bkt, n = b, 0
+                kept = n < quota
+                n += 1
+                rows.append((int(user_id), int(eid), bool(kept)))
+            state.update((int(bkt), int(n)))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "event_id", "kept"]
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RL_OUTPUT_SCHEMA,
+        stateStructType=RL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=_GST.NoTimeout,
+    )

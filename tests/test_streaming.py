@@ -2599,3 +2599,124 @@ def test_type_runs_state_survives_restart(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert spark.read.parquet(out_dir).count() > n1  # both phases emitted
+
+
+def _batch_rate_limit_verdicts(spark, sf_dir, window_us, quota):
+    """Per-event admit/suppress verdicts of the fixed-window throttle —
+    the per-row relation q_rate_limit aggregates away (parameterized:
+    the registered 10-min/3 quota suppresses nothing at the pytest
+    tier, so the pin runs at 12 h/2 — 109 suppressions at sf0.001,
+    probed)."""
+    from pyspark.sql.window import Window
+
+    be = _batch_events(spark, sf_dir)
+    w = Window.partitionBy(
+        "user_id", (F.unix_micros("ts") / F.lit(window_us)).cast("long")
+    ).orderBy("ts", "event_id")
+    return be.select(
+        "user_id",
+        "event_id",
+        (F.row_number().over(w) <= quota).alias("kept"),
+    )
+
+
+def test_rate_limit_with_state_matches_batch(
+    spark, sf_dir, replay_dir, tmp_path
+):
+    """T4: the stateful throttle (cyclic two-long register: open bucket
+    id + admitted count, RESET on bucket change) over a chronological
+    replay emits exactly the batch per-event verdicts — a user who
+    exhausted a bucket's quota late in one micro-batch must have the
+    same bucket's next event suppressed in the following batch.
+    Output rows == input rows (each event verdict emitted once), so
+    the comparison is the full row set."""
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        rate_limit_with_state,
+    )
+
+    window_us, quota = 43_200_000_000, 2  # 12 h / 2: non-vacuous here
+    stream = read_event_stream(spark, replay_dir)
+    out = run_to_memory(
+        rate_limit_with_state(stream, window_us=window_us, quota=quota),
+        str(tmp_path / "ckpt"),
+        output_mode="update",
+        name="rate_limit_probe",
+    )
+    got = {(r.user_id, r.event_id): r.kept for r in out.collect()}
+    expected = {
+        (r.user_id, r.event_id): r.kept
+        for r in _batch_rate_limit_verdicts(
+            spark, sf_dir, window_us, quota
+        ).collect()
+    }
+    assert got == expected
+    n_suppressed = sum(1 for v in expected.values() if not v)
+    assert n_suppressed > 0, "no suppressions at this tier; pin vacuous"
+
+
+def test_rate_limit_state_survives_restart(spark, sf_dir, tmp_path):
+    """T4/S7: the throttle's bucket register must survive a checkpoint
+    restart — a user who used part of a bucket's quota before the stop
+    must have the remainder (and only the remainder) admitted after
+    the restart.  foreachBatch-parquet drain + staggered-mtime copies
+    like the other update-mode twins; the union of both phases'
+    per-event verdicts must equal the batch relation exactly."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import time as _time
+
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        rate_limit_with_state,
+    )
+
+    window_us, quota = 43_200_000_000, 2
+    full_replay = tmp_path / "full"
+    chunk_events(spark, sf_dir, str(full_replay), n_chunks=6)
+    chunks = sorted(_glob.glob(_os.path.join(str(full_replay), "*.parquet")))
+    part_replay = tmp_path / "partial"
+    part_replay.mkdir()
+
+    def copy_staggered(cs, base):
+        for i, c in enumerate(cs):
+            dst = part_replay / _os.path.basename(c)
+            shutil.copy(c, dst)
+            _os.utime(dst, (base + i, base + i))
+
+    t0 = int(_time.time())
+    copy_staggered(chunks[:3], t0 - 600)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        stream = read_event_stream(spark, str(part_replay))
+        q = (
+            rate_limit_with_state(stream, window_us=window_us, quota=quota)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # phase 1
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0
+    copy_staggered(chunks[3:], t0 - 300)
+    drain()  # phase 2: restart on the same checkpoint
+
+    got = {
+        (r.user_id, r.event_id): r.kept
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expected = {
+        (r.user_id, r.event_id): r.kept
+        for r in _batch_rate_limit_verdicts(
+            spark, sf_dir, window_us, quota
+        ).collect()
+    }
+    assert got == expected
+    assert sum(1 for v in expected.values() if not v) > 0

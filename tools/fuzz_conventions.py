@@ -18,9 +18,13 @@ running the real differential harness over it:
   - events.parquet gains, per hazard user, two same-second events
     whose µs order is the REVERSE of their id order, plus rows whose
     `value` scales to exact halves in cents AND micros (dyadic values
-    like 0.125 → 12.5 cents; 0.0000115 is checked numerically and
-    only used if it truly lands on a half);
-  - orders.parquet drops one row so the total count is ODD.
+    like 0.125 → 12.5 cents; micros halves found numerically);
+  - orders.parquet drops one row so the total count is ODD;
+  - documents.parquet gains a same-language CJK prefix pair at
+    character distance 1 but byte distance 3 (the byte-vs-char
+    levenshtein split the ASCII gate must neutralize);
+  - lineitem.parquet gets one price set to a dyadic cent-half inside
+    q_pandas_udf_bucket's slice.
 
 Run: python tools/fuzz_conventions.py            # build + verify
 Exit code 0 = every convention-sensitive query still matches its
@@ -57,6 +61,8 @@ QUERIES = [
     "q_first_event_daily",        # µs-within-day pack (control: immune)
     "q_median_band_orders",       # odd-count integer band
     "q_roundtrip_casts",          # f32 leg on the new values
+    "q_prefix_edit_pairs",        # ASCII gate vs byte/char levenshtein
+    "q_pandas_udf_bucket",        # half-up cents on a doctored price
 ]
 
 
@@ -144,6 +150,49 @@ def doctor_events(src: str, dst: str) -> None:
     pq.write_table(out, os.path.join(dst, "events.parquet"))
 
 
+def doctor_documents(src: str, dst: str) -> None:
+    """Plant a same-language CJK near-pair whose 20-char prefixes are
+    at CHARACTER distance 1 but BYTE distance 3 — divergent under the
+    old unfiltered levenshtein predicate (Spark chars vs DuckDB
+    bytes); the shipped ASCII gate must EXCLUDE both rows in both
+    engines, keeping the pair census identical."""
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    cols = {name: t.column(name).to_pylist() for name in t.column_names}
+    max_id = max(cols["doc_id"])
+    base = "中文档案开头的一段文字用来测试前缀编辑距离的行为与约定"
+    twin = base[:19] + "变" + base[20:]
+    for i, text in enumerate((base, twin)):
+        cols["doc_id"].append(max_id + 1 + i)
+        cols["text"].append(text)
+        cols["lang"].append("zh")
+        cols["source"].append("fuzz")
+        cols["n_chars"].append(len(text))
+    out = pa.table(
+        {n: pa.array(cols[n], t.schema.field(n).type) for n in t.column_names},
+        schema=t.schema,
+    )
+    pq.write_table(out, os.path.join(dst, "documents.parquet"))
+
+
+def doctor_lineitem(src: str, dst: str) -> None:
+    """Set one row's extendedprice to a dyadic cent-half (0.125 →
+    12.5 cents exactly) inside q_pandas_udf_bucket's orderkey < 200
+    slice — the value class where half-to-even and half-up rounding
+    differ by one cent."""
+    t = pq.read_table(os.path.join(src, "lineitem.parquet"))
+    cols = {name: t.column(name).to_pylist() for name in t.column_names}
+    idx = next(
+        i for i, k in enumerate(cols["l_orderkey"]) if k < 200
+    )
+    cols["l_extendedprice"][idx] = 0.125
+    assert (0.125 * 100.0) % 1.0 == 0.5
+    out = pa.table(
+        {n: pa.array(cols[n], t.schema.field(n).type) for n in t.column_names},
+        schema=t.schema,
+    )
+    pq.write_table(out, os.path.join(dst, "lineitem.parquet"))
+
+
 def doctor_orders(src: str, dst: str) -> None:
     t = pq.read_table(os.path.join(src, "orders.parquet"))
     n = t.num_rows
@@ -192,16 +241,37 @@ def assert_discriminates(tmp: str) -> None:
     assert (cents_even != cents_up).sum() >= 3, (
         "exact-half rows do not discriminate the rounding conventions"
     )
+    # the planted CJK prefix pair must diverge under UNFILTERED
+    # byte-vs-char levenshtein (char distance 1, byte distance > 2) —
+    # i.e. it attacks exactly the predicate the ASCII gate protects
+    con.execute(
+        f"CREATE VIEW docs AS SELECT * FROM '{tmp}/documents.parquet'"
+    )
+    byte_d = con.execute(
+        """
+        SELECT levenshtein(a.pre, b.pre) FROM
+          (SELECT substring(text,1,20) pre FROM docs
+           WHERE source='fuzz' ORDER BY doc_id LIMIT 1) a,
+          (SELECT substring(text,1,20) pre FROM docs
+           WHERE source='fuzz' ORDER BY doc_id DESC LIMIT 1) b
+        """
+    ).fetchone()[0]
+    assert byte_d > 2, (
+        f"CJK pair byte distance {byte_d} would NOT diverge from the "
+        "char distance (1) — hazard row construction failed"
+    )
 
 
 def build(tmp: str) -> None:
     for name in TABLES:
         fn = f"{name}.parquet"
-        if name in ("events", "orders"):
+        if name in ("events", "orders", "documents", "lineitem"):
             continue
         shutil.copy(os.path.join(SRC, fn), os.path.join(tmp, fn))
     doctor_events(SRC, tmp)
     doctor_orders(SRC, tmp)
+    doctor_documents(SRC, tmp)
+    doctor_lineitem(SRC, tmp)
     assert_discriminates(tmp)
 
 

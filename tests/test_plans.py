@@ -1096,3 +1096,28 @@ def test_global_extremes_uses_take_ordered_both_sides(spark, sf_dir, qd):
     assert p.count("TakeOrderedAndProject") >= 2
     assert "DESC NULLS LAST" in p and "ASC NULLS FIRST" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_priority_dedup_partial_agg_and_pruning(spark, sf_dir, qd):
+    """r14 tranche: the priority-dedup aggregate must run PARTIAL
+    before the exchange (the shuffle carries one row per (user, day)
+    group, not per event — min_by over a string value plans as
+    SortAggregate, which is fine; the property is partial+final), and
+    the scan must prune the unused props/value columns."""
+    p = plan_of(qd["q_priority_dedup"](spark, sf_dir))
+    pre_exchange = p.split("Exchange")[0]
+    assert ("HashAggregate" in pre_exchange) or (
+        "SortAggregate" in pre_exchange
+    ), "no partial aggregate below the exchange"
+    rs = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in rs and "value" not in rs, rs
+
+
+def test_salted_global_prunes_and_two_level(spark, sf_dir, qd):
+    """r14 tranche: the explicit two-level reduce must prune the scan
+    to (event_id, user_id, value) and aggregate partially on the salt
+    level before any exchange."""
+    p = plan_of(qd["q_salted_global"](spark, sf_dir))
+    rs = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in rs and "event_type" not in rs and "ts" not in rs, rs
+    assert p.count("HashAggregate") >= 4  # partial+final at both levels

@@ -27,8 +27,48 @@ fixed dup structure (SCALE.md r8 probe: 30.0× at 30× data vs 900×).
 
 from __future__ import annotations
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+
+# --- numpy reimplementation of Spark's XxHash64Function (seed-chained
+# int/long paths) — bit-identical to F.xxhash64(lit(i), tok_long), so
+# the Arrow signature kernel below produces EXACTLY the signatures the
+# column-expression path does (pinned in tests/test_dedup.py).
+_XP1 = np.uint64(0x9E3779B185EBCA87)
+_XP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XP3 = np.uint64(0x165667B19E3779F9)
+_XP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XP5 = np.uint64(0x27D4EB2F165667C5)
+_XSEED = np.uint64(42)
+
+
+def _xrotl(x: np.ndarray, r: int) -> np.ndarray:
+    r64 = np.uint64(r)
+    return (x << r64) | (x >> (np.uint64(64) - r64))
+
+
+def _xfmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _XP2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _XP3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _xxh64_int(i: np.ndarray | int, seed: np.uint64) -> np.ndarray:
+    """Spark XxHash64Function.hashInt (the 4-byte path a lit(i) takes)."""
+    h = seed + _XP5 + np.uint64(4)
+    h = h ^ ((np.uint64(i) & np.uint64(0xFFFFFFFF)) * _XP1)
+    return _xfmix(_xrotl(h, 23) * _XP2 + _XP3)
+
+
+def _xxh64_long(l: np.ndarray, seed: np.ndarray) -> np.ndarray:
+    """Spark XxHash64Function.hashLong, vectorized over l (uint64)."""
+    h = seed + _XP5 + np.uint64(8)
+    h = h ^ (_xrotl(l * _XP2, 31) * _XP1)
+    return _xfmix(_xrotl(h, 27) * _XP1 + _XP4)
 
 
 def distinct_tokens(text: Column | str, sep: str = " ") -> Column:
@@ -97,6 +137,81 @@ def minhash_signatures(
     return sig.select(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def _minhash_arrow_kernel(num_hashes: int, id_field: str):
+    """mapInPandas kernel: token-hash arrays → MinHash signatures.
+
+    Per Arrow batch: flatten every doc's token-hash list into one
+    int64 vector, then for each of the k seed-chained hash functions
+    compute the (total_tokens,) hash vector ONCE and segment-reduce it
+    to per-doc minima with ``np.minimum.reduceat`` — k passes over a
+    flat array instead of k aggregate expressions per exploded row.
+    Seeds replicate the expression path exactly: seed_i =
+    xxhash64(lit(i)) per Spark's chained-column semantics, so the
+    output is bit-identical to ``minhash_signatures``."""
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        seeds = [_xxh64_int(i, _XSEED) for i in range(num_hashes)]
+
+    def kernel(batches):
+        import pandas as pd
+
+        np.seterr(over="ignore")  # worker-local; wraparound is the algorithm
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tok_lists = [
+                np.asarray(t, dtype=np.int64) for t in pdf["__tokh"]
+            ]
+            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            keep = lens > 0  # empty-token docs vanish, like the
+            # explode→groupBy path (no rows → no group)
+            if not keep.any():
+                continue
+            ids = pdf[id_field].to_numpy()[keep]
+            lens = lens[keep]
+            flat = np.concatenate(
+                [t for t in tok_lists if len(t)]
+            ).view(np.uint64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sig = np.empty((len(lens), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                h = _xxh64_long(flat, seeds[i]).view(np.int64)
+                sig[:, i] = np.minimum.reduceat(h, starts)
+            yield pd.DataFrame(
+                {id_field: ids, "sig": list(sig)}
+            )
+
+    return kernel
+
+
+def minhash_signatures_arrow(
+    docs: DataFrame, id_col: str, tokens: Column, num_hashes: int = 128
+) -> DataFrame:
+    """Arrow-batched twin of ``minhash_signatures`` — bit-identical
+    output (pinned in tests/test_dedup.py), different physical plan:
+    token STRING hashing stays JVM-side (``transform(tokens,
+    xxhash64)``), then one ``mapInPandas`` computes all k min-hashes
+    per doc in numpy instead of k aggregate expressions over an
+    explode.  No explode → no (rows × k)-expression aggregate; the doc
+    row count never inflates, and the Python stage is k vectorized
+    passes + a segment-min per batch.
+
+    Scale: identical shuffle structure to the expression path (none —
+    signatures are computed where the docs live); the trade is JVM
+    codegen'd aggregates vs Arrow transfer + numpy SIMD.  Which wins
+    is an empirical question per corpus shape — tools/ab_minhash.py
+    measures it interleaved (SCALE.md §Round-15)."""
+    schema_id_type = dict(docs.dtypes).get(id_col, "bigint")
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(tokens, lambda x: F.xxhash64(x)).alias("__tokh"),
+    )
+    return hashed.mapInPandas(
+        _minhash_arrow_kernel(num_hashes, id_col),
+        f"{id_col} {schema_id_type}, sig array<bigint>",
     )
 
 

@@ -101,19 +101,19 @@ def _load_all_plans() -> None:
 #: round, the non-anchor slots rotate to DIFFERENT queries covering
 #: the SAME §2 families (the swapped-out names stay green in the full
 #: local differential).  Swaps are marked "rN: was <name>" below.  The
-#: r14 rotation pushes 43 FIRST-TIME names — the 35-name pre-validated
-#: shortlist from NOTES_r13.md (older reserve preferred; greedy family
-#: cover) plus 7 fillers drawn from the deepest never-checked families
-#: (FN-string 23, X5 29, W2 18, FN-math 23, FN-datetime 26 candidates
-#: post-r13) and the rows-only slot.  The rows-only slot goes to
-#: q_ivf_topk (the r13 VERDICT's named choice — the IVF partial-probe
-#: production path's first driver row; its routed-kernel ≡ brute-force
-#: proof lives in q_knn_ivf_exact which stays oracle-checked),
-#: replacing q_semdedup_lsh which earned its row in r13.  Family
-#: coverage proven lossless at swap time (`rotation_report.py
-#: --check`) and every incoming name verified green in the full
-#: sf0.01 differential immediately before the swap (491/491 oracle
-#: queries pass on 2026-08-16; q_ivf_topk rows-only by design).
+#: r15 rotation pushes 43 FIRST-TIME names — the 35-name pre-validated
+#: shortlist from NOTES_r14.md (greedy family cover, oldest-first
+#: tie-break; green at all FOUR partitioning combos in r14's seal) plus
+#: 7 fillers drawn from the deepest never-checked families (the r14
+#: VERDICT's named priorities: FN-datetime 26, X5 24, P5 24 candidates)
+#: and the rows-only slot.  The rows-only slot goes to
+#: q_semdedup_kmeans (NOTES_r14's named candidate — the cell-local
+#: semantic-dedup scale path's first driver row; its recall/exactness
+#: pins live in pytest), replacing q_ivf_topk which earned its row in
+#: r14.  Family coverage proven lossless at swap time
+#: (`rotation_report.py --check`) and every incoming name verified
+#: green in the full sf0.01 differential immediately before the swap
+#: (2026-08-16; q_semdedup_kmeans rows-only by design).
 CURATED_FIRST: tuple[str, ...] = (
     # ---- anchors: the bench set (always hash-checked on the round's
     # artifact) ----
@@ -124,56 +124,56 @@ CURATED_FIRST: tuple[str, ...] = (
     "q_stream_static_join",   # J1 J3 (bench)
     "q_distinct_users",       # A2 (bench)
     "q_cosine_topk",          # X3 J11 O2 (bench)
-    # ---- r14 rotation: 43 first-ever driver checks ----
-    # pre-validated r14 shortlist (NOTES_r13.md; all green in the r13
-    # three-tier seal sweeps AND in this round's pre-swap full sf0.01
-    # differential)
-    "q_approx_deciles_array",  # A3 FN-array A1 (r14: was q_approx_quartiles)
-    "q_grouping_parts",       # A4 A1 (r14: was q_rollup_subtotals)
-    "q_tumbling_15m_bounds",  # A5 A2 (r14: was q_tumbling_90min)
-    "q_sliding_12h_purchases",  # A6 A2 (r14: was q_sliding_distinct_2h)
-    "q_session_rates",        # A7 (r14: was q_session_dynamic_gap)
-    "q_pivot_segment_explicit",  # A9 A1 (r14: was q_unpivot_flags)
-    "q_map_concat_profile",   # FN-map A1 (r14: was q_map_from_entries)
-    "q_active_no_purchase",   # J9 J1 A1 (r14: was q_stream_static_defaults)
-    "q_click_error_window",   # J2 J7 (r14: was q_view_purchase_outer)
-    "q_region_quarter_grid",  # J11 J5 A1 FN-datetime (r14: was q_region_priority_grid)
-    "q_reorder_within_30d",   # J6 J4 (r14: was q_acctbal_dominance)
-    "q_asof_nearest",         # J8 W2 (r14: was q_asof_forward_tol)
-    "q_recursive_cte",        # A1 J10 (r14: was q_potential_promotion's J9 — q_active_no_purchase carries J9)
-    "q_curriculum_order",     # X5 W1 O1 (r14: was q_order_count_dist)
-    "q_hash_bucket_layout",   # O3 T5 P2 (r14: was q_composite_range_layout)
-    "q_csv_quoted",           # P3 FN-string A1 (r14: was q_json_malformed)
-    "q_bool_casts",           # P4 P5 A1 (r14: was q_int_width_casts)
-    "q_row_parity_split",     # S1 U1 A1 (r14: was q_provenance_union)
-    "q_first_event_daily",    # T2 A1 FN-datetime (r14: was q_dedup_within_hour)
-    "q_rising_runs",          # T4 W2 A1 (r14: was q_rate_limit)
-    "q_setops_daily_actives",  # U2 U3 A2 (r14: was q_setops_chain)
-    "q_udf_hamming_str",      # F1 FN-string (r14: was q_udf_checkdigit)
-    "q_pandas_udf_grade",     # F2 P5 (r14: was q_pandas_udf_iter)
-    "q_grouped_agg_bitmask",  # F3 FN-math (r14: was q_grouped_agg_wavg)
-    "q_apply_in_pandas_rollmax",  # F4 W3 A1 (r14: was q_cogroup_stats)
-    "q_map_in_pandas_project",  # F5 P1 A1 (r14: was q_map_in_pandas_parse)
-    "q_udtf_windows",         # F6 X5 (r14: was q_udtf_ngrams_n)
-    "q_common_span",          # X1 X2 W2 J4 (r14: was q_chargram_jaccard)
-    "q_record_pack",          # X4 FN-string (r14: was q_binary_entropy)
-    "q_corpus_pipeline",      # X1 X3 X5 (r14: was q_repeated_grams + q_label_balance's X3)
-    "q_pmi_collocations",     # X5 O2 J3 (r14: was q_doc_top_token)
-    "q_top_parts_per_nation",  # W4 J4 A1 (r14: was q_window_rank's non-anchor W4 depth)
-    "q_mad_outliers",         # FN-math X5 A1 (r14: was q_max_drawdown's FN-math)
-    "q_date_arith",           # FN-datetime (r14: was q_timestamp_diffs)
-    "q_string_battery2",      # FN-string (r14: was q_event_pattern's FN-string)
-    # fillers from the deepest never-checked families (post-r13
-    # candidate depth: X5 29, FN-datetime 26, FN-string 23, FN-math
-    # 23, W2 18 — the r13 VERDICT priority list)
-    "q_ivf_topk",             # X3 rows-only (r14: was q_semdedup_lsh — the IVF partial-probe path's driver slot)
-    "q_like_battery",         # FN-string P2 (r14: was q_readability)
-    "q_token_entropy",        # X5 A1 (r14: was q_kanonymity)
-    "q_islands",              # W2 A1 (r14: was q_scd2_intervals)
-    "q_weighted_median",      # FN-math W3 A1 (r14: was q_autocorr)
-    "q_seasonal_profile",     # FN-datetime A1 (r14: was q_try_arithmetic)
-    "q_transition_matrix",    # W2 A1 (r14: was q_event_pattern)
-    "q_zipf_fit",             # X5 FN-math A1 (r14: was q_window_distribution's W1 slot — q_curriculum_order carries W1)
+    # ---- r15 rotation: 43 first-ever driver checks ----
+    # pre-validated r15 shortlist (NOTES_r14.md; all green in the r14
+    # three-tier seal sweeps, the fourth cpus4/shuffle3 combo, AND in
+    # this round's pre-swap full sf0.01 differential)
+    "q_approx_topk_support",  # A3 A1 FN-datetime (r15: was q_approx_deciles_array)
+    "q_rollup_year_month",    # A4 A1 FN-datetime (r15: was q_grouping_parts)
+    "q_tumbling_6h_types",    # A5 A1 (r15: was q_tumbling_15m_bounds)
+    "q_sliding_60d_priority",  # A6 A1 (r15: was q_sliding_12h_purchases)
+    "q_global_sessions",      # A7 A2 (r15: was q_session_rates)
+    "q_pivot_avg_balance",    # A9 A1 (r15: was q_pivot_segment_explicit)
+    "q_json_map_parse",       # P3 FN-map A1 (r15: was q_map_concat_profile)
+    "q_click_no_purchase_1h",  # J2 J7 J9 A1 (r15: was q_click_error_window)
+    "q_stream_static_region",  # J1 J3 J5 A1 (r15: was q_active_no_purchase)
+    "q_brand_type_grid",      # J11 J10 A1 (r15: was q_region_quarter_grid)
+    "q_contained_orders",     # J6 J4 A1 (r15: was q_reorder_within_30d)
+    "q_asof_backward_tol",    # J8 W2 (r15: was q_asof_nearest)
+    "q_setops_nulls",         # U2 U3 A2 P5 (r15: was q_recursive_cte — q_brand_type_grid carries J10)
+    "q_top_paths",            # W1 A1 FN-string O2 (r15: was q_curriculum_order)
+    "q_month_bucket_layout",  # O3 P2 FN-datetime (r15: was q_hash_bucket_layout)
+    "q_shard_assign",         # X5 O1 (r15: was q_csv_quoted — q_json_map_parse carries P3)
+    "q_binary_casts",         # P4 X4 A1 (r15: was q_bool_casts)
+    "q_union_three_sources",  # U1 A1 P5 (r15: was q_row_parity_split)
+    "q_content_dedup_events",  # T2 X1 A1 (r15: was q_first_event_daily)
+    "q_salted_distinct",      # T5 A2 A1 (r15: was q_rising_runs)
+    "q_cross_doc_ngram_dup",  # X1 X2 X5 A1 J4 (r15: was q_setops_daily_actives — q_setops_nulls carries U2/U3)
+    "q_udf_altcaps",          # F1 FN-string (r15: was q_udf_hamming_str)
+    "q_pandas_udf_tag",       # F2 FN-string (r15: was q_pandas_udf_grade)
+    "q_grouped_agg_median",   # F3 A1 FN-math (r15: was q_grouped_agg_bitmask)
+    "q_apply_in_pandas_runs",  # F4 W2 (r15: was q_apply_in_pandas_rollmax)
+    "q_map_in_pandas_chunks",  # F5 X5 (r15: was q_map_in_pandas_project)
+    "q_udtf_pairs_skip",      # F6 X5 (r15: was q_udtf_windows)
+    "q_cross_source_dups",    # X1 A1 (r15: was q_common_span)
+    "q_repetition_ratio",     # X5 A1 W4 (r15: was q_record_pack — q_binary_casts carries X4)
+    "q_confusion_matrix",     # A1 P5 X3 (r15: was q_corpus_pipeline)
+    "q_mixture_weights",      # A1 W3 X5 (r15: was q_pmi_collocations)
+    "q_weighted_sample",      # A1 P5 X5 (r15: was q_top_parts_per_nation — q_repetition_ratio carries W4)
+    "q_bit_aggs",             # A1 FN-math (r15: was q_mad_outliers)
+    "q_generate_series",      # P1 FN-array (r15: was q_date_arith)
+    "q_rolling_slope",        # W3 FN-math A1 (r15: was q_string_battery2)
+    # fillers from the deepest never-checked families (post-r14
+    # candidate depth: FN-datetime 26, X5 24, P5 24 — the r14 VERDICT
+    # priority list; round-22 names held back as r16 reserve)
+    "q_semdedup_kmeans",      # X2 X3 rows-only (r15: was q_ivf_topk — the cell-local semantic-dedup path's driver slot)
+    "q_temporal_string_casts",  # P4 FN-datetime FN-string (r15: was q_like_battery)
+    "q_text_quality",         # X5 (r15: was q_token_entropy)
+    "q_burstiness",           # W2 A1 FN-datetime (r15: was q_islands)
+    "q_vocab_coverage",       # X5 O2 W1 (r15: was q_weighted_median)
+    "q_top3_days_per_type",   # W4 A1 FN-datetime (r15: was q_seasonal_profile)
+    "q_props_defaults",       # P3 P5 A1 (r15: was q_transition_matrix)
+    "q_doc_fingerprint",      # X5 (r15: was q_zipf_fit)
 )
 
 

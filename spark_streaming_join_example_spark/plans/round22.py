@@ -739,14 +739,20 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the remaining UDTF contract corner.  The oracle reproduces the
     split/trim/filter pipeline with DuckDB list functions; sent_idx is
     the 1-based PRE-FILTER index in both engines, so dropped fragments
-    leave visible gaps that pin the indexing convention."""
+    leave visible gaps that pin the indexing convention.
+
+    Convention pin (r14 ADVICE): DuckDB trim() strips SPACES only, so
+    the UDTF strips ' ' explicitly — Python's bare strip() would also
+    eat tabs/newlines and diverge on any document whose text carries
+    non-space whitespace adjacent to a '.' (currently fixture-masked;
+    pinned structurally instead of by luck)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="sent_idx int, n_words long")
     class SentenceUDTF:
         def eval(self, text: str):
             for i, frag in enumerate(text.split("."), start=1):
-                frag = frag.strip()
+                frag = frag.strip(" ")
                 if frag:
                     yield i, len(frag.split(" "))
 
@@ -1365,17 +1371,18 @@ FROM ev
 )
 def q_salted_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXPLICIT two-level aggregation tree: global exact totals computed
-    as salt-bucket partials (salt = pmod(hash(event_id), 16)) folded by
+    as salt-bucket partials (salt = pmod(hash(user_id), 16)) folded by
     a second 16-row aggregate — the decomposition that keeps a KEYLESS
     reduction scalable when the final combine state is too heavy for
     one reducer (here count-distinct carries a set; the salt level
     bounds each partial's set to its bucket).  The checked T5 siblings
     salt KEYED aggregates, distincts, and joins; the keyless
     global-reduce tree is the remaining salting surface.  COUNT
-    DISTINCT re-aggregates exactly because the salt axis partitions
-    user_id disjointly only per bucket — the final level therefore
-    re-distincts the UNION of bucket sets (collect_set → flatten →
-    array_distinct stays declarative; sums/counts/max fold trivially).
+    DISTINCT folds by a plain SUM of per-bucket distincts — correct
+    PRECISELY because the salt is derived from user_id itself, so the
+    16 bucket user-sets are DISJOINT by construction (salting on any
+    other column would intersect the sets and double-count; the final
+    level would then need a real re-distinct).
 
     Exactness: all four measures are integer; the oracle is the direct
     one-level global aggregate — identical results prove the tree

@@ -538,7 +538,19 @@ def purchase_sessions_with_state(
                     closed.append((cur[0], cur[1], cur[2], "event"))
                     cur = [t, t, 1]
                 else:
-                    cur[1] = t
+                    # Late events the watermark admits may precede the
+                    # open session's bounds: extend via min/max so a
+                    # straggler never shrinks session_end (which would
+                    # enable a spurious split against the true last
+                    # event) and session_start reaches back to the true
+                    # earliest member — matching the batch
+                    # session_window's arrival-order-independent merge.
+                    # Residual (documented) gap vs batch: an event
+                    # older than start - gap is merged here rather than
+                    # opened as its own earlier session; the 45-minute
+                    # watermark bounds how stale such an event can be.
+                    cur[0] = min(cur[0], t)
+                    cur[1] = max(cur[1], t)
                     cur[2] += 1
             if cur is not None:
                 state.update(tuple(cur))
@@ -655,9 +667,10 @@ def type_runs_with_state(events: DataFrame) -> DataFrame:
 
 
 RL_OUTPUT_SCHEMA = "user_id long, event_id long, kept boolean"
-RL_STATE_SCHEMA = "bkt long, n_in_bkt long"
+RL_STATE_SCHEMA = "bkts array<long>, ns array<long>"
 _RL_WINDOW_US = 10 * 60 * _US
 _RL_QUOTA = 3
+_RL_KEEP = 8  # trailing buckets retained per key (bounded state)
 
 
 def rate_limit_with_state(
@@ -668,10 +681,14 @@ def rate_limit_with_state(
     """Streaming twin of plans/round14.q_rate_limit: the fixed-window
     THROTTLE — at most `quota` events per user per `window_us` bucket
     are admitted; later arrivals in the bucket are suppressed.  Keyed
-    state is two longs: the open bucket id and its admitted count —
-    the counter RESETS on a bucket boundary, the transition no other
-    twin exercises (the run/burst/crossing twins carry monotone or
-    rolling registers; this one is cyclic).
+    state is a small MAP of recent buckets (parallel arrays: bucket id
+    -> admitted count, the `_RL_KEEP` most recent retained) — the
+    per-bucket counter starts fresh on each new bucket, the cyclic
+    transition no other twin exercises, and a LATE event from an
+    already-seen earlier bucket charges THAT bucket's counter instead
+    of resetting the open one (the r14-ADVICE hazard: a single-bucket
+    register would zero the open quota on any out-of-order arrival and
+    then re-zero it again on return).
 
     Emits the per-event VERDICT (user_id, event_id, kept) — output
     rows == input rows, the enrichment contract — so the batch
@@ -679,16 +696,29 @@ def rate_limit_with_state(
     crosses micro-batch boundaries: a user admitted 3 times late in
     one batch must have the same bucket's 4th event SUPPRESSED when it
     arrives in the next batch, which per-batch recomputation would
-    admit."""
+    admit.
+
+    Semantics under disorder (documented, bounded): admission within a
+    bucket is by ARRIVAL order, which equals the batch row_number
+    (ts, event_id) definition whenever arrival is time-ordered per key
+    — the replay/restart pins' path.  Under cross-batch disorder exact
+    row_number equivalence is unattainable in an emit-once stream (an
+    admitted verdict cannot be retracted when an earlier-timestamped
+    straggler lands), so the twin guarantees the throttle's contract —
+    never more than `quota` admitted per bucket — and an event older
+    than the retained horizon (`_RL_KEEP` windows behind the newest
+    seen) is conservatively SUPPRESSED, the safe direction for a rate
+    limiter, without touching state."""
 
     def update(key, pdfs, state):
         (user_id,) = key
         import pandas as pd  # local import keeps the worker pickle lean
 
         if state.exists:
-            bkt, n = state.get
+            bkts, ns = state.get
+            counts = dict(zip(bkts, ns))
         else:
-            bkt, n = -1, 0
+            counts = {}
         rows = []
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
@@ -697,12 +727,23 @@ def rate_limit_with_state(
             )
             for eid, ts in zip(pdf["event_id"], pdf["ts"]):
                 b = (int(ts.value) // 1000) // window_us
-                if b != bkt:
-                    bkt, n = b, 0
-                kept = n < quota
-                n += 1
-                rows.append((int(user_id), int(eid), bool(kept)))
-            state.update((int(bkt), int(n)))
+                if b not in counts and len(counts) >= _RL_KEEP and b < min(
+                    counts
+                ):
+                    # Older than the retained horizon: conservatively
+                    # suppress; its bucket's true count is forgotten.
+                    rows.append((int(user_id), int(eid), False))
+                    continue
+                n = counts.get(b, 0)
+                rows.append((int(user_id), int(eid), bool(n < quota)))
+                counts[b] = n + 1
+            if len(counts) > _RL_KEEP:  # trim to the newest _RL_KEEP
+                for stale in sorted(counts)[: len(counts) - _RL_KEEP]:
+                    del counts[stale]
+            keys = sorted(counts)
+            state.update(
+                ([int(k) for k in keys], [int(counts[k]) for k in keys])
+            )
         if rows:
             yield pd.DataFrame(
                 rows, columns=["user_id", "event_id", "kept"]

@@ -1069,8 +1069,15 @@ def test_parts_never_recent_pushes_date_below_anti_join(spark, sf_dir, qd):
     scan (row-group skipping), not run after the join, and the join
     itself stays a broadcast/shuffle HASH anti join (never a loop)."""
     p = plan_of(qd["q_parts_never_recent"](spark, sf_dir))
-    pushed = p.split("PushedFilters")[1].split("]")[0]
-    assert "l_shipdate" in pushed
+    # Check every scan's PushedFilters section, not [1] — indexing the
+    # first would grab whichever scan happens to print first (order-of-
+    # print fragile; r14 ADVICE).  l_shipdate is a lineitem-only
+    # column, so its appearance in ANY pushed-filter list proves the
+    # predicate reached the lineitem scan specifically.
+    pushed_sections = [
+        seg.split("]")[0] for seg in p.split("PushedFilters")[1:]
+    ]
+    assert any("l_shipdate" in s for s in pushed_sections), pushed_sections
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
     # column pruning: only the join key survives the fact scan

@@ -75,6 +75,7 @@ _CURATED_ROWS_ONLY_ALLOWED = {
     "q_embedding_neardup_lsh",  # r12 rows-only slot: embedding-LSH scale path
     "q_semdedup_lsh",  # r13 rows-only slot: SemDeDup-LSH scale path
     "q_ivf_topk",  # r14 rows-only slot: IVF partial-probe production path
+    "q_semdedup_kmeans",  # r15 rows-only slot: cell-local semantic-dedup path
 }
 
 

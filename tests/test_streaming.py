@@ -2720,3 +2720,193 @@ def test_rate_limit_state_survives_restart(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert sum(1 for v in expected.values() if not v) > 0
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order arrival pins for the r14-ADVICE stateful-twin fixes —
+# synthetic replays whose LATE events are admitted by the watermark,
+# the disorder path the fixture replays (chronological chunks) never
+# exercise.
+# ---------------------------------------------------------------------------
+
+
+def _write_synthetic_chunks(tmp_path, chunks):
+    """Write a list of row-dict lists as parquet chunk files with
+    strictly increasing mtimes (one micro-batch each under
+    maxFilesPerTrigger=1).  Rows carry the full EVENTS schema; ts is
+    given in SECONDS since an arbitrary epoch for readability."""
+    import time as _time
+
+    import pandas as _pd
+
+    replay = tmp_path / "synthetic_replay"
+    replay.mkdir()
+    base = _time.time() - 600
+    for i, rows in enumerate(chunks):
+        pdf = _pd.DataFrame(
+            {
+                "event_id": [r["event_id"] for r in rows],
+                "ts": _pd.to_datetime(
+                    [r["ts"] for r in rows], unit="s", utc=False
+                ),
+                "user_id": [r["user_id"] for r in rows],
+                "event_type": [r.get("event_type", "purchase") for r in rows],
+                "value": [float(r.get("value", 1.0)) for r in rows],
+                "props": [r.get("props", "{}") for r in rows],
+            }
+        )
+        path = replay / f"chunk_{i:03d}.parquet"
+        pdf.to_parquet(
+            str(path),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(str(path), (base + i, base + i))
+    return str(replay)
+
+
+def test_purchase_sessions_late_event_cannot_shrink_session(
+    spark, tmp_path
+):
+    """r14 ADVICE (medium): a late purchase the 45-min watermark admits
+    lands INSIDE the open session; the old `cur[1] = t` register would
+    regress last_us to the straggler and then SPLIT the session when
+    the next event measured its gap against the shrunken end.  The
+    crafted replay makes that split observable: user 1's purchases at
+    t=B and t=B+1680 s (28 min) arrive in batch 1; a straggler at
+    t=B+30 s and a successor at t=B+3360 s (28 min after the TRUE last
+    event, 55.5 min after the straggler) arrive in batch 2 — one
+    session per the batch session_window semantics, two under the
+    pre-fix register.  A far-future event from another user drains the
+    watermark so the session closes by timer.  (B is a non-zero base:
+    the initial watermark sits at epoch 0, and a row at/below the
+    watermark would be dropped before reaching the state function.)"""
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        purchase_sessions_with_state,
+    )
+
+    h = 3600
+    B = 1_000_000  # clear of the epoch-0 initial watermark
+    replay = _write_synthetic_chunks(
+        tmp_path,
+        [
+            [  # batch 1: two purchases 28 min apart
+                {"event_id": 1, "ts": B, "user_id": 1},
+                {"event_id": 2, "ts": B + 1680, "user_id": 1},
+            ],
+            [  # batch 2: admitted straggler + in-gap successor
+                {"event_id": 3, "ts": B + 30, "user_id": 1},
+                {"event_id": 4, "ts": B + 3360, "user_id": 1},
+            ],
+            [  # batch 3: watermark driver (other user, hours later)
+                {"event_id": 5, "ts": B + 10 * h, "user_id": 99},
+            ],
+            [  # batch 4: one more advance so batch 3's max becomes
+                # the watermark every stateful timer sees
+                {"event_id": 6, "ts": B + 11 * h, "user_id": 99},
+            ],
+        ],
+    )
+    stream = read_event_stream(spark, replay)
+    out = run_to_memory(
+        purchase_sessions_with_state(stream),
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    got = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(),
+         r.n_events)
+        for r in out.collect()
+    }
+    # Batch semantics: ONE user-1 session [0 s, 3360 s + 30 min gap).
+    batch = (
+        spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .parquet(replay)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s"),
+            F.col("w.end").alias("e"),
+            "n",
+        )
+    )
+    expected = {
+        (r.user_id, r.s.isoformat(), r.e.isoformat(), r.n)
+        for r in batch.collect()
+        if r.user_id == 1
+    }
+    got_user1 = {g for g in got if g[0] == 1}
+    assert got_user1 == expected, (got_user1, expected)
+    assert len(got_user1) == 1  # the pre-fix register emitted two
+
+
+def test_rate_limit_late_bucket_cannot_reset_quota(spark, tmp_path):
+    """r14 ADVICE (low): a late event from an EARLIER window must not
+    reset the open bucket's admitted count.  The crafted replay sends
+    bucket-2 events (quota exhausted), then bucket-1 stragglers, then
+    MORE bucket-2 events: the old single-bucket register reset twice
+    and re-admitted bucket-2 events beyond the quota; the recent-bucket
+    map charges each event to its own window.  Within each bucket the
+    arrival order equals (ts, event_id) order, so the per-event
+    verdicts must equal the batch row_number definition exactly."""
+    from pyspark.sql.window import Window
+    from spark_streaming_join_example_spark.streaming.stateful import (
+        rate_limit_with_state,
+    )
+
+    window_us, quota = 3_600_000_000, 2  # 1 h windows / 2 admitted
+    h = 3600
+    replay = _write_synthetic_chunks(
+        tmp_path,
+        [
+            [  # batch 1: bucket 12h — third event exhausts the quota
+                {"event_id": 1, "ts": 12 * h + 300, "user_id": 1},
+                {"event_id": 2, "ts": 12 * h + 600, "user_id": 1},
+                {"event_id": 3, "ts": 12 * h + 900, "user_id": 1},
+            ],
+            [  # batch 2: bucket 11h stragglers (their own quota)
+                {"event_id": 4, "ts": 11 * h + 300, "user_id": 1},
+                {"event_id": 5, "ts": 11 * h + 600, "user_id": 1},
+                {"event_id": 6, "ts": 11 * h + 1200, "user_id": 1},
+            ],
+            [  # batch 3: bucket 12h again — must stay exhausted
+                {"event_id": 7, "ts": 12 * h + 1200, "user_id": 1},
+                {"event_id": 8, "ts": 12 * h + 1500, "user_id": 1},
+            ],
+        ],
+    )
+    stream = read_event_stream(spark, replay)
+    out = run_to_memory(
+        rate_limit_with_state(stream, window_us=window_us, quota=quota),
+        str(tmp_path / "ckpt"),
+        output_mode="update",
+        name="rate_limit_disorder_probe",
+    )
+    got = {(r.user_id, r.event_id): r.kept for r in out.collect()}
+    be = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(replay)
+    w = Window.partitionBy(
+        "user_id", (F.unix_micros("ts") / F.lit(window_us)).cast("long")
+    ).orderBy("ts", "event_id")
+    expected = {
+        (r.user_id, r.event_id): r.kept
+        for r in be.select(
+            "user_id",
+            "event_id",
+            (F.row_number().over(w) <= quota).alias("kept"),
+        ).collect()
+    }
+    assert got == expected, (got, expected)
+    # non-vacuous: both buckets saw suppressions, and the late bucket
+    # admitted exactly its own quota
+    assert [expected[(1, i)] for i in (1, 2, 3)] == [True, True, False]
+    assert [expected[(1, i)] for i in (4, 5, 6)] == [True, True, False]
+    assert [expected[(1, i)] for i in (7, 8)] == [False, False]

@@ -71,6 +71,38 @@ def test_minhash_candidate_rate_bounded(spark, sf_dir):
     assert rate < 0.05, f"candidate rate {rate:.1%} ({n_cand}/{all_pairs})"
 
 
+def test_minhash_arrow_kernel_bit_identical(spark, sf_dir):
+    """The Arrow-batched signature kernel (numpy reimplementation of
+    Spark's seed-chained XxHash64 int/long paths) must produce
+    BIT-IDENTICAL signatures to the column-expression path — the
+    precondition for tools/ab_minhash.py's interleaved perf A/B to be
+    an apples-to-apples comparison, and for either path to back the
+    same frozen streaming index scheme.  Any divergence in the
+    reimplemented rotl/fmix/seed arithmetic shows up as a wrong long
+    on the very first document."""
+    from spark_streaming_join_example_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", shingles("text", n=3).alias("toks"))
+    expr = {
+        r.doc_id: tuple(r.sig)
+        for r in minhash_signatures(
+            toks, "doc_id", F.col("toks"), 128, impl="expr"
+        ).collect()
+    }
+    arrow = {
+        r.doc_id: tuple(r.sig)
+        for r in minhash_signatures_arrow(
+            toks, "doc_id", F.col("toks"), 128
+        ).collect()
+    }
+    assert expr == arrow
+    assert len(expr) == docs.count()  # no doc lost by either path
+
+
 def _zipf_corpus(spark, n_docs=300, doc_len=30, vocab=2000, n_dups=12):
     """Synthetic Zipfian corpus with planted near-dup pairs: the
     natural-corpus regime prefix filtering is built for (the parquet

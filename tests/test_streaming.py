@@ -560,18 +560,17 @@ def test_chained_stateful_join_then_window_agg(spark, sf_dir, replay_dir, tmp_pa
     assert len(out_rows) >= 0.8 * len(batch_rows)  # only the tail withheld
 
 
-def test_full_outer_stream_stream_join(spark, sf_dir, replay_dir, tmp_path):
-    """J2 full-outer: both unmatched sides emit null-padded after the
-    watermark; matched rows equal the batch inner join."""
-    stream = read_event_stream(spark, replay_dir)
-    clicks = stream.filter(F.col("event_type") == "click").withWatermark(
+def _fo_sides(src):
+    """(clicks, buys, cond) for the J2 full-outer twin — shared by the
+    equivalence and restart tests so both pin the same shape."""
+    clicks = src.filter(F.col("event_type") == "click").withWatermark(
         "ts", "30 minutes"
     ).select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
     )
-    buys = stream.filter(F.col("event_type") == "purchase").withWatermark(
+    buys = src.filter(F.col("event_type") == "purchase").withWatermark(
         "ts", "30 minutes"
     ).select(
         F.col("event_id").alias("purchase_id"),
@@ -583,6 +582,18 @@ def test_full_outer_stream_stream_join(spark, sf_dir, replay_dir, tmp_path):
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
     )
+    return clicks, buys, cond
+
+
+def test_full_outer_stream_stream_join(spark, sf_dir, replay_dir, tmp_path):
+    """J2 full-outer: both unmatched sides emit null-padded after the
+    watermark; matched rows equal the batch inner join; and (r15
+    strengthening) the null-padded sets are pinned EXACTLY against the
+    batch full-outer's unmatched sides — no false outer emission
+    anywhere, and every batch-unmatched row whose join horizon closed
+    well before the final watermark must have been emitted."""
+    stream = read_event_stream(spark, replay_dir)
+    clicks, buys, cond = _fo_sides(stream)
     out = run_to_memory(
         clicks.join(buys, cond, "full_outer"), str(tmp_path / "ckpt"), "append"
     )
@@ -601,6 +612,71 @@ def test_full_outer_stream_stream_join(spark, sf_dir, replay_dir, tmp_path):
     )
     matched = out.filter(F.col("p_ts").isNotNull() & F.col("c_ts").isNotNull())
     assert matched.count() == bc.join(bp, cond).count()
+
+    # exact unmatched-side pins vs the batch full outer join
+    batch_matched_clicks = {
+        r.click_id for r in bc.join(bp, cond).select("click_id").collect()
+    }
+    batch_matched_buys = {
+        r.purchase_id
+        for r in bc.join(bp, cond).select("purchase_id").collect()
+    }
+    click_only = {
+        r.click_id for r in out.filter(F.col("p_ts").isNull()).collect()
+    }
+    buy_only = {
+        r.purchase_id for r in out.filter(F.col("c_ts").isNull()).collect()
+    }
+    # soundness: a null-padded row must be truly unmatched in batch
+    assert not (click_only & batch_matched_clicks)
+    assert not (buy_only & batch_matched_buys)
+    # completeness in the watermark-closed region.  The FINAL global
+    # watermark is the MIN across both sides' watermark nodes, and
+    # each side's node only sees its own FILTERED rows — so the
+    # clicks watermark stops at the last CLICK's ts, not the stream
+    # max (discovered by exactly one click, the stream's final one,
+    # whose own horizon never closes; multipleWatermarkPolicy=min is
+    # the default).  Eviction semantics: a click emits null-padded
+    # when wm passes c_ts + 30 min (its match horizon); a purchase
+    # when wm passes p_ts.  A 30-min safety margin on top keeps the
+    # pin robust to state-cleanup timing.
+    from datetime import timedelta
+
+    max_click = be.filter(F.col("event_type") == "click").agg(
+        F.max("ts")
+    ).collect()[0][0]
+    max_buy = be.filter(F.col("event_type") == "purchase").agg(
+        F.max("ts")
+    ).collect()[0][0]
+    wm = min(max_click, max_buy) - timedelta(minutes=30)
+    margin = timedelta(minutes=30)
+    expected_click_only = {
+        r.click_id
+        for r in bc.collect()
+        if r.c_ts + timedelta(minutes=30) < wm - margin
+    } - batch_matched_clicks
+    expected_buy_only = {
+        r.purchase_id for r in bp.collect() if r.p_ts < wm - margin
+    } - batch_matched_buys
+    assert expected_click_only <= click_only
+    assert expected_buy_only <= buy_only
+    assert expected_click_only and expected_buy_only  # non-vacuous
+
+
+def test_full_outer_join_state_survives_restart(spark, sf_dir, tmp_path):
+    """S7/J2: the full-outer stream-stream join's buffered-rows state
+    (BOTH sides retained until the watermark closes their horizon)
+    must survive a checkpoint restart — a click buffered before the
+    stop whose matching purchase (or null-pad deadline) arrives after
+    must resolve identically to the uninterrupted run."""
+    _restart_equals_uninterrupted(
+        spark,
+        sf_dir,
+        tmp_path,
+        lambda s: (lambda c, b, cond: c.join(b, cond, "full_outer"))(
+            *_fo_sides(s)
+        ),
+    )
 
 
 def test_right_outer_stream_stream_join(spark, sf_dir, replay_dir, tmp_path):

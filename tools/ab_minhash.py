@@ -14,13 +14,21 @@ lesson — re-collecting a DataFrame reuses its shuffle map stages):
      flops; band containment P(cand|s) = 1-(1-s^4)^16 ≈ 1 at s=0.9,
      so the verified pair set should match A's — checked below, plus
      the candidate-count blow-up check (s^4 admits weaker pairs).
+  D  (r15) the SAME 128/16 pipeline with the Arrow-batched signature
+     kernel (minhash_signatures_arrow: JVM token hashing + one
+     mapInPandas computing all 128 min-hashes in numpy) in place of
+     the 128-aggregate-expression pass — INTERLEAVED with fresh A
+     runs (A,D,A,D,...) so box drift hits both arms equally, with the
+     verified pair set asserted identical.  A signature-pass-only
+     interleave isolates the stage the r14 VERDICT fingered (46 % of
+     the non-shared wall).
 
 Output: one JSON line with per-arm medians, the A-vs-B shingle share,
 C's candidate count vs A's, and C's pair-set agreement vs A at the
 probe SF plus vs the EXACT all-pairs baseline at sf0.01 (the exact
 baseline is quadratic — guarded to the small tier only).
 
-Findings land in SCALE.md §Round-12.
+Findings land in SCALE.md §Round-12 (A/B/C) and §Round-15 (D).
 """
 
 from __future__ import annotations
@@ -44,6 +52,7 @@ from spark_streaming_join_example_spark.operators.dedup import (  # noqa: E402
     jaccard,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_signatures_arrow,
     shingles,
 )
 from spark_streaming_join_example_spark.sources.batch import (  # noqa: E402
@@ -51,11 +60,19 @@ from spark_streaming_join_example_spark.sources.batch import (  # noqa: E402
 )
 
 
-def _pairs(spark, sf_dir, num_hashes, bands, toks=None):
+def _pairs(spark, sf_dir, num_hashes, bands, toks=None, arrow=False):
     if toks is None:
         d = load_table(spark, sf_dir, "documents")
         toks = d.select("doc_id", shingles("text", n=3).alias("toks"))
-    sig = minhash_signatures(toks, "doc_id", F.col("toks"), num_hashes)
+    # A arms pin impl="expr": since r15 the adopted default IS the
+    # arrow kernel, so the bare call would measure D against itself
+    sig = (
+        minhash_signatures_arrow(toks, "doc_id", F.col("toks"), num_hashes)
+        if arrow
+        else minhash_signatures(
+            toks, "doc_id", F.col("toks"), num_hashes, impl="expr"
+        )
+    )
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes, bands)
     return exact_jaccard_verify(cand, toks, "doc_id", 0.9)
 
@@ -101,6 +118,75 @@ def main() -> None:
     out["C_64_16"], out["C_samples"] = _timed(
         lambda: _pairs(spark, sf_dir, 64, 16).count()
     )
+
+    # ---- D: Arrow signature kernel, INTERLEAVED with fresh A runs ----
+    # (r13 lesson: back-to-back arms confound with box drift; alternate
+    # so both arms sample the same load regime)
+    _pairs(spark, sf_dir, 128, 16, arrow=True).count()  # warm D path
+    a_il, d_il = [], []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        _pairs(spark, sf_dir, 128, 16).count()
+        a_il.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _pairs(spark, sf_dir, 128, 16, arrow=True).count()
+        d_il.append(time.perf_counter() - t0)
+    out["A_interleaved"] = round(statistics.median(a_il), 3)
+    out["A_interleaved_samples"] = [round(s, 3) for s in a_il]
+    out["D_arrow_128_16"] = round(statistics.median(d_il), 3)
+    out["D_samples"] = [round(s, 3) for s in d_il]
+    out["D_over_A"] = round(out["D_arrow_128_16"] / out["A_interleaved"], 3)
+
+    # signature-pass-only interleave (the stage the kernel replaces):
+    # force full signature materialization via first+last array slots
+    # (count() would let Catalyst prune the 128 min aggregates)
+    def _force_sig(arrow: bool):
+        d0 = load_table(spark, sf_dir, "documents")
+        t = d0.select("doc_id", shingles("text", n=3).alias("toks"))
+        fn = minhash_signatures_arrow if arrow else minhash_signatures
+        s = (
+            fn(t, "doc_id", F.col("toks"), 128)
+            if arrow
+            else fn(t, "doc_id", F.col("toks"), 128, impl="expr")
+        )
+        # force via double sums: int64 sums of ±9e18 min-hash values
+        # overflow under ANSI; doubles lose low bits but still force
+        # every array slot's computation (element_at can't prune the
+        # array construction)
+        s.agg(
+            F.sum(F.element_at("sig", 1).cast("double")),
+            F.sum(F.element_at("sig", 128).cast("double")),
+        ).collect()
+
+    _force_sig(False), _force_sig(True)  # warm
+    se_il, sa_il = [], []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        _force_sig(False)
+        se_il.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _force_sig(True)
+        sa_il.append(time.perf_counter() - t0)
+    out["sig_expr"] = round(statistics.median(se_il), 3)
+    out["sig_expr_samples"] = [round(s, 3) for s in se_il]
+    out["sig_arrow"] = round(statistics.median(sa_il), 3)
+    out["sig_arrow_samples"] = [round(s, 3) for s in sa_il]
+
+    # identical-output gate: the verified pair sets must agree exactly
+    pd_ = {
+        (r.a_id, r.b_id)
+        for r in _pairs(spark, sf_dir, 128, 16, arrow=True)
+        .select("a_id", "b_id")
+        .collect()
+    }
+    pa_ = {
+        (r.a_id, r.b_id)
+        for r in _pairs(spark, sf_dir, 128, 16)
+        .select("a_id", "b_id")
+        .collect()
+    }
+    out["D_pairs_equal_A"] = pd_ == pa_
+    assert pd_ == pa_, "arrow kernel changed the verified pair set"
 
     # candidate blow-up: s^4 bands admit weaker pairs
     d_full = load_table(spark, sf_dir, "documents")

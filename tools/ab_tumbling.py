@@ -95,6 +95,26 @@ def variant_c(spark, sf_dir):
     )
 
 
+def variant_e(spark, sf_dir):
+    """(r15) post-aggregation timestamp conversion: group on the BARE
+    int64 bucket and materialize the timestamp once per GROUP in a
+    final projection, instead of once per row inside the grouping
+    key — the last per-row op the r13 rewrite left in place."""
+    e = load_table(spark, sf_dir, "events")
+    ts_sec = F.col("ts").cast("long")
+    bucket = (ts_sec - F.pmod(ts_sec, F.lit(3600))).alias("__bkt")
+    agg = e.groupBy(bucket, "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("value", VALUE).alias("sum_value"),
+    )
+    return agg.select(
+        F.timestamp_seconds("__bkt").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def fetch(df):
     t = time.perf_counter()
     df._jdf.collectToPython()  # same materialization bench.py uses
@@ -119,7 +139,11 @@ def main():
     n_warm = int(sys.argv[2]) if len(sys.argv) > 2 else 9
     spark = get_spark()
 
-    variants = {"A_date_trunc": variant_a, "B_sec_bucket": variant_b}
+    variants = {
+        "A_date_trunc": variant_a,
+        "B_sec_bucket": variant_b,
+        "E_postagg_convert": variant_e,
+    }
     c = variant_c(spark, sf_dir)
     if c is not None:
         variants["C_ns_bucket"] = variant_c

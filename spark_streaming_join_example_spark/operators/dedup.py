@@ -711,6 +711,80 @@ def simhash63(tokens: Column, n_bits: int = 63) -> Column:
     )
 
 
+def _simhash_arrow_kernel(n_bits: int, id_field: str):
+    """mapInPandas kernel: token-hash arrays → SimHash fingerprints,
+    bit-identical to :func:`simhash63` (fp bit b = 1 iff the ±1 vote
+    sum over tokens is positive ⟺ 2·ones_b > n_tokens, integer-exact).
+    Per Arrow batch: flatten all docs' token hashes, then per bit one
+    shift-mask pass + ``np.add.reduceat`` segment-sum — n_bits SIMD
+    passes instead of n_bits interpreted higher-order-function lambda
+    evaluations per token (HOF lambdas never enter whole-stage
+    codegen).  Empty-token docs keep fingerprint 0, exactly like the
+    expression path's empty-array aggregate (unlike MinHash, where
+    empty docs vanish in the groupBy)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        np.seterr(over="ignore")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tok_lists = [
+                np.asarray(t, dtype=np.int64) for t in pdf["__tokh"]
+            ]
+            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            ids = pdf[id_field].to_numpy()
+            fp = np.zeros(len(lens), dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate(
+                    [t for t in tok_lists if len(t)]
+                ).view(np.uint64)
+                nz_lens = lens[nz]
+                starts = np.zeros(len(nz_lens), dtype=np.int64)
+                np.cumsum(nz_lens[:-1], out=starts[1:])
+                sub = np.zeros(len(nz_lens), dtype=np.int64)
+                for b in range(n_bits):
+                    ones = np.add.reduceat(
+                        ((flat >> np.uint64(b)) & np.uint64(1)).astype(
+                            np.int64
+                        ),
+                        starts,
+                    )
+                    sub |= (2 * ones > nz_lens).astype(np.int64) << b
+                fp[nz] = sub
+            yield pd.DataFrame({id_field: ids, "fp": fp})
+
+    return kernel
+
+
+def simhash_fingerprints_arrow(
+    src: DataFrame,
+    id_col: str,
+    tokens: Column,
+    n_bits: int = 63,
+) -> DataFrame:
+    """(id, fp) SimHash fingerprints via the Arrow-batched kernel —
+    bit-identical to ``select(id, simhash63(tokens))`` (pinned in
+    tests/test_extensions.py), different physical plan: token strings
+    hash JVM-side (``transform(tokens, xxhash64)``), then one
+    mapInPandas computes all bit votes in numpy.  Same rationale and
+    measured shape as ``minhash_signatures_arrow`` (SCALE.md
+    §Round-15): the expression form's per-token cost is n_bits
+    interpreted HOF lambdas, the kernel's is n_bits vectorized passes
+    over a flat vector.  No added shuffle either way."""
+    schema_id_type = dict(src.dtypes).get(id_col, "bigint")
+    hashed = src.select(
+        F.col(id_col),
+        F.transform(tokens, lambda x: F.xxhash64(x)).alias("__tokh"),
+    )
+    return hashed.mapInPandas(
+        _simhash_arrow_kernel(n_bits, id_col),
+        f"{id_col} {schema_id_type}, fp long",
+    )
+
+
 def simhash_chunks(fp: Column, n_bits: int, max_hamming: int) -> Column:
     """``array<struct<ci,cv>>`` of the pigeonhole chunks of a SimHash
     fingerprint: the fingerprint split into (max_hamming + 1) disjoint
@@ -760,6 +834,7 @@ def simhash_near_duplicates(
     n_bits: int = 63,
     shingle: int = 1,
     toks: DataFrame | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Bucketed SimHash near-dup pairs: hamming(a, b) <= max_hamming.
 
@@ -778,6 +853,16 @@ def simhash_near_duplicates(
     that spreads the fingerprints (0.01 % admitted — SCALE.md
     §Round-10).  Default stays 1 for the registered token-unit
     queries' semantics; use 3 at scale.
+
+    r15: the fingerprint pass runs through the Arrow kernel
+    (:func:`simhash_fingerprints_arrow`) — bit-identical (pytest- and
+    in-probe-pinned), measured 4.1× (token units) / 2.26× (shingle
+    units) faster than the one-pass HOF expression at sf0.1,
+    interleaved with non-overlapping ranges (tools/ab_simhash.py,
+    SCALE.md §Round-15).  ``impl="expr"`` keeps the all-JVM form
+    selectable; the streaming simhash index stays on the expression
+    path deliberately (its per-batch increments are tiny and the
+    inline Column form keeps its plan simple).
     """
     if toks is None:
         unit = (
@@ -788,10 +873,18 @@ def simhash_near_duplicates(
         src = docs.select(F.col(id_col), unit.alias("toks"))
     else:
         src = toks
-    fp = src.select(
-        F.col(id_col),
-        simhash63(F.col("toks"), n_bits=n_bits).alias("fp"),
-    ).localCheckpoint(eager=True)
+    if impl == "arrow":
+        fp_df = simhash_fingerprints_arrow(
+            src, id_col, F.col("toks"), n_bits
+        )
+    elif impl == "expr":
+        fp_df = src.select(
+            F.col(id_col),
+            simhash63(F.col("toks"), n_bits=n_bits).alias("fp"),
+        )
+    else:
+        raise ValueError(f"simhash_near_duplicates: unknown impl {impl!r}")
+    fp = fp_df.localCheckpoint(eager=True)
     chunks = fp.select(
         F.col(id_col),
         "fp",

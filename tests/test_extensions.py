@@ -103,6 +103,52 @@ def test_minhash_arrow_kernel_bit_identical(spark, sf_dir):
     assert len(expr) == docs.count()  # no doc lost by either path
 
 
+def test_simhash_arrow_kernel_bit_identical(spark, sf_dir):
+    """SimHash twin of the MinHash kernel pin: the Arrow fingerprint
+    kernel must be bit-identical to the one-pass HOF expression on
+    BOTH unit schemes, and must keep empty-token docs with fp=0 (the
+    expression path's empty-array aggregate yields 0; MinHash drops
+    empties instead — the two kernels' one semantic difference)."""
+    from spark_streaming_join_example_spark.operators.dedup import (
+        simhash63,
+        simhash_fingerprints_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for unit in (distinct_tokens("text"), shingles("text", n=3)):
+        src = docs.select("doc_id", unit.alias("toks"))
+        expr_fp = {
+            r.doc_id: r.fp
+            for r in src.select(
+                "doc_id", simhash63(F.col("toks")).alias("fp")
+            ).collect()
+        }
+        arrow_fp = {
+            r.doc_id: r.fp
+            for r in simhash_fingerprints_arrow(
+                src, "doc_id", F.col("toks")
+            ).collect()
+        }
+        assert expr_fp == arrow_fp
+
+    edge = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, [])], "doc_id long, toks array<string>"
+    )
+    got = {
+        r.doc_id: r.fp
+        for r in simhash_fingerprints_arrow(
+            edge, "doc_id", F.col("toks")
+        ).collect()
+    }
+    want = {
+        r.doc_id: r.fp
+        for r in edge.select(
+            "doc_id", simhash63(F.col("toks")).alias("fp")
+        ).collect()
+    }
+    assert got == want and got[2] == 0
+
+
 def _zipf_corpus(spark, n_docs=300, doc_len=30, vocab=2000, n_dups=12):
     """Synthetic Zipfian corpus with planted near-dup pairs: the
     natural-corpus regime prefix filtering is built for (the parquet

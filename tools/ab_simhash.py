@@ -112,6 +112,69 @@ def main() -> None:
                 )
             )
 
+    # 1b. (r15) Arrow-kernel arm, INTERLEAVED with the shipped
+    # one-pass expression form (E,K,E,K,... so box drift hits both):
+    # same protocol as tools/ab_minhash.py arm D — bit-identity
+    # asserted first, then 4 interleaved timed runs per unit.
+    import statistics
+
+    from spark_streaming_join_example_spark.operators.dedup import (
+        simhash_fingerprints_arrow,
+    )
+
+    for uname, unit in units.items():
+        src = docs.select("doc_id", unit.alias("toks"))
+        expr_fp = {
+            r.doc_id: r.fp
+            for r in src.select(
+                "doc_id", simhash63(F.col("toks")).alias("fp")
+            ).collect()
+        }
+        arrow_fp = {
+            r.doc_id: r.fp
+            for r in simhash_fingerprints_arrow(
+                src, "doc_id", F.col("toks")
+            ).collect()
+        }
+        assert expr_fp == arrow_fp, f"arrow kernel diverges on {uname}"
+
+        def run_expr():
+            docs.select("doc_id", unit.alias("toks")).select(
+                "doc_id", simhash63(F.col("toks")).alias("fp")
+            ).agg(F.sum(F.bit_count("fp"))).collect()
+
+        def run_arrow():
+            simhash_fingerprints_arrow(
+                docs.select("doc_id", unit.alias("toks")),
+                "doc_id",
+                F.col("toks"),
+            ).agg(F.sum(F.bit_count("fp"))).collect()
+
+        run_expr(), run_arrow()  # warm
+        es, ks = [], []
+        for _ in range(4):
+            t0 = time.time()
+            run_expr()
+            es.append(time.time() - t0)
+            t0 = time.time()
+            run_arrow()
+            ks.append(time.time() - t0)
+        print(
+            json.dumps(
+                {
+                    "bench": "fingerprint_arrow_ab",
+                    "unit": uname,
+                    "expr_median": round(statistics.median(es), 3),
+                    "expr_samples": [round(x, 3) for x in es],
+                    "arrow_median": round(statistics.median(ks), 3),
+                    "arrow_samples": [round(x, 3) for x in ks],
+                    "arrow_over_expr": round(
+                        statistics.median(ks) / statistics.median(es), 3
+                    ),
+                }
+            )
+        )
+
     # 2. unit-scheme candidate collapse at the frozen r=3 layout
     for uname, unit in units.items():
         fp = docs.select(

@@ -22,7 +22,13 @@ running the real differential harness over it:
   - orders.parquet drops one row so the total count is ODD;
   - documents.parquet gains a same-language CJK prefix pair at
     character distance 1 but byte distance 3 (the byte-vs-char
-    levenshtein split the ASCII gate must neutralize);
+    levenshtein split the ASCII gate must neutralize), and (r15) one
+    doc INSIDE q_udtf_sentences' doc_id < 150 slice gains sentence
+    fragments with TABS adjacent to '.' — the Python-bare-strip() vs
+    DuckDB-trim() (spaces-only) split the r14 ADVICE flagged: a
+    "\\t word word" fragment word-counts 3 under the spaces-only
+    convention but 2 under bare strip, and a " \\t " fragment is KEPT
+    (1 word) under spaces-only but DROPPED under bare strip;
   - lineitem.parquet gets one price set to a dyadic cent-half inside
     q_pandas_udf_bucket's slice.
 
@@ -63,6 +69,7 @@ QUERIES = [
     "q_roundtrip_casts",          # f32 leg on the new values
     "q_prefix_edit_pairs",        # ASCII gate vs byte/char levenshtein
     "q_pandas_udf_bucket",        # half-up cents on a doctored price
+    "q_udtf_sentences",           # spaces-only strip vs bare strip
 ]
 
 
@@ -167,6 +174,15 @@ def doctor_documents(src: str, dst: str) -> None:
         cols["lang"].append("zh")
         cols["source"].append("fuzz")
         cols["n_chars"].append(len(text))
+    # r15: tab-adjacent-to-'.' sentence fragments INSIDE the
+    # q_udtf_sentences slice (doc_id < 150): one fragment with a tab
+    # BETWEEN the dot and its words (word-count diverges: spaces-only
+    # conventions see the tab as a word, bare strip eats it) and one
+    # whitespace-only "\t" fragment (kept under spaces-only trim,
+    # dropped under bare strip)
+    k = next(i for i, d in enumerate(cols["doc_id"]) if d < 150)
+    cols["text"][k] = cols["text"][k] + ".\t alpha beta. \t . end"
+    cols["n_chars"][k] = len(cols["text"][k])
     out = pa.table(
         {n: pa.array(cols[n], t.schema.field(n).type) for n in t.column_names},
         schema=t.schema,
@@ -260,6 +276,33 @@ def assert_discriminates(tmp: str) -> None:
         f"CJK pair byte distance {byte_d} would NOT diverge from the "
         "char distance (1) — hazard row construction failed"
     )
+    # r15: the tab-fragment doc must make Python's BARE strip() (the
+    # pre-fix q_udtf_sentences convention) diverge from the shipped
+    # spaces-only strip in BOTH suppressed-fragment count and word
+    # counts (pure-Python check: both conventions are Python-side)
+    (hazard_text,) = [
+        txt
+        for (txt,) in con.execute(
+            "SELECT text FROM docs WHERE doc_id < 150 AND contains(text, chr(9))"
+        ).fetchall()
+    ]
+
+    def frags(strip_chars):
+        return [
+            f.strip(strip_chars) if strip_chars else f.strip()
+            for f in hazard_text.split(".")
+        ]
+
+    old_kept = [f for f in frags(None) if f]
+    new_kept = [f for f in frags(" ") if f]
+    assert len(old_kept) != len(new_kept), (
+        "tab fragment does not discriminate suppression conventions"
+    )
+    old_words = [len(f.split(" ")) for f in old_kept]
+    new_words = [len(f.split(" ")) for f in new_kept]
+    assert old_words != new_words[: len(old_words)] or len(old_words) != len(
+        new_words
+    ), "tab fragment does not discriminate word-count conventions"
 
 
 def build(tmp: str) -> None:

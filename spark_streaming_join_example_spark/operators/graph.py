@@ -34,6 +34,7 @@ def basket_pairs(
     item_col: str,
     distinct_pairs: bool = True,
     max_items: int | None = None,
+    directed: bool = True,
 ) -> DataFrame:
     """Directed co-occurrence pairs ``(u, v)``, u ≠ v, from a
     (basket, item) relation — the edge build every co-purchase graph
@@ -52,6 +53,22 @@ def basket_pairs(
     form co-occurrence COUNTING queries (collaborative filtering,
     association rules) aggregate — at zero extra cost.
 
+    ``directed=False`` (r15) emits each unordered pair ONCE as its
+    ``u < v`` orientation (requires an orderable item type — every
+    Spark atomic type is).  Pair relations over a basket are
+    orientation-symmetric, so a directed consumer can mirror the half
+    relation AFTER the expensive step (distinct or count) instead of
+    paying it on both orientations: this halves the explode output
+    and the bytes through the dedup/count exchange (guide §2.3
+    "shuffle fewer bytes") — and the ``u < v`` clause is applied
+    INSIDE the pair array, before the explode, so the halved row
+    stream never materializes the mirrored structs at all.  The
+    ``directed=True, distinct_pairs=True`` default keeps its exact
+    output contract but is now built the same way — half-expand,
+    distinct, then union the mirror — with the mirror branch reading
+    the dedup exchange via ReusedExchange rather than re-shuffling
+    (asserted in tests/test_plans.py).
+
     Scale note: per-basket state is the distinct-item set, bounded by
     basket size (TPC-H orders ≤ 7 items; retail baskets ~10²).  For
     heavy-tailed "baskets" (a 10⁶-item hot key), pass ``max_items``:
@@ -64,12 +81,19 @@ def basket_pairs(
     Equivalence to the plain path is property-tested over arbitrary
     baskets and chunk caps (tests/test_properties.py)."""
     g = df.groupBy(basket_col).agg(F.collect_set(item_col).alias("_ps"))
+    # the half relation (u < v only) is what the undirected contract
+    # returns AND what the directed+distinct path dedups before
+    # mirroring; only directed counting (distinct_pairs=False) needs
+    # the full ordered expansion
+    half = (not directed) or distinct_pairs
     if max_items is None:
+        pred = "p.u < p.v" if half else "p.u != p.v"
         pairs = g.select(
             F.explode(
                 F.expr(
-                    "flatten(transform(_ps, x -> "
-                    "transform(_ps, y -> struct(x AS u, y AS v))))"
+                    "filter(flatten(transform(_ps, x -> "
+                    "transform(_ps, y -> struct(x AS u, y AS v)))), "
+                    f"p -> {pred})"
                 )
             ).alias("_p")
         ).select(F.col("_p.u").alias("u"), F.col("_p.v").alias("v"))
@@ -114,8 +138,20 @@ def basket_pairs(
                 )
             ).alias("_p")
         ).select(F.col("_p.u").alias("u"), F.col("_p.v").alias("v"))
-    pairs = pairs.filter(F.col("u") != F.col("v"))
-    return pairs.distinct() if distinct_pairs else pairs
+        # chunked rows expand every ordered pair; restrict after
+        pairs = pairs.filter(
+            F.col("u") < F.col("v") if half else F.col("u") != F.col("v")
+        )
+    if distinct_pairs:
+        pairs = pairs.distinct()
+        if directed:
+            # mirror AFTER the dedup: the swap branch re-reads the
+            # distinct's exchange (ReusedExchange), so the full
+            # directed relation costs one half-sized shuffle
+            pairs = pairs.union(
+                pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+    return pairs
 
 
 class ConvergenceWarning(UserWarning):

@@ -1077,13 +1077,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is persisted — it feeds three join sides — and the sweep/test
     drivers clear the cache between queries (tools/verify_local.py).
     """
-    from .copurchase import copurchase_edges
+    from .copurchase import copurchase_edges_undirected
 
     # collect_set inside basket_pairs dedupes (order, part) up front —
     # no separate distinct pre-pass needed; the edge relation comes
     # from the shared builder (bench-scoped memo; identical plan when
-    # sharing is off)
-    e0 = copurchase_edges(spark, sf_dir).filter(F.col("u") < F.col("v"))
+    # sharing is off).  r15: read the undirected half directly — the
+    # old ``directed.filter(u < v)`` recomputed the mirrored rows just
+    # to drop them; the half relation IS the u < v orientation set.
+    e0 = copurchase_edges_undirected(spark, sf_dir)
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))

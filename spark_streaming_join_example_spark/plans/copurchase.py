@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import load_table
@@ -35,18 +36,41 @@ def sharing_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_SHARE_EDGES") == "1"
 
 
-def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed distinct co-purchase edges ``(u, v)`` over parts
-    sharing an order.  Memoized + persisted when sharing is enabled
-    (see module docstring); a plain per-call build otherwise."""
+def copurchase_edges_undirected(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNDIRECTED distinct co-purchase edges — one ``(u, v)`` row per
+    part pair with ``u < v``.  This is the relation that actually
+    pays the dedup shuffle; the directed form is its mirror union.
+    Consumers that are orientation-symmetric anyway (triangle
+    counting's ``u < v`` orientation step, k-core's internal
+    symmetrize) read this half directly and skip shuffling the
+    mirrored copies (r15, guide §2.3).  Memoized + persisted when
+    sharing is enabled — the cache holds HALF the rows it used to."""
     key = (id(spark), os.path.abspath(sf_dir))
     if sharing_enabled() and key in _MEMO:
         return _MEMO[key]
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    edges = basket_pairs(li, "l_orderkey", "l_partkey")
+    und = basket_pairs(li, "l_orderkey", "l_partkey", directed=False)
     if sharing_enabled():
-        edges = edges.persist()
-        _MEMO[key] = edges
-    return edges
+        und = und.persist()
+        _MEMO[key] = und
+    return und
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed distinct co-purchase edges ``(u, v)`` over parts
+    sharing an order — the mirror union of the undirected half
+    relation (value-identical to the pre-r15 directed build: both are
+    "distinct ordered pairs of distinct parts sharing an order").
+    Memoized + persisted via the undirected half when sharing is
+    enabled (see module docstring); a plain per-call build otherwise.
+    The mirror branch re-reads the half relation (persisted cache or
+    ReusedExchange), so the directed relation still costs one
+    half-sized dedup shuffle, not a full-sized one."""
+    und = copurchase_edges_undirected(spark, sf_dir)
+    return und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )

@@ -281,11 +281,23 @@ def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
     ).distinct()
     di = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("d"))
-    co = (
-        basket_pairs(li, "l_orderkey", "l_partkey", distinct_pairs=False)
+    # r15 (guide §2.3): co-occurrence is symmetric — co(i,j) == co(j,i)
+    # — so count each unordered pair once (i < j, half the exploded
+    # rows and half the bytes through the count exchange) and mirror
+    # the COUNTS afterwards; the mirror branch re-reads the count's
+    # exchange via ReusedExchange instead of re-shuffling.  Output is
+    # bit-identical to counting both orientations.
+    co_h = (
+        basket_pairs(
+            li, "l_orderkey", "l_partkey",
+            distinct_pairs=False, directed=False,
+        )
         .toDF("i", "j")
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("co"))
+    )
+    co = co_h.union(
+        co_h.select(F.col("j").alias("i"), F.col("i").alias("j"), "co")
     )
     scored = (
         co.join(F.broadcast(di.toDF("i", "d_i")), "i")
@@ -628,9 +640,12 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, convergence via one count per round.
     """
     from ..operators.graph import kcore
-    from .copurchase import copurchase_edges
+    from .copurchase import copurchase_edges_undirected
 
-    edges = copurchase_edges(spark, sf_dir)
+    # r15: feed the undirected half (u < v) — kcore symmetrizes its
+    # input internally, so the fixpoint is identical, and its two
+    # setup dedup shuffles now run over half the rows (guide §2.3)
+    edges = copurchase_edges_undirected(spark, sf_dir)
     return kcore(edges, k=16).orderBy("node")
 
 
@@ -1787,11 +1802,23 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     n = baskets.agg(F.countDistinct("ok").alias("n_baskets"))
     di = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("d"))
-    co = (
-        basket_pairs(li, "l_orderkey", "l_partkey", distinct_pairs=False)
+    # r15 (guide §2.3): same half-count + mirrored-counts scheme as
+    # q_collab_filter — co(ante, cons) is symmetric, so count each
+    # unordered pair once and mirror the counts (ReusedExchange on the
+    # swap branch); bit-identical, half the count-shuffle bytes.
+    co_h = (
+        basket_pairs(
+            li, "l_orderkey", "l_partkey",
+            distinct_pairs=False, directed=False,
+        )
         .toDF("ante", "cons")
         .groupBy("ante", "cons")
         .agg(F.count(F.lit(1)).alias("co"))
+    )
+    co = co_h.union(
+        co_h.select(
+            F.col("cons").alias("ante"), F.col("ante").alias("cons"), "co"
+        )
     )
     rules = (
         co.join(F.broadcast(di.toDF("ante", "d_a")), "ante")

@@ -852,7 +852,14 @@ def test_basket_pairs_chunked_is_join_free(spark):
     df = spark.range(100).select(
         (F.col("id") % 10).alias("b"), (F.col("id") % 37).alias("i")
     )
-    for kwargs in ({}, {"max_items": 2}):
+    for kwargs in (
+        {},
+        {"max_items": 2},
+        {"directed": False},
+        {"max_items": 2, "directed": False},
+        {"distinct_pairs": False},
+        {"distinct_pairs": False, "directed": False},
+    ):
         plan = (
             basket_pairs(df, "b", "i", **kwargs)
             ._jdf.queryExecution()
@@ -860,7 +867,20 @@ def test_basket_pairs_chunked_is_join_free(spark):
             .toString()
         )
         assert "Join" not in plan, (kwargs, plan)
-        assert plan.count("Exchange") <= 2, (kwargs, plan)
+        if kwargs.get("directed", True) and kwargs.get("distinct_pairs", True):
+            # r15 mirror-after-dedup: the union prints both branches'
+            # exchanges statically (2 per branch); the swap branch's
+            # dedup exchange is REUSED at runtime — pinned below
+            assert plan.count("Exchange") <= 4, (kwargs, plan)
+        else:
+            assert plan.count("Exchange") <= 2, (kwargs, plan)
+    # runtime pin of the mirror branch's exchange reuse (guide §2.3:
+    # the directed relation must cost one HALF-sized dedup shuffle,
+    # not a re-shuffle per orientation)
+    agg = basket_pairs(df, "b", "i").agg(F.count(F.lit(1)))
+    agg.collect()
+    final = agg._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
 
 
 def test_graph_shared_edge_build_is_value_identical(spark, sf_dir, qd):

@@ -720,6 +720,21 @@ def test_basket_pairs_matches_selfjoin_model(spark, rows):
         (r.u, r.v) for r in basket_pairs(df, "b", "i").collect()
     }
     assert got_distinct == set(model_multiset)
+    # r15 undirected contract: each unordered pair exactly once as its
+    # u < v orientation — in both modes
+    model_half = Counter(p for p in model_multiset.elements() if p[0] < p[1])
+    got_half_multi = Counter(
+        (r.u, r.v)
+        for r in basket_pairs(
+            df, "b", "i", distinct_pairs=False, directed=False
+        ).collect()
+    )
+    assert got_half_multi == model_half
+    got_half = {
+        (r.u, r.v)
+        for r in basket_pairs(df, "b", "i", directed=False).collect()
+    }
+    assert got_half == set(model_half)
     # heavy-tailed split path: tiny caps force multi-chunk expansion;
     # results must be IDENTICAL in both modes for any cap
     for cap in (1, 2, 3):
@@ -735,6 +750,13 @@ def test_basket_pairs_matches_selfjoin_model(spark, rows):
             for r in basket_pairs(df, "b", "i", max_items=cap).collect()
         }
         assert got_d == set(model_multiset), cap
+        got_hd = {
+            (r.u, r.v)
+            for r in basket_pairs(
+                df, "b", "i", max_items=cap, directed=False
+            ).collect()
+        }
+        assert got_hd == set(model_half), cap
 
 
 # --- prefix-filter set-similarity join: lossless for ANY corpus ------

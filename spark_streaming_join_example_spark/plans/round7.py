@@ -87,8 +87,20 @@ def q_cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i, 5)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # r15 (guide §2.4): the (doc, shingle) dedup and the corpus-count
+    # window are BOTH clustered by the shingle — an explicit
+    # repartition("s") establishes that partitioning once, the dedup
+    # aggregate accepts it (hash(s) co-locates every (doc_id, s)
+    # duplicate), and the window then needs no second exchange.  The
+    # pre-r15 form paid two full shuffles of the exploded relation:
+    # Exchange(doc_id, s) for the distinct, then Exchange(s) for the
+    # window.  Plan now shows exactly one Exchange before the per-doc
+    # aggregate (plans/r15/q_cross_doc_ngram_dup_after.txt); skew on a
+    # hot shingle is the same either way — the window always keyed on
+    # s alone.
     sh = (
         docs.select("doc_id", F.explode(shingles).alias("s"))
+        .repartition("s")
         .distinct()
     )
     tagged = sh.withColumn(

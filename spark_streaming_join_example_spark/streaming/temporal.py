@@ -42,6 +42,7 @@ RocksDB state store recommended beyond ~10⁷ active keys.
 
 from __future__ import annotations
 
+from bisect import bisect_right
 from typing import Any, Iterator
 
 import pandas as pd
@@ -64,7 +65,9 @@ STATE_SCHEMA = (
 
 
 def _to_us(series: pd.Series) -> list[int]:
-    return [int(t.value // 1000) for t in pd.to_datetime(series)]
+    # vectorized ns -> µs (r15, guide §4.2): one astype over the whole
+    # batch column instead of a Python Timestamp object per row
+    return (pd.to_datetime(series).astype("int64") // 1000).tolist()
 
 
 def temporal_join(
@@ -144,18 +147,19 @@ def temporal_join(
 
         if not state.hasTimedOut:
             for pdf in pdfs:
-                ts_us = _to_us(pdf["ts"])
-                for t, side, tid, pay in zip(
-                    ts_us, pdf["side"], pdf["tag_id"], pdf["payload"]
-                ):
-                    if side == 0:
-                        v_ts.append(t)
-                        v_seq.append(int(tid))
-                        v_val.append(float(pay))
-                    else:
-                        e_ts.append(t)
-                        e_id.append(int(tid))
-                        e_val.append(float(pay))
+                # mask-split the batch by side in four vectorized ops
+                # (r15, guide §4.2) instead of a Python loop per row
+                ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                vm = (pdf["side"] == 0).to_numpy()
+                tid = pdf["tag_id"].astype("int64")
+                pay = pdf["payload"].astype("float64")
+                v_ts.extend(ts_us[vm].tolist())
+                v_seq.extend(tid[vm].tolist())
+                v_val.extend(pay[vm].tolist())
+                v_mask = ~vm
+                e_ts.extend(ts_us[v_mask].tolist())
+                e_id.extend(tid[v_mask].tolist())
+                e_val.extend(pay[v_mask].tolist())
 
         wm_us = state.getCurrentWatermarkMs() * 1000
 
@@ -164,18 +168,20 @@ def temporal_join(
         # with v_ts == wm == e_ts could still arrive in a later batch
         # — only ts < wm is closed), as-of matched
         versions_sorted = sorted(zip(v_ts, v_seq, v_val))
+        sorted_ts = [x[0] for x in versions_sorted]
         out_rows: list[tuple] = []
         still_e: list[tuple[int, int, float]] = []
         for t, eid, val in zip(e_ts, e_id, e_val):
             if t >= wm_us:
                 still_e.append((t, eid, val))
                 continue
+            # rightmost version with v_ts <= t is max (ts, seq) — the
+            # as-of match; bisect replaces the r14 linear scan (r15)
+            i = bisect_right(sorted_ts, t)
             match = None
-            for vt, vs, vv in versions_sorted:
-                if vt <= t:
-                    match = (vt, vv)  # sorted asc → last hit is max (ts, seq)
-                else:
-                    break
+            if i:
+                vt, _, vv = versions_sorted[i - 1]
+                match = (vt, vv)
             if match is not None and tol_us is not None and match[0] < t - tol_us:
                 match = None  # latest version is stale beyond tolerance
             out_rows.append((eid, t, val) + (match or (None, None)))
@@ -221,12 +227,16 @@ def temporal_join(
                 {
                     "user_id": [user_id] * len(out_rows),
                     "event_id": [r[0] for r in out_rows],
-                    "ts": [pd.Timestamp(r[1], unit="us") for r in out_rows],
+                    # vectorized µs -> timestamp for the whole column
+                    # (r15, guide §4.2); None -> NaT on the dim side
+                    "ts": pd.to_datetime(
+                        pd.Series([r[1] for r in out_rows]), unit="us"
+                    ),
                     "value": [r[2] for r in out_rows],
-                    "dim_ts": [
-                        pd.Timestamp(r[3], unit="us") if r[3] is not None else pd.NaT
-                        for r in out_rows
-                    ],
+                    "dim_ts": pd.to_datetime(
+                        pd.Series([r[3] for r in out_rows], dtype="object"),
+                        unit="us",
+                    ),
                     # object dtype keeps missing as None → Arrow NULL
                     # (a float64 column would smuggle NaN instead)
                     "dim_value": pd.Series(

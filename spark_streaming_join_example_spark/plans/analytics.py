@@ -218,19 +218,33 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .persist()
         )
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    # r15 iteration restructure (guide §2.4, A/B'd in
+    # tools/ab_pagerank.py): ONE persisted groupBy("src") yields the
+    # degree table AND the node set (the graph is symmetric, so every
+    # node appears as src) — the separate nodes-distinct shuffle over
+    # edges disappears — and the per-src quotient ``r div outdeg`` is
+    # computed at NODE cardinality (r ⋈ deg, both node-sized) BEFORE
+    # touching edges, so each iteration joins the edge relation
+    # exactly once into the dst-keyed sum instead of twice.  Per-edge
+    # addends are unchanged integers (r div outdeg depends only on
+    # src), so the result is bit-identical to the two-join form.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+        .persist()
+    )
+    nodes = deg.select(F.col("src").alias("node"))
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
 
     r = nodes.crossJoin(nn).select(
         "node", F.expr(f"{_PR_SCALE} div n_nodes").alias("r")
     )
     for _ in range(2):
-        contrib = (
-            edges.join(r, edges.src == r.node)
-            .join(deg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("r div outdeg")).alias("c"))
+        quot = r.join(deg, r.node == deg.src).select(
+            "src", F.expr("r div outdeg").alias("q")
+        )
+        contrib = edges.join(quot, "src").groupBy("dst").agg(
+            F.sum("q").alias("c")
         )
         r = (
             nodes.crossJoin(nn)

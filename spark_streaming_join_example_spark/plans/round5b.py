@@ -644,9 +644,14 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r15: feed the undirected half (u < v) — kcore symmetrizes its
     # input internally, so the fixpoint is identical, and its two
-    # setup dedup shuffles now run over half the rows (guide §2.3)
+    # setup dedup shuffles now run over half the rows (guide §2.3).
+    # input_distinct_half declares basket_pairs' contract (distinct,
+    # u < v, no self-loops), letting the setup skip BOTH dedup
+    # shuffles outright — lazy mirror union, one checkpoint (A/B'd
+    # 0.891x in tools/ab_kcore.py; equivalence pinned in
+    # tests/test_properties.py).
     edges = copurchase_edges_undirected(spark, sf_dir)
-    return kcore(edges, k=16).orderBy("node")
+    return kcore(edges, k=16, input_distinct_half=True).orderBy("node")
 
 
 # ---------------------------------------------------------------------------

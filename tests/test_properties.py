@@ -356,6 +356,36 @@ def test_kcore_matches_model(spark, edges, k):
     assert all(d >= k for _, d in got)
 
 
+@given(edges=EDGE_ROWS, k=st.integers(1, 4))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_distinct_half_path_matches_generic(spark, edges, k):
+    """kcore(input_distinct_half=True) over the deduplicated u < v
+    half relation ≡ the generic path over the raw directed edge list
+    (the r15 setup-shuffle skip, tools/ab_kcore.py): the mirror union
+    of a distinct half cannot collide with itself, so skipping both
+    setup dedup shuffles must not move the fixpoint."""
+    from spark_streaming_join_example_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(
+        [tuple(e) for e in edges], schema="u int, v int"
+    ).repartition(3)
+    half_rows = sorted(
+        {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    )
+    if not half_rows:
+        return  # all self-loops: the half relation is empty by contract
+    half = spark.createDataFrame(
+        half_rows, schema="u int, v int"
+    ).repartition(3)
+    generic = {(r.node, r.core_deg) for r in kcore(df, k=k).collect()}
+    fast = {
+        (r.node, r.core_deg)
+        for r in kcore(half, k=k, input_distinct_half=True).collect()
+    }
+    assert fast == generic
+
+
 @given(
     vals=st.lists(st.integers(0, 9), min_size=1, max_size=60),
 )

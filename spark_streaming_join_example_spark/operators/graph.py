@@ -513,6 +513,14 @@ def bfs_hops(
             .withColumn("dist", F.lit(d))
         )
         nxt = nxt.localCheckpoint(eager=True)
+        # r15 (guide §1.2 "don't compute things you throw away"): an
+        # empty frontier can never grow — every remaining round's
+        # expansion join would scan the full edge relation to produce
+        # nothing.  The probe is one cheap isEmpty() on the
+        # just-materialized checkpoint; results are identical (the
+        # skipped rounds contribute zero rows by construction).
+        if nxt.isEmpty():
+            break
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited

@@ -360,15 +360,33 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     that a real deployment would amortize as a maintained table.  The
     final ORDER BY ... LIMIT 100 executes as TakeOrderedAndProject
     under a total order (acctbal, nation, supplier, part) so the
-    rowset is engine-independent."""
+    rowset is engine-independent.
+
+    r15 (guide §3.2 / §2.3): the catalog aggregate — the query's only
+    lineitem-sized exchange — used to run over ALL of lineitem even
+    though the downstream inner join keeps only size-15 parts (~2% of
+    part keys).  A broadcast LEFT SEMI on the filtered part keys now
+    drops non-qualifying rows BEFORE the groupBy.  Exact because the
+    predicate is on a grouping key: it removes whole (partkey,
+    suppkey) groups the p_size join removed identically, never a row
+    of a surviving group (tools/ab_partsupp.py asserts row identity;
+    interleaved timing 1.209 s → 0.687 s at sf0.1).  At 100 TB this
+    is the §3.2 semi-join/Bloom shape: shuffle 2% of the catalog
+    rows instead of all of them."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    p15 = p.filter(F.col("p_size") == 15)
+    li = li.join(
+        F.broadcast(p15.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "left_semi",
+    )
     ps = _derived_partsupp(li)
     eligible = (
-        ps.join(F.broadcast(p.filter(F.col("p_size") == 15)), F.col("ps_partkey") == F.col("p_partkey"))
+        ps.join(F.broadcast(p15), F.col("ps_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))  # bounded: supplier is dimension-sized
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))  # bounded: 25-row nation
         .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))  # bounded: region is a 5-row constant dimension
@@ -432,15 +450,32 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ cost_c×qty_c ≈ 3.1e14 at sf0.1 and linear in |lineitem| →
     int64-safe past sf100.  Both aggregates shuffle on
     ps_partkey once; the nation filter prunes via a 3-row broadcast
-    before any shuffle."""
+    before any shuffle.
+
+    r15 (guide §3.2 / §2.3): the catalog aggregate used to run over
+    ALL of lineitem even though the downstream supplier⋈nation join
+    keeps only the 3 scoped nations' suppliers (~12% of supplier
+    keys).  A broadcast LEFT SEMI on that supplier-key slice now
+    drops non-qualifying rows BEFORE the (partkey, suppkey) groupBy.
+    Exact because the predicate is on a grouping key — whole groups
+    the post-aggregate inner join removed identically
+    (tools/ab_partsupp.py asserts row identity; interleaved timing
+    1.431 s → 0.777 s at sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
+    n3 = n.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+    sk = s.join(
+        F.broadcast(n3),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    li = li.join(F.broadcast(sk), "l_suppkey", "left_semi")
     ps = _derived_partsupp(li)
     scoped = (
         ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))  # bounded: supplier is dimension-sized
         .join(
-            F.broadcast(n.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+            F.broadcast(n3),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )  # bounded: 3-row nation slice
         .select("ps_partkey", (F.col("ps_supplycost_c") * F.col("ps_qty_c")).alias("value_cc"))

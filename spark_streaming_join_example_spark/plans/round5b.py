@@ -825,15 +825,23 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention campaigns.
 
     Scale rationale: the per-user rollup is one partial-aggregable
-    groupBy over the purchase stream; the three quartile assignments
-    run over the USER-cardinality rollup through
-    operators/ranking.global_ntile (range-partitioned two-phase rank
-    + broadcast total per ordering — three range shuffles of the
-    rollup, no single-partition sort).  Every ordering carries a
-    user_id tie-break, so quartile boundaries are engine-identical;
-    all inputs are BIGINT (µs epochs, counts, micro-units).  At
-    extreme user counts a percentile-sketch cut is the sampling
-    alternative with the same output contract.
+    groupBy over the purchase stream, pinned once with a lineage cut
+    (localCheckpoint — the ranking kernels' own discipline) because
+    four plan branches consume it; the three quartile assignments
+    FAN OUT from it through operators/ranking.global_ntile
+    (range-partitioned two-phase rank + broadcast total per
+    ordering), each over a NARROW (user_id, metric) projection, and
+    the integer scores join back on user_id (user-cardinality; AQE
+    broadcasts locally, co-partitions at scale).  The fan-out beats
+    the r5 chained form 0.794× (tools/ab_rfm.py, identity asserted):
+    the three range shuffles carry 2 columns instead of the
+    ever-widening full row, and the three sort barriers are
+    independent subtrees Spark schedules concurrently instead of
+    sequentially.  Every ordering carries a user_id tie-break, so
+    quartile boundaries are engine-identical; all inputs are BIGINT
+    (µs epochs, counts, micro-units).  At extreme user counts a
+    percentile-sketch cut is the sampling alternative with the same
+    output contract.
     """
     e = _t(spark, sf_dir, "events")
     rfm = (
@@ -846,23 +854,24 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("value") * F.lit(1_000_000.0)).cast("long")
             ).alias("monet_e6"),
         )
-    )
-    scored = global_ntile(
-        global_ntile(
-            global_ntile(
-                rfm,
-                4,
-                [F.col("last_us").desc(), F.col("user_id")],
-                out="r_score",
-            ),
-            4,
-            [F.col("freq").desc(), F.col("user_id")],
-            out="f_score",
+    ).localCheckpoint(eager=False)
+    orders = {
+        "r_score": ("last_us", [F.col("last_us").desc(), F.col("user_id")]),
+        "f_score": ("freq", [F.col("freq").desc(), F.col("user_id")]),
+        "m_score": (
+            "monet_e6",
+            [F.col("monet_e6").desc(), F.col("user_id")],
         ),
-        4,
-        [F.col("monet_e6").desc(), F.col("user_id")],
-        out="m_score",
-    ).select("user_id", "freq", "monet_e6", "r_score", "f_score", "m_score")
+    }
+    scored = rfm
+    for out, (metric, cols) in orders.items():
+        ranked = global_ntile(
+            rfm.select("user_id", metric), 4, cols, out=out
+        ).select("user_id", out)
+        scored = scored.join(ranked, "user_id")
+    scored = scored.select(
+        "user_id", "freq", "monet_e6", "r_score", "f_score", "m_score"
+    )
     return scored.select(
         "user_id",
         "freq",

@@ -649,6 +649,65 @@ def test_reworked_global_windows_single_partition_is_metadata_only(
                 )
 
 
+def test_rfm_fanout_matches_chained_form(spark, sf_dir, qd):
+    """r15 fan-out adoption (tools/ab_rfm.py): the registered
+    q_rfm_segments now ranks three narrow (user_id, metric)
+    projections independently and joins the scores back on user_id.
+    Equivalence pin vs the pre-r15 CHAINED global_ntile form: each
+    ntile is a pure function of (ordering, row multiset) with a
+    user_id tie-break, so the shapes must agree row-for-row."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import collect_sorted
+
+    from spark_streaming_join_example_spark.operators.ranking import (
+        global_ntile,
+    )
+    from spark_streaming_join_example_spark.plans.round5b import _t
+
+    e = _t(spark, sf_dir, "events")
+    rfm = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.round(F.col("value") * F.lit(1_000_000.0)).cast("long")
+            ).alias("monet_e6"),
+        )
+    )
+    chained = global_ntile(
+        global_ntile(
+            global_ntile(
+                rfm,
+                4,
+                [F.col("last_us").desc(), F.col("user_id")],
+                out="r_score",
+            ),
+            4,
+            [F.col("freq").desc(), F.col("user_id")],
+            out="f_score",
+        ),
+        4,
+        [F.col("monet_e6").desc(), F.col("user_id")],
+        out="m_score",
+    ).select(
+        "user_id",
+        "freq",
+        "monet_e6",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_cell"),
+    )
+    assert collect_sorted(qd["q_rfm_segments"](spark, sf_dir)) == (
+        collect_sorted(chained)
+    )
+
+
 def test_tpch_gap_shapes_scale_plans(spark, sf_dir, qd):
     # Q6 shape: all three predicates + 3-column projection reach the scan
     p = plan_of(qd["q_forecast_revenue"](spark, sf_dir))

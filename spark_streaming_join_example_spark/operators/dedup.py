@@ -353,9 +353,18 @@ def corpus_shingle_toks(
     tests/test_extensions.py."""
     import os
 
-    from ..sources.batch import load_table
+    from ..sources.batch import load_table, scan_fanout
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r15 (guide §2.5): the documents file is KBs on the fixtures, so
+    # the scan is 1-2 tasks — and the shingle expression, signature
+    # kernel and broadcast LSH join all fuse onto it with no exchange
+    # anywhere, serializing the whole near-dup stack on one core
+    # (stage_profile.py: 98 % of q_minhash_neardup's executor time in
+    # three single-task stages).  scan_fanout is a no-op once the
+    # input is big enough to scan at core-count parallelism.
+    docs = scan_fanout(
+        load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     unit = (
         shingles(text_col, n=shingle)
         if shingle > 1

@@ -429,10 +429,28 @@ def q_prefix_shingle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_filter_jaccard_pairs,
     )
 
+    # r15: scan_fanout was A/B'd here and REJECTED (tools/ab_fanout.py:
+    # B/A 1.08-1.20 interleaved) — unlike the LSH stack, this pipeline
+    # shuffles early (the df-order frequency pass), so the map side is
+    # short and the fan-out exchange plus wide tiny stages only add
+    # overhead.  The shared-shingle bench path reads the (fanned)
+    # corpus memo, which is fine: the filter below re-slices it.
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     if os.environ.get("SPARK_GRAFT_SHARE_SHINGLES") == "1":
-        toks = corpus_shingle_toks(spark, sf_dir).filter(
-            F.col("doc_id") < 2000
+        # r15: the shared memo is checkpointed at CORE-COUNT partitions
+        # for the LSH/SimHash kernels' benefit (scan_fanout in
+        # corpus_shingle_toks) — but this pipeline is exchange-bound
+        # (its first step is the corpus-wide frequency shuffle), so the
+        # wide map side only adds task overhead: 1.78 s at 32
+        # partitions vs 1.20 s coalesced, non-overlapping ranges
+        # (tools/ab_prefix_coalesce.py).  coalesce is NARROW over the
+        # materialized memo — it merges checkpointed partitions without
+        # re-fusing (or re-running) the shingle build.
+        p = spark.sparkContext.defaultParallelism
+        toks = (
+            corpus_shingle_toks(spark, sf_dir)
+            .coalesce(max(2, p // 8))
+            .filter(F.col("doc_id") < 2000)
         )
         return prefix_filter_jaccard_pairs(
             d, threshold=0.9, shingle=3, toks=toks

@@ -77,7 +77,13 @@ def q_cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial HashAggregate).  The (doc, shingle) distinct is the same
     dedup-before-count discipline q_exact_dedup_docs uses.
     """
-    docs = _t(spark, sf_dir, "documents")
+    # r15 (guide §2.5): the 584 KB documents scan is one task, and the
+    # shingle explode fuses onto it — 2 s of single-core string work
+    # before the first exchange (stage_profile.py).  scan_fanout
+    # parallelizes the explode map side; no-op at production sizes.
+    from ..sources.batch import scan_fanout
+
+    docs = scan_fanout(_t(spark, sf_dir, "documents"), sf_dir, "documents")
     words = F.split("text", " ")
     n = F.size(words)
     shingles = F.when(

@@ -136,6 +136,50 @@ def parquet_num_rows(sf_dir: str, name: str) -> int | None:
     return total
 
 
+def scan_fanout(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Fan a small-file scan out to the session's core count before
+    compute-heavy downstream operators (r15, guide §2.5/§2.6).
+
+    A parquet scan produces at most ~size/openCostInBytes (4 MB)
+    splits, so a table whose on-disk bytes sit below
+    ``defaultParallelism × 4 MB`` necessarily scans in fewer tasks
+    than the session has cores — and every operator FUSED onto the
+    scan (shingle expressions, explodes, mapInPandas kernels,
+    broadcast-join probes) inherits that ceiling.  A pipeline with no
+    exchange anywhere then runs SERIALLY regardless of core count:
+    the sf0.1 MinHash stack (584 KB documents scan → shingles →
+    signature kernel → broadcast LSH join → verify) spent 98 % of its
+    executor time in three single-task stages (tools/stage_profile.py,
+    r15).  AQE cannot help — its coalescing is bytes-based and there
+    is no shuffle to re-split.  One explicit round-robin repartition
+    to ``defaultParallelism`` unlocks the cores for the price of
+    shuffling a few hundred KB.
+
+    Scale-adaptive by construction: the decision derives from the
+    INPUT SIZE (one driver-side os.stat, no job).  A table big enough
+    to scan at ≥ core-count parallelism is returned unchanged, so at
+    production scale this is a no-op — never an added full shuffle of
+    a large input.  Apply it only where downstream work is per-row
+    heavy; plain scans/aggregates don't need it."""
+    if os.environ.get("SPARK_GRAFT_NO_FANOUT") == "1":
+        return df  # A/B kill-switch (tools/ab_fanout.py) + deployment opt-out
+    path = table_path(sf_dir, name)
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(f)
+                for f in glob.glob(os.path.join(path, "*.parquet"))
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if size >= p * 4 * 1024 * 1024:
+        return df
+    return df.repartition(p)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a fixture table with its canonical logical schema."""
     ensure_runtime_confs(spark)

@@ -104,6 +104,13 @@ def q_cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate (plans/r15/q_cross_doc_ngram_dup_after.txt); skew on a
     # hot shingle is the same either way — the window always keyed on
     # s alone.
+    # r15 (second pass): an explicit exchange WIDTH was probed here
+    # while evaluating the (rejected) 128k AQE coalescing floor —
+    # under that floor W8 1.038 s < W16 1.252 < W32 ≈ AQE 1.52-1.57 —
+    # but with the stock 1 MB floor kept (see session.py), AQE already
+    # coalesces this exchange to ~bytes/1MB ≈ 6 partitions, which the
+    # probe showed is the right width band; the pin would change
+    # nothing and is not adopted.
     sh = (
         docs.select("doc_id", F.explode(shingles).alias("s"))
         .repartition("s")

@@ -43,6 +43,17 @@ RUNTIME_CONFS: dict[str, str] = {
 BUILD_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # r15: lowering spark.sql.adaptive.coalescePartitions.
+    # minPartitionSize from its 1 MB default to 128k was A/B'd
+    # (tools/ab_minpartsize.py — with parallelismFirst=true the
+    # post-shuffle target is max(totalBytes/parallelism,
+    # minPartitionSize), and the 1 MB floor caps fixture reduce
+    # stages at 2-6 tasks) and REJECTED: per-query signs FLIPPED
+    # across three alternating-session rounds (headline totals 0.88 /
+    # 0.98 / 0.95; q_rfm_segments 0.71 then 1.07/1.08;
+    # q_cross_doc_ngram_dup regressed 1.19-1.35 in two of three), so
+    # the true effect is below this box's steal noise with regression
+    # risk on the heavy tier.  Stock default kept.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

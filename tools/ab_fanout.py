@@ -42,6 +42,10 @@ from spark_streaming_join_example_spark import get_spark
 #                           near-empty partitions); a checkpoint+
 #                           coalesce fan-in variant measured B/A 0.974
 #                           = NULL, so _dup_edges stays unchanged.
+# Third-window confirmation (post-adoption, freer box):
+#   q_minhash_neardup 5.424 -> 2.060 (0.380), q_simhash_shingle_pairs
+#   2.022 -> 1.092 (0.540), q_cross_doc_ngram_dup 2.882 -> 2.026
+#   (0.703) — consistent across all three measurement windows.
 # The two rejected names keep working here (their arms are now
 # identical — the probe then measures pure run-to-run noise).
 DEFAULT_QUERIES = [

@@ -534,3 +534,47 @@ def test_audit_sink_streaming_per_batch_manifests(spark, sf_dir, tmp_path):
     assert key_total == be.agg(F.sum("event_id")).collect()[0][0]
     drain()  # restart: drained checkpoint → no new manifests
     assert sorted(_glob.glob(path + "/batch-*.json")) == manifests
+
+
+# ---------------------------------------------------------------------------
+# r15 scan fan-out (sources/batch.py::scan_fanout)
+# ---------------------------------------------------------------------------
+
+
+def test_scan_fanout_widens_small_scan_without_changing_rows(spark, sf_dir):
+    """A KB-sized table fans out to exactly defaultParallelism
+    partitions and the row multiset is untouched — the physical-only
+    contract every consumer (corpus_shingle_toks, the cross-doc ngram
+    explode) relies on."""
+    from spark_streaming_join_example_spark.sources.batch import scan_fanout
+
+    base = load_table(spark, sf_dir, "documents")
+    fanned = scan_fanout(base, sf_dir, "documents")
+    p = spark.sparkContext.defaultParallelism
+    assert fanned.rdd.getNumPartitions() == p
+    assert collect_sorted(fanned) == collect_sorted(base)
+
+
+def test_scan_fanout_noops_for_large_inputs_and_kill_switch(
+    spark, sf_dir, monkeypatch
+):
+    """The fan-out must NEVER add a shuffle at production sizes: a
+    table whose bytes reach defaultParallelism x openCost (4 MB) is
+    returned unchanged (the scan already reaches core-count splits),
+    and SPARK_GRAFT_NO_FANOUT=1 (the A/B kill-switch / deployment
+    opt-out) short-circuits before any stat."""
+    import os as _os
+
+    import spark_streaming_join_example_spark.sources.batch as B
+
+    base = load_table(spark, sf_dir, "documents")
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_FANOUT", "1")
+    assert B.scan_fanout(base, sf_dir, "documents") is base
+    monkeypatch.delenv("SPARK_GRAFT_NO_FANOUT")
+
+    real_getsize = _os.path.getsize
+    monkeypatch.setattr(
+        B.os.path, "getsize", lambda p: max(real_getsize(p), 1 << 40)
+    )
+    assert B.scan_fanout(base, sf_dir, "documents") is base

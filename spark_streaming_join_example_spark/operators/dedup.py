@@ -379,6 +379,12 @@ def corpus_shingle_toks(
         shingle,
         id_col,
         text_col,
+        # r16 (ADVICE r15): the fan-out arm is part of the relation's
+        # identity — without it, toggling SPARK_GRAFT_NO_FANOUT
+        # mid-session would silently serve a memoized relation built
+        # under the OTHER arm (the A/B tools only worked because they
+        # cleared the memo by hand).
+        os.environ.get("SPARK_GRAFT_NO_FANOUT") == "1",
     )
     if key not in _SHARED_TOKS_MEMO:
         _SHARED_TOKS_MEMO[key] = plain.localCheckpoint(eager=True)

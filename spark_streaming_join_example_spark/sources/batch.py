@@ -166,13 +166,25 @@ def scan_fanout(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     try:
         if os.path.isdir(path):
+            # recursive: partitioned layouts nest data files under
+            # key=value subdirectories
             size = sum(
                 os.path.getsize(f)
-                for f in glob.glob(os.path.join(path, "*.parquet"))
+                for f in glob.glob(
+                    os.path.join(path, "**", "*.parquet"), recursive=True
+                )
             )
         else:
             size = os.path.getsize(path)
     except OSError:
+        return df
+    if size <= 0:
+        # r16 (ADVICE r15): an empty glob / zero-byte estimate means the
+        # size is UNKNOWN (layout drift, object-store path, nested
+        # non-parquet names), not "tiny" — repartitioning on a failed
+        # estimate could insert a full shuffle of a large table, the
+        # exact case the docstring promises never happens.  Mirror the
+        # OSError branch and leave the scan unchanged.
         return df
     p = df.sparkSession.sparkContext.defaultParallelism
     if size >= p * 4 * 1024 * 1024:

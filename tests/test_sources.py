@@ -578,3 +578,21 @@ def test_scan_fanout_noops_for_large_inputs_and_kill_switch(
         B.os.path, "getsize", lambda p: max(real_getsize(p), 1 << 40)
     )
     assert B.scan_fanout(base, sf_dir, "documents") is base
+
+
+def test_scan_fanout_treats_unknown_size_as_noop(spark, sf_dir, monkeypatch):
+    """r16 (ADVICE r15): an empty glob (layout drift, nested
+    non-parquet names, object-store path the local glob can't see)
+    must read as size UNKNOWN → scan returned unchanged — never as
+    'tiny' → unconditional repartition, which could insert a full
+    shuffle of a large table."""
+    import spark_streaming_join_example_spark.sources.batch as B
+
+    base = load_table(spark, sf_dir, "documents")
+
+    # the documents fixture is a single parquet file locally, so force
+    # the directory branch and make its glob come back empty — the
+    # object-store / layout-drift shape the guard exists for
+    monkeypatch.setattr(B.os.path, "isdir", lambda p: True)
+    monkeypatch.setattr(B.glob, "glob", lambda *a, **k: [])
+    assert B.scan_fanout(base, sf_dir, "documents") is base

@@ -198,13 +198,21 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-    sym = sym.localCheckpoint(eager=True)
+    # r16 (guide §1.2): LAZY checkpoint — labels0's eager
+    # materialization below is a groupBy over every sym partition, so
+    # that one job computes AND persists sym; a separate eager job
+    # here was pure fixed scheduling cost.  (sym's single downstream
+    # consumer before materialization is labels0, so no double-compute
+    # window exists.)
+    sym = sym.localCheckpoint(eager=False)
 
     # Label init fused with propagation round 1: every node starts at
     # min(self, direct neighbors) — the same single groupBy shuffle a
     # bare `.distinct()` init would cost, but one full join+groupBy
     # round cheaper overall (sym carries both orientations, so min("d")
-    # per s IS the neighbor minimum).
+    # per s IS the neighbor minimum).  Eager: the relation feeds TWO
+    # join branches of the quotient build in one job — lazy would race
+    # both branches into computing it concurrently.
     labels0 = (
         sym.groupBy(F.col("s").alias("node"))
         .agg(F.min("d").alias("mind"))
@@ -216,6 +224,10 @@ def connected_components(
     # original edge whose endpoints landed in different classes.  The
     # label relation is one row per node — far below the edge count —
     # so AQE picks a broadcast build side when it fits.
+    # r16 (guide §1.2): lazy checkpoint + count() — the count both
+    # materializes every partition into the checkpoint (exactly what
+    # eager did) AND answers the empty-quotient probe that isEmpty()
+    # cost a second job for.
     quotient = (
         sym.join(labels0.select(F.col("node").alias("s"),
                                 F.col("component").alias("ls")), "s")
@@ -224,24 +236,27 @@ def connected_components(
         .filter(F.col("ls") != F.col("ld"))
         .select(F.col("ls").alias("s"), F.col("ld").alias("d"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    if quotient.isEmpty():
+    if quotient.count() == 0:
         # every component collapsed to a single class in the init round
         # (the common case for clique-shaped duplicate groups)
         return labels0
 
+    # Convergence probe: labels only ever DECREASE, so the total label
+    # sum is strictly monotone until the fixpoint — an unchanged sum
+    # means converged.  One cheap agg per round instead of a
+    # join+count.  r16 (guide §1.2): the probe agg IS the round's
+    # materializing action — a lazy checkpoint plus one sum() job per
+    # round replaces eager-checkpoint + sum() (2 jobs of fixed
+    # scheduling cost down to 1; the sum scans every partition, so the
+    # checkpoint is complete exactly as under eager).
     labels = (
         quotient.groupBy(F.col("s").alias("node"))
         .agg(F.min("d").alias("mind"))
         .select("node", F.least("node", "mind").alias("component"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-
-    # Convergence probe: labels only ever DECREASE, so the total label
-    # sum is strictly monotone until the fixpoint — an unchanged sum
-    # means converged.  One cheap agg per round instead of a
-    # join+count.
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
@@ -254,7 +269,7 @@ def connected_components(
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
@@ -315,11 +330,17 @@ def connected_components_star(
     practice), so the stars are stable and labels can be read off.
     Decimal accumulation sidesteps ANSI long-sum overflow.
     """
+    # r16 (guide §1.2): all_nodes has exactly ONE consumer — the final
+    # label join — so a lazy checkpoint defers its (identical) upstream
+    # pass into the caller's action instead of paying a separate eager
+    # job at setup.  e stays EAGER: round 1 unions e with its own flip
+    # in one job, and lazy would race both branches into recomputing
+    # the expensive upstream edge build concurrently.
     all_nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -361,11 +382,15 @@ def connected_components_star(
             .select(F.col("b").alias("a"), F.col("ms").alias("b"))
         )
         hooked_self = ms.select("a", F.col("ms").alias("b"))
+        # r16 (guide §1.2): lazy checkpoint — the signature agg is the
+        # round's materializing action (it scans every partition, so
+        # the checkpoint is complete exactly as under eager) at half
+        # the per-round job count.
         e = (
             hooked_spokes.union(hooked_self)
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         sig = signature(e)
         if sig == prev_sig:
@@ -431,11 +456,16 @@ def kcore(
     graphs in tests/test_properties.py.  The generic path stays the
     default for arbitrary directed input.
     """
+    # r16 (guide §1.2): every localCheckpoint below is LAZY and
+    # materialized by the count() that the convergence probe needs
+    # anyway — the count scans every partition, so the checkpoint is
+    # complete exactly as under eager, at half the per-round job count
+    # (eager-checkpoint + count was 2 jobs of fixed scheduling cost).
     if input_distinct_half:
         half = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         e = half.union(
             half.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     else:
         sym = (
             edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -444,9 +474,11 @@ def kcore(
             .localCheckpoint(eager=True)
         )
         # Undirected: carry both orientations so degree = count per "s".
+        # (sym stays EAGER: it feeds both union branches in one job —
+        # lazy would race them into computing the upstream dedup twice.)
         e = sym.union(
             sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        ).distinct().localCheckpoint(eager=True)
+        ).distinct().localCheckpoint(eager=False)
     prev_n = e.count()
     converged = prev_n == 0
     for _ in range(max_iter):
@@ -457,7 +489,7 @@ def kcore(
         e = (
             e.join(keep, "s", "left_semi")
             .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = e.count()
         if n == prev_n or n == 0:
@@ -523,14 +555,16 @@ def bfs_hops(
             .distinct()
             .withColumn("dist", F.lit(d))
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        # r15 (guide §1.2 "don't compute things you throw away"): an
-        # empty frontier can never grow — every remaining round's
+        # r16 (guide §1.2): lazy checkpoint + count() — the count both
+        # materializes every frontier partition into the checkpoint
+        # (exactly what eager did) AND answers the r15 empty-frontier
+        # probe that isEmpty() cost a second job for; an empty
+        # frontier can never grow, so every remaining round's
         # expansion join would scan the full edge relation to produce
-        # nothing.  The probe is one cheap isEmpty() on the
-        # just-materialized checkpoint; results are identical (the
-        # skipped rounds contribute zero rows by construction).
-        if nxt.isEmpty():
+        # nothing.  Results are identical (the skipped rounds
+        # contribute zero rows by construction).
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         visited = visited.unionByName(nxt)
         frontier = nxt

@@ -468,6 +468,40 @@ def ann_pairs_above(
     )
 
 
+def _assign_nearest_1d(x, cent):
+    """Exact 1-D nearest-centroid assignment — the same result as
+    ``np.argmin`` over the full |x−c|² matrix, including its
+    first-minimum-index tie-break, at O(N log K) instead of O(N·K).
+
+    Sort the centroids once; each point's nearest centroid VALUE is
+    one of the two bracketing its ``searchsorted`` insertion point.
+    ``argmin`` resolves a distance tie (midpoint hit, or duplicate
+    centroid values) to the smallest ORIGINAL index, so per run of
+    equal sorted values we carry the run's smallest original index
+    (stable argsort ⇒ the run's first element) and break the
+    left/right midpoint tie toward the smaller of those.  Equivalence
+    to the matrix path — on the real fixture samples and on crafted
+    tie/duplicate inputs — is pinned in tests/test_extensions.py."""
+    import numpy as np
+
+    k = len(cent)
+    order = np.argsort(cent, kind="stable")
+    cs = cent[order]
+    run_start = np.empty(k, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = cs[1:] != cs[:-1]
+    # per sorted position: the index argmin would report for that value
+    cand = order[np.nonzero(run_start)[0]][np.cumsum(run_start) - 1]
+    pos = np.searchsorted(cs, x)
+    left = np.clip(pos - 1, 0, k - 1)
+    right = np.clip(pos, 0, k - 1)
+    dl = np.abs(x - cs[left])
+    dr = np.abs(x - cs[right])
+    il, ir = cand[left], cand[right]
+    pick_right = (dr < dl) | ((dr == dl) & (ir < il))
+    return np.where(pick_right, ir, il)
+
+
 def _kmeans_l2(mat, kk: int, n_iter: int = 10, seed: int = 42):
     """Plain Euclidean k-means for PQ sub-quantizers (the cosine
     variant `_kmeans_centroids` re-normalizes centroids — wrong for
@@ -479,17 +513,29 @@ def _kmeans_l2(mat, kk: int, n_iter: int = 10, seed: int = 42):
     fancy-indexing passes per round and dominated q_pq_topk's
     wall-clock (driver-side training 7.2 s → ~0.3 s).  Still fully
     deterministic (seeded init, fixed iteration order); empty
-    clusters keep their previous centroid, as before."""
+    clusters keep their previous centroid, as before.
+
+    r16 (guide §1.2 — q_pq_topk's registered m=16 over d=16 makes
+    every subspace ONE-dimensional, and the N×K distance matrix was
+    ~100 % of the remaining training cost): 1-D subspaces route
+    through :func:`_assign_nearest_1d` (sorted centroids +
+    searchsorted), which returns bit-identical assignments — same
+    centroids out, measured ~15× faster per round."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
     cent = mat[
         rng.choice(len(mat), size=min(kk, len(mat)), replace=False)
     ].copy()
-    sq = (mat**2).sum(axis=1)[:, None]
+    one_d = mat.shape[1] == 1
+    x = mat[:, 0] if one_d else None
+    sq = None if one_d else (mat**2).sum(axis=1)[:, None]
     for _ in range(n_iter):
-        d2 = sq - 2.0 * (mat @ cent.T) + (cent**2).sum(axis=1)[None, :]
-        assign = np.argmin(d2, axis=1)
+        if one_d:
+            assign = _assign_nearest_1d(x, cent[:, 0])
+        else:
+            d2 = sq - 2.0 * (mat @ cent.T) + (cent**2).sum(axis=1)[None, :]
+            assign = np.argmin(d2, axis=1)
         counts = np.bincount(assign, minlength=len(cent))
         sums = np.stack(
             [
@@ -504,7 +550,8 @@ def _kmeans_l2(mat, kk: int, n_iter: int = 10, seed: int = 42):
 
 
 def pq_codebooks(
-    emb: DataFrame, m: int = 4, nbits: int = 4, seed: int = 42
+    emb: DataFrame, m: int = 4, nbits: int = 4, seed: int = 42,
+    n_iter: int = 4,
 ):
     """Train product-quantization codebooks on the deterministic
     bounded sample (same discipline as the IVF coarse quantizer):
@@ -512,7 +559,17 @@ def pq_codebooks(
     k-means with ``2**nbits`` centroids per subspace.  Returns
     ``(books, tables)`` where ``books[j]`` is the subspace-j codebook
     and ``tables[j][a][b] = books[j][a] · books[j][b]`` is the
-    symmetric-distance-computation (SDC) lookup table."""
+    symmetric-distance-computation (SDC) lookup table.
+
+    ``n_iter`` (r16, VERDICT r15 item 4): 4 Lloyd rounds, down from
+    the kernel's old 10 — the codebooks only have to RANK candidates
+    well enough that the true top-k survives the generous per-group
+    ``keep`` cut (the re-rank is exact), and the driver-side training
+    was ~0.5 s of q_pq_topk's 2.4 s wall.  Measured: the registered
+    query's output is IDENTICAL at n_iter 10 / 4 / 2 on every fixture
+    (full 10/10 recall vs the exact kernel at each — the equality is
+    pinned in tests/test_extensions.py); 4 keeps convergence margin
+    over 2 for unseen corpora."""
     import numpy as np
 
     sample = _deterministic_sample(emb, "embedding")
@@ -523,7 +580,10 @@ def pq_codebooks(
         raise ValueError(f"pq: dim {d} not divisible by m={m}")
     ds = d // m
     books = [
-        _kmeans_l2(mat[:, j * ds : (j + 1) * ds], 2**nbits, seed=seed + j)
+        _kmeans_l2(
+            mat[:, j * ds : (j + 1) * ds], 2**nbits,
+            n_iter=n_iter, seed=seed + j,
+        )
         for j in range(m)
     ]
     tables = [b @ b.T for b in books]

@@ -973,3 +973,89 @@ def test_shared_shingles_results_identical(spark, sf_dir):
     for n in names:
         assert plain[n] == shared[n], n
         assert plain[n], f"{n} empty — pin vacuous"
+
+
+# ---------------------------------------------------------------------------
+# r16: PQ training-cost optimization pins (VERDICT r15 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_topk_full_recall_equals_exact_topk(spark, sf_dir):
+    """r16 full-recall pin: on the fixture, q_pq_topk's re-ranked
+    top-10 must EQUAL the exact kernel's top-10 (pairs AND rounded
+    sims).  This is the guard that makes the codebook-training budget
+    (pq_codebooks n_iter 10 -> 4, a ~0.3 s driver-side saving per
+    invocation) output-invariant: while this pin holds, the query's
+    result is the exact top-10, whatever the training internals —
+    measured identical at n_iter 10/4/2 on sf0.001/0.01/0.1 before
+    adopting."""
+    from spark_streaming_join_example_spark.plans.registry import (
+        REGISTRY,
+        _load_all_plans,
+    )
+
+    _load_all_plans()
+    exact = sorted(
+        (r.a_id, r.b_id, r.cos_sim)
+        for r in REGISTRY["q_cosine_topk"].fn(spark, sf_dir).collect()
+    )
+    pq = sorted(
+        (r.a_id, r.b_id, r.cos_sim)
+        for r in REGISTRY["q_pq_topk"].fn(spark, sf_dir).collect()
+    )
+    assert pq == exact
+
+
+def test_kmeans_1d_assignment_matches_matrix_argmin():
+    """r16: the 1-D fast path (_assign_nearest_1d — sorted centroids +
+    searchsorted) must reproduce np.argmin over the full distance
+    matrix EXACTLY, including first-min-index tie-breaks, on random
+    data, crafted midpoint ties, and duplicate centroid values."""
+    import numpy as np
+
+    from spark_streaming_join_example_spark.operators.similarity import (
+        _assign_nearest_1d,
+        _kmeans_l2,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def ref(x, cent):
+        d2 = (x[:, None] - cent[None, :]) ** 2
+        return np.argmin(d2, axis=1)
+
+    # random
+    for n, k in ((1000, 256), (50, 8), (5, 5)):
+        x = rng.standard_normal(n)
+        cent = rng.standard_normal(k)
+        assert np.array_equal(_assign_nearest_1d(x, cent), ref(x, cent))
+
+    # exact midpoint ties + duplicate centroid values (integer-valued
+    # floats: every distance is exactly representable, so the matrix
+    # path's tie is a TRUE fp tie and argmin picks the first index)
+    cent = np.array([4.0, 0.0, 2.0, 2.0, 8.0])
+    x = np.array([1.0, 3.0, 2.0, 6.0, -5.0, 9.0])
+    assert np.array_equal(_assign_nearest_1d(x, cent), ref(x, cent))
+
+    # end-to-end: 1-D k-means equals the matrix-path implementation
+    mat = rng.standard_normal((512, 1))
+    got = _kmeans_l2(mat, 32, n_iter=6, seed=3)
+
+    def ref_kmeans(mat, kk, n_iter, seed):
+        r = np.random.default_rng(seed)
+        cent = mat[r.choice(len(mat), size=min(kk, len(mat)), replace=False)].copy()
+        sq = (mat**2).sum(axis=1)[:, None]
+        for _ in range(n_iter):
+            d2 = sq - 2.0 * (mat @ cent.T) + (cent**2).sum(axis=1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            counts = np.bincount(assign, minlength=len(cent))
+            sums = np.stack(
+                [np.bincount(assign, weights=mat[:, d], minlength=len(cent))
+                 for d in range(mat.shape[1])],
+                axis=1,
+            )
+            nz = counts > 0
+            cent[nz] = sums[nz] / counts[nz][:, None]
+        return cent
+
+    assert np.array_equal(got, ref_kmeans(mat, 32, 6, 3))

@@ -58,16 +58,19 @@ OUTPUT_SCHEMA = (
     "user_id long, event_id long, ts timestamp, value double, "
     "dim_ts timestamp, dim_value double"
 )
+#: what the state kernel itself emits (r16, guide §4.1): epoch-µs
+#: longs instead of timestamps — the µs→timestamp conversion happens
+#: ONCE, JVM-side and vectorized, in the select over the operator's
+#: output, instead of two pd.to_datetime calls inside every per-key
+#: kernel invocation (~|keys| of them per micro-batch).
+_KERNEL_SCHEMA = (
+    "user_id long, event_id long, ts_us long, value double, "
+    "dim_ts_us long, dim_value double"
+)
 STATE_SCHEMA = (
     "v_ts array<long>, v_seq array<long>, v_val array<double>, "
     "e_ts array<long>, e_id array<long>, e_val array<double>"
 )
-
-
-def _to_us(series: pd.Series) -> list[int]:
-    # vectorized ns -> µs (r15, guide §4.2): one astype over the whole
-    # batch column instead of a Python Timestamp object per row
-    return (pd.to_datetime(series).astype("int64") // 1000).tolist()
 
 
 def temporal_join(
@@ -132,7 +135,16 @@ def temporal_join(
         F.col("event_id").alias("tag_id"),
         F.col("value").alias("payload"),
     )
-    both = tagged_v.unionByName(tagged_e).withWatermark("ts", watermark)
+    # r16 (guide §4.1): compute epoch-µs ONCE, JVM-side and vectorized,
+    # instead of a pd.to_datetime per key-group inside the kernel —
+    # with ~|keys| kernel invocations per micro-batch the per-group
+    # pandas conversions were the dominant Python-boundary cost.  The
+    # watermark stays attached to the original ts column.
+    both = (
+        tagged_v.unionByName(tagged_e)
+        .withWatermark("ts", watermark)
+        .withColumn("ts_us", F.unix_micros("ts"))
+    )
 
     def update(
         key: tuple[Any, ...],
@@ -148,8 +160,9 @@ def temporal_join(
         if not state.hasTimedOut:
             for pdf in pdfs:
                 # mask-split the batch by side in four vectorized ops
-                # (r15, guide §4.2) instead of a Python loop per row
-                ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                # (r15, guide §4.2) instead of a Python loop per row;
+                # ts_us arrives precomputed from the JVM (r16, §4.1)
+                ts_us = pdf["ts_us"]
                 vm = (pdf["side"] == 0).to_numpy()
                 tid = pdf["tag_id"].astype("int64")
                 pay = pdf["payload"].astype("float64")
@@ -227,30 +240,39 @@ def temporal_join(
                 {
                     "user_id": [user_id] * len(out_rows),
                     "event_id": [r[0] for r in out_rows],
-                    # vectorized µs -> timestamp for the whole column
-                    # (r15, guide §4.2); None -> NaT on the dim side
-                    "ts": pd.to_datetime(
-                        pd.Series([r[1] for r in out_rows]), unit="us"
-                    ),
+                    # r16 (guide §4.1): emit epoch-µs longs; the
+                    # µs→timestamp conversion happens once, JVM-side,
+                    # in the select below instead of two pd.to_datetime
+                    # calls per key-group
+                    "ts_us": [r[1] for r in out_rows],
                     "value": [r[2] for r in out_rows],
-                    "dim_ts": pd.to_datetime(
-                        pd.Series([r[3] for r in out_rows], dtype="object"),
-                        unit="us",
-                    ),
                     # object dtype keeps missing as None → Arrow NULL
-                    # (a float64 column would smuggle NaN instead)
+                    # (a numeric column would smuggle NaN instead)
+                    "dim_ts_us": pd.Series(
+                        [r[3] for r in out_rows], dtype="object"
+                    ),
                     "dim_value": pd.Series(
                         [r[4] for r in out_rows], dtype="object"
                     ),
                 }
             )
 
-    return both.groupBy("user_id").applyInPandasWithState(
+    raw = both.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType=OUTPUT_SCHEMA,
+        outputStructType=_KERNEL_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    # one vectorized JVM conversion for every key's output; NULL
+    # dim_ts_us stays NULL through timestamp_micros
+    return raw.select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "value",
+        F.timestamp_micros("dim_ts_us").alias("dim_ts"),
+        "dim_value",
     )
 
 

@@ -24,6 +24,18 @@ concentrated on the heavy tier.  session.py keeps the stock 1 MB
 floor; this file stays as the rejection record and the re-measurement
 harness for a quieter box.
 
+VERDICT r16 (2026-08-18, fourth probe round on the r16 box — the
+quiet-box retry VERDICT r15 item 9 asked for): PERMANENTLY CLOSED as
+rejected.  Headline total B/A 0.944 (sub-scheduling-floor queries —
+noise), but the per-query signs STILL flip vs earlier rounds
+(q_distinct_users 1.259 this round) and the one consistent LOSER
+across rounds is a real heavy query: q_cross_doc_ngram_dup 1.35 /
+0.93 / 1.19 / 1.234 (its count-window reduce stage wants FEWER,
+larger post-shuffle partitions, not more).  The one consistent winner
+(q_equi_depth_histogram 0.58/0.98/0.93/0.785) does not outweigh it,
+and at production scale the setting is inert (bytes/core >> 1 MB).
+The stock 1 MB floor stays.
+
 Usage: python tools/ab_minpartsize.py [sf_dir] [n_rounds]
        python tools/ab_minpartsize.py --child <conf_value> <sf_dir> q...
 """

@@ -82,9 +82,20 @@ def test_differential_subset(spark, sf_dir, oracle_con, name):
 
 
 def test_all_queries_execute_at_smoke_scale(spark, sf_dir):
-    for name, fn in queries_dict().items():
-        df = fn(spark, sf_dir)
-        assert df.count() >= 0, name
+    # r16 (guide §2.6 — overlap independent jobs): the 544 smoke
+    # executions are independent; a small driver-side thread pool
+    # back-fills the session's cores while each query's last stage
+    # drains.  Assertions unchanged; measured 222.6 s -> see
+    # OPTIMIZATION_r16.md (the driver's pytest window was timing out
+    # on the serial suite, VERDICT r15 item 2).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def smoke(item):
+        name, fn = item
+        assert fn(spark, sf_dir).count() >= 0, name
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(smoke, queries_dict().items()))
     # graph queries persist loop-invariant edge lists; don't carry
     # their cached relations into the rest of the test session
     spark.catalog.clearCache()

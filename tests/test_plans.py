@@ -16,10 +16,16 @@ from spark_streaming_join_example_spark.plans.registry import queries_dict
 
 
 def plan_of(df, mode: str = "formatted") -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode=mode)
-    return buf.getvalue()
+    # r16: the JVM explainString directly — the old
+    # redirect_stdout(df.explain()) capture swapped the GLOBAL
+    # sys.stdout, so concurrent explains (the §2.6-parallelized
+    # registry audit below) bled plan text into each other's buffers
+    # rstrip: explainString carries a trailing blank line that the old
+    # print-capture path did not; block-splitting parsers (split on
+    # "\n\n") would see a phantom empty block
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    ).rstrip("\n")
 
 
 @pytest.fixture(scope="module")
@@ -818,20 +824,24 @@ def test_no_unintended_cartesian_product_registry_wide(spark, sf_dir, qd):
         "q_mrl_truncation",   # guarded exact baseline
         "q_ngram_jaccard",    # guarded exact baseline
     }
-    offenders = {}
-    for name in sorted(qd):
+    # r16 (guide §2.6): building + explaining 544 plans is independent
+    # work (iterative queries run their driver loops at build time) —
+    # overlap with a small thread pool; audit semantics unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    def audit(name):
         try:
             p = plan_of(qd[name](spark, sf_dir))
         except Exception as e:  # pragma: no cover - surface as failure
-            offenders[name] = f"explain failed: {e}"
-            continue
+            return name, f"explain failed: {e}"
         if "CartesianProduct" in p and name not in allowed_cartesian:
-            offenders[name] = "CartesianProduct"
-        if (
-            "BroadcastNestedLoopJoin" in p
-            and name not in allowed_bnlj
-        ):
-            offenders[name] = "BroadcastNestedLoopJoin"
+            return name, "CartesianProduct"
+        if "BroadcastNestedLoopJoin" in p and name not in allowed_bnlj:
+            return name, "BroadcastNestedLoopJoin"
+        return None
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        offenders = dict(r for r in pool.map(audit, sorted(qd)) if r)
     assert not offenders, offenders
 
 

@@ -35,14 +35,25 @@ def test_registry_and_fixture_in_sync():
 
 
 def test_all_query_rowcounts_at_sf001(spark):
+    # r16 (guide §2.6): the 544 counts are independent jobs — overlap
+    # them with a small driver thread pool (assertions unchanged; the
+    # serial loop was the suite's #2 wall-time item and the driver's
+    # pytest window was timing out, VERDICT r15 item 2)
+    from concurrent.futures import ThreadPoolExecutor
+
     qd = queries_dict()
-    mismatches = {}
-    for name in sorted(EXPECTED):
+
+    def check(name):
         try:
             got = qd[name](spark, SF001_DIR).count()
         except Exception as exc:  # keep scanning; report every breakage
-            mismatches[name] = f"ERROR {type(exc).__name__}: {exc}"
-            continue
+            return name, f"ERROR {type(exc).__name__}: {exc}"
         if got != EXPECTED[name]:
-            mismatches[name] = f"expected {EXPECTED[name]}, got {got}"
+            return name, f"expected {EXPECTED[name]}, got {got}"
+        return None
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        mismatches = dict(
+            r for r in pool.map(check, sorted(EXPECTED)) if r
+        )
     assert not mismatches, f"{len(mismatches)} count drifts: {mismatches}"
